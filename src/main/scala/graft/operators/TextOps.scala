@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text shingling / hashing primitives shared by the dedup and similarity
+  * operators. Everything is built from `md5` so results are reproducible
+  * in any engine (the DuckDB oracle recomputes them bit-identically) —
+  * and everything is a Catalyst expression (no UDFs), so the operators
+  * stay codegen-friendly and distribute trivially: each document's
+  * signature is computed map-side with zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a single-space-separated text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles as space-joined strings (k=3). Requires ≥3 tokens —
+    * callers filter `size(tokens) >= 3` (Spark's `sequence(1, 0)` would
+    * count down, not return empty).
+    */
+  def shingles3(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+
+  /** 32-bit hash of a string, seeded: first 8 hex digits of
+    * `md5(seed + "|" + s)` as a long. Mirrors the DuckDB expression
+    * `CAST(concat('0x', substr(md5(seed || '|' || s), 1, 8)) AS BIGINT)`.
+    */
+  def seededHash(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(seed + "|"), s)), 1, 8), 16, 10).cast("long")
+
+  /** Unseeded 32-bit md5 hash (for token-level hashing). */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature component j over a shingle array: the minimum
+    * seeded hash across the set. One map-side pass per component.
+    */
+  def minhash(j: Int, shingleArr: Column): Column =
+    array_min(transform(shingleArr, s => seededHash(j, s)))
+
+  /** 32-bit SimHash over a token array: bit b is set when more than half
+    * the token hashes have bit b set.
+    */
+  def simhash32(ws: Column): Column = {
+    val hs = transform(ws, w => hash32(w))
+    val n = size(ws)
+    (0 until 32).map { b =>
+      val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Winnowing fingerprints: distinct minima of a sliding window (size 4)
+    * over the seeded shingle-hash sequence — the rolling-hash document
+    * fingerprint set. Requires ≥4 shingles (≥6 tokens).
+    */
+  def winnowFingerprints(shingleArr: Column): Column = {
+    val hs = transform(shingleArr, s => seededHash(0, s))
+    array_distinct(transform(sequence(lit(1), size(hs) - 3),
+      i => array_min(slice(hs, i, lit(4)))))
+  }
+
+  /** Sequential-fold dot product of two equal-length arrays in double —
+    * same accumulation order as DuckDB's `list_sum` over an index
+    * comprehension, so results match bit-for-bit.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity rounded to 6 places (sub-ULP cross-engine jitter
+    * in the fold is ~1e-16; rounding makes the hash comparison exact).
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+
+  /** Random-hyperplane components for LSH, derived from md5 so any engine
+    * reproduces them: `((int(md5(j+"_"+i)[0:8], 16) % 2001) - 1000)/1000`.
+    */
+  def hyperplane(j: Int, dim: Int): Seq[Double] = (0 until dim).map { i =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** Sign-of-projection LSH bucket over `nPlanes` md5-derived hyperplanes:
+    * bit j set when `dot(plane_j, v) >= 0`.
+    */
+  def lshBucket(embedding: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      val plane = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(embedding, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

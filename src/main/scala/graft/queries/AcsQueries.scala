@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.AcsMath
+import graft.sources.VarRep
+
+/** The ACS error-propagation operators (SURVEY §2.3 M1-M5, §2.4 A1) run
+  * over the driver testdata so the DuckDB oracle can check them at sf0.01.
+  *
+  * The testdata has no native margin columns, so each query *constructs*
+  * deterministic (estimate, m90) pairs from lineitem columns:
+  *   a = l_quantity         a_m90 = 1 + 10·l_tax
+  *   b = 100·l_discount     b_m90 = 1 + 5·l_tax
+  * Row-wise arithmetic on doubles is IEEE-deterministic, so the Spark and
+  * DuckDB expressions produce bit-identical results with no tolerance.
+  */
+object AcsQueries {
+  import Det._
+
+  // shared pair definitions (Spark side)
+  private def pairs = {
+    val a = col("l_quantity")
+    val am = lit(1.0) + lit(10.0) * col("l_tax")
+    val b = lit(100.0) * col("l_discount")
+    val bm = lit(1.0) + lit(5.0) * col("l_tax")
+    (a, am, b, bm)
+  }
+  // shared pair definitions (DuckDB side) — must mirror the above exactly
+  private val A = "l_quantity"
+  private val AM = "(1.0 + 10.0 * l_tax)"
+  private val B = "(100.0 * l_discount)"
+  private val BM = "(1.0 + 5.0 * l_tax)"
+  private val Key = "ORDER BY l_orderkey, l_linenumber"
+
+  val all: Seq[Q] = Seq(
+    // ---- M1: row-wise sum with RSS margin ----
+    Q("q30_acs_sum_m", (s, d) => {
+      val (a, am, b, bm) = pairs
+      val p = AcsMath.sumM(Seq((a, am), (b, bm)))
+      Tables(s, d, "lineitem")
+        .select(Seq(col("l_orderkey"), col("l_linenumber")) ++ p.named("s"): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, $A + $B AS s,
+        sqrt($AM*$AM + $BM*$BM) AS s_m90
+      FROM lineitem $Key""")),
+
+    // ---- M2: proportion with guarded radicand ----
+    Q("q31_acs_proportion", (s, d) => {
+      val (a, am, b, bm) = pairs
+      val p = AcsMath.proportion(b, bm, a, am) // b ⊆ a (b can exceed → guard fires)
+      Tables(s, d, "lineitem")
+        .select(Seq(col("l_orderkey"), col("l_linenumber")) ++ p.named("p"): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, $B / $A AS p,
+        CASE WHEN $BM*$BM - ($B/$A)*($B/$A)*($AM*$AM) >= 0
+             THEN sqrt($BM*$BM - ($B/$A)*($B/$A)*($AM*$AM)) / $A
+             ELSE sqrt($BM*$BM + ($B/$A)*($B/$A)*($AM*$AM)) / $A
+        END AS p_m90
+      FROM lineitem $Key""")),
+
+    // ---- M3: ratio ----
+    Q("q32_acs_ratio", (s, d) => {
+      val (a, am, b, bm) = pairs
+      val p = AcsMath.ratio(b, bm, a, am)
+      Tables(s, d, "lineitem")
+        .select(Seq(col("l_orderkey"), col("l_linenumber")) ++ p.named("r"): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, $B / $A AS r,
+        sqrt($BM*$BM + ($B/$A)*($B/$A)*($AM*$AM)) / $A AS r_m90
+      FROM lineitem $Key""")),
+
+    // ---- M4: product ----
+    Q("q33_acs_product", (s, d) => {
+      val (a, am, b, bm) = pairs
+      val p = AcsMath.product(a, am, b, bm)
+      Tables(s, d, "lineitem")
+        .select(Seq(col("l_orderkey"), col("l_linenumber")) ++ p.named("pr"): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, $A * $B AS pr,
+        sqrt($A*$A*($BM*$BM) + $B*$B*($AM*$AM)) AS pr_m90
+      FROM lineitem $Key""")),
+
+    // ---- M5: relative standard error ----
+    Q("q34_acs_rse", (s, d) => {
+      val (a, am, _, _) = pairs
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          AcsMath.rse(a, am).as("a_rse"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, $AM / 1.645 / $A * 100.0 AS a_rse
+      FROM lineitem $Key""")),
+
+    // ---- A1: grouped sum with RSS margin combination ----
+    Q("q35_acs_grouped_rss", (s, d) => {
+      val (a, am, _, _) = pairs
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(a, 2).as("a"),
+          // m90² sums are order-dependent in double; round after sqrt —
+          // the ~1e-10 cross-engine jitter is far below 1e-6
+          round(sqrt(sum(am * am)), 6).as("a_m90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      SELECT l_returnflag, ${duckSum(A, 2)} AS a,
+        round(sqrt(sum($AM*$AM)), 6) AS a_m90, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- F7/F8: k-value step function + average-weight lookup ----
+    Q("q36_kval_weight", (s, d) => {
+      Tables(s, d, "orders")
+        .withColumn("k", VarRep.kVal(col("o_totalprice")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }, Some(s"""
+      SELECT ${VarRep.kValSql("o_totalprice")} AS k, count(*) AS n
+      FROM orders GROUP BY k ORDER BY k""")),
+
+    Q("q37_ave_weight", (s, d) => {
+      Tables(s, d, "nation")
+        .select(col("n_nationkey"), VarRep.aveWeightCol(col("n_nationkey")).as("ave_weight"))
+        .orderBy(col("n_nationkey"))
+    }, Some(s"""
+      SELECT n_nationkey, ${VarRep.aveWeightSql("n_nationkey")} AS ave_weight
+      FROM nation ORDER BY n_nationkey"""))
+  )
+}

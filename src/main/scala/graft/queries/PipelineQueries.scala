@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** LLM-training-data pipeline operators (north star [EXT]): deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force cosine + LSH-bucketed ANN), text analysis (tokens, quality,
+  * language heuristic, winnowing fingerprints), multimodal column plumbing.
+  *
+  * All hashing is md5-derived (TextOps) so the DuckDB oracle reproduces
+  * every signature bit-for-bit. Scale design: signatures are map-side
+  * (no shuffle); candidate generation shuffles on band keys (standard
+  * LSH banding — the 100 TB path); only the tiny candidate set is ever
+  * pairwise-compared.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  // DuckDB rendering of the md5 hash helpers (must mirror TextOps exactly)
+  private def duckHash(seed: Int, expr: String): String =
+    s"CAST(concat('0x', substr(md5('$seed|' || ($expr)), 1, 8)) AS BIGINT)"
+  private def duckHash32(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
+  private val duckWords = "string_split(text, ' ')"
+  private val duckShingles =
+    "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]"
+
+  /** MinHash signature frame (Spark side), shared by q42/q43. */
+  private def minhashSig(s: SparkSession, d: String, nHashes: Int): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val withSh = docs(s, d)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), TextOps.shingles3(ws).as("sh"))
+    val mh = (0 until nHashes).map(j => TextOps.minhash(j, col("sh")).as(s"mh$j"))
+    withSh.select(col("doc_id") +: mh: _*)
+  }
+
+  private def duckSigCte(nHashes: Int): String = {
+    val mh = (0 until nHashes)
+      .map(j => s"list_min([${duckHash(j, "x")} for x in sh]) AS mh$j").mkString(",\n        ")
+    s"""t AS (SELECT doc_id, $duckWords ws FROM documents),
+      s AS (SELECT doc_id, $duckShingles sh FROM t WHERE len(ws) >= 3),
+      sig AS (SELECT doc_id, $mh FROM s)"""
+  }
+
+  val all: Seq[Q] = Seq(
+    // ---- exact dedup: hash-groupBy on full text ----
+    Q("q40_dedup_exact", (s, d) => {
+      docs(s, d).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id"""), bench = true),
+
+    // ---- document fingerprint: md5 of normalized text ----
+    Q("q41_fingerprint", (s, d) => {
+      docs(s, d).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""")),
+
+    // ---- MinHash signatures (8 hashes over 3-shingles) ----
+    Q("q42_minhash_sig", (s, d) => {
+      minhashSig(s, d, 8).orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${duckSigCte(8)}
+      SELECT * FROM sig ORDER BY doc_id"""), bench = true),
+
+    // ---- MinHash LSH banding: candidate near-dup pairs ----
+    Q("q43_minhash_pairs", (s, d) => {
+      val sig = minhashSig(s, d, 8)
+      val bands = (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+      val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = exploded.as("a")
+      val b = exploded.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b""")),
+
+    // ---- SimHash (32-bit) ----
+    Q("q44_simhash", (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      h AS (SELECT doc_id, len(ws) AS n,
+        [${duckHash32("w")} for w in ws] AS hs FROM t)
+      SELECT doc_id,
+        CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                       for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+      FROM h ORDER BY doc_id""")),
+
+    // ---- n-gram Jaccard near-dup (within-source blocking) ----
+    Q("q45_ngram_jaccard", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val base = docs(s, d)
+        .filter(size(TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), col("source"),
+          array_distinct(TextOps.shingles3(ws)).as("shset"))
+      val a = base.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+        col("shset").as("sh_a"))
+      val b = base.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+        col("shset").as("sh_b"))
+      a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source, $duckWords ws FROM documents),
+      s AS (SELECT doc_id, source, list_distinct($duckShingles) sh
+            FROM t WHERE len(ws) >= 3)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(len(list_distinct(list_intersect(a.sh, b.sh)))
+          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_intersect(a.sh, b.sh)))
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+      ORDER BY doc_a, doc_b""")),
+
+    // ---- brute-force cosine top-k (similarity-search baseline) ----
+    Q("q46_cosine_topk", (s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), TextOps.cosine(col("embedding"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(20)
+    }, Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(
+        list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+                  for i in generate_series(1, len(e.embedding))])
+        / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(e.embedding))]))
+         * sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+                  for i in generate_series(1, len(q.qv))]))), 6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY cosine DESC, vec_id LIMIT 20"""), bench = true),
+
+    // ---- LSH bucket assignment (ANN scale path) ----
+    Q("q47_ann_buckets", (s, d) => {
+      embs(s, d)
+        .select(col("vec_id"), TextOps.lshBucket(col("embedding"), 8, 64).as("bucket"))
+        .orderBy(col("vec_id"))
+    }, Some({
+      def planeComp(j: Int) =
+        s"((CAST(concat('0x', substr(md5($j || '_' || (i-1)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0"
+      val bits = (0 until 8).map { j =>
+        s"""CASE WHEN list_sum([e.embedding[i]::DOUBLE * ${planeComp(j)}
+             for i in generate_series(1, len(e.embedding))]) >= 0
+           THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket
+          FROM embeddings e ORDER BY vec_id"""
+    })),
+
+    // ---- ANN search: cosine top-10 within the query vector's bucket ----
+    Q("q48_ann_search", (s, d) => {
+      val withBucket = embs(s, d)
+        .withColumn("bucket", TextOps.lshBucket(col("embedding"), 8, 64))
+      val q = withBucket.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
+      withBucket.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+        .select(col("vec_id"), TextOps.cosine(col("embedding"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    }, Some({
+      def planeComp(j: Int, v: String) =
+        s"((CAST(concat('0x', substr(md5($j || '_' || (i-1)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0"
+      def bucketOf(tbl: String) = (0 until 8).map { j =>
+        s"""CASE WHEN list_sum([$tbl.embedding[i]::DOUBLE * ${planeComp(j, tbl)}
+             for i in generate_series(1, len($tbl.embedding))]) >= 0
+           THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, CAST(${bucketOf("e")} AS BIGINT) AS bucket
+                     FROM embeddings e),
+        q AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+      SELECT b.vec_id, round(
+        list_sum([b.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+                  for i in generate_series(1, len(b.embedding))])
+        / (sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(b.embedding))]))
+         * sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+                  for i in generate_series(1, len(q.qv))]))), 6) AS cosine
+      FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+    })),
+
+    // ---- text statistics / quality scoring ----
+    Q("q49_text_stats", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d).select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).cast("long").as("text_len"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        ((length(col("text")) - (size(ws) - 1)) / size(ws)).as("avg_token_len"),
+        (size(filter(ws, w => w.isin("the", "a"))) / size(ws)).as("stop_ratio"),
+        round(lit(0.3) * (size(filter(ws, w => w.isin("the", "a"))) / size(ws)) +
+          lit(0.7) * least(size(ws), lit(200)) / 200.0, 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') ws FROM documents)
+      SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
+        CAST(len(ws) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        (length(text) - (len(ws) - 1)) / len(ws) AS avg_token_len,
+        len(list_filter(ws, w -> w IN ('the', 'a'))) / len(ws) AS stop_ratio,
+        round(0.3 * (len(list_filter(ws, w -> w IN ('the', 'a'))) / len(ws))
+          + 0.7 * least(len(ws), 200) / 200.0, 6) AS quality_score
+      FROM t ORDER BY doc_id"""), bench = true),
+
+    // ---- language-ID heuristic ----
+    Q("q50_lang_id", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d).select(col("doc_id"), col("lang"),
+        when(array_contains(ws, "the"), "en").otherwise("unk").as("predicted"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang,
+        CASE WHEN list_contains(string_split(text, ' '), 'the')
+             THEN 'en' ELSE 'unk' END AS predicted
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- token frequency top-N ----
+    Q("q51_token_topn", (s, d) => {
+      docs(s, d).select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(30)
+    }, Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token ORDER BY n DESC, token LIMIT 30""")),
+
+    // ---- winnowing rolling-hash fingerprints ----
+    Q("q52_winnow", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d)
+        .filter(size(TextOps.tokens(col("text"))) >= 6)
+        .select(col("doc_id"),
+          explode(TextOps.winnowFingerprints(TextOps.shingles3(ws))).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      s AS (SELECT doc_id, $duckShingles sh FROM t WHERE len(ws) >= 6),
+      h AS (SELECT doc_id, [${duckHash(0, "x")} for x in sh] hs FROM s)
+      SELECT doc_id,
+        unnest(list_distinct([list_min(hs[i:i+3]) for i in generate_series(1, len(hs)-3)])) AS fp
+      FROM h ORDER BY doc_id, fp""")),
+
+    // ---- multimodal: opaque binary column + typed metadata extraction ----
+    Q("q53_multimodal_meta", (s, d) => {
+      // the "media" column is an opaque blob (here: utf-8 encoded text —
+      // the container ships no codecs, see Multimodal for the decode stub);
+      // metadata extraction is the real Spark-side plumbing under test
+      val bin = encode(col("text"), "UTF-8")
+      val bytes = length(bin).cast("long")
+      docs(s, d).select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        bytes.as("n_bytes"),
+        (lit(64) + pmod(bytes, lit(640))).as("width"),
+        (lit(64) + pmod(bytes * 7, lit(480))).as("height"),
+        (lit(1) + pmod(bytes, lit(30))).as("n_frames"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+        64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS height,
+        1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
+      FROM documents ORDER BY doc_id"""))
+  )
+}

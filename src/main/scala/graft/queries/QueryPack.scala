@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** A declared engine capability: a Spark query over the driver testdata plus
+  * (when SQL-expressible) an equivalent DuckDB oracle query. The driver
+  * hash-compares the two at sf0.01 (`BASELINE.json.metric`).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries are also timed by Bench at sf0.1 */
+    bench: Boolean = false)
+
+object Tables {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
+      // a timestamp. Read it as raw nanos and floor-divide to micros —
+      // integer DIV, not double division: nanos ~1.7e18 exceeds double's
+      // 53-bit mantissa. Floor matches DuckDB's nanos→micros truncation.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Cross-engine float determinism helpers.
+  *
+  * Summing doubles is order-dependent, and both engines aggregate in
+  * nondeterministic partial orders — so sums that must hash-match are done
+  * in exact decimal arithmetic on both sides:
+  *
+  *  - Spark: `sum(x.cast(DecimalType(p, s)))` — double→decimal cast rounds
+  *    HALF_UP.
+  *  - DuckDB: `sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(p, s)))` — the
+  *    varchar hop matters: DuckDB's double→decimal cast TRUNCATES (0.125 →
+  *    0.12) which would disagree with Spark for values like 901.82 stored
+  *    as 901.819999…; its string→decimal parse rounds half-up like Spark.
+  *
+  * Inputs here are money/quantity columns with ≤2 decimal digits (verified
+  * on the testdata), or products of them (≤6 digits), so the decimal cast
+  * is lossless and both engines sum identical exact values.
+  */
+object Det {
+  /** Exact decimal sum surfaced as double. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18 + scale, scale))).cast(DoubleType)
+
+  /** DuckDB rendering of [[dsum]]. */
+  def duckSum(expr: String, scale: Int): String =
+    s"CAST(sum(CAST(CAST($expr AS VARCHAR) AS DECIMAL(${18 + scale},$scale))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum / count, divided in double (both engines
+    * divide the same two exact numbers — IEEE-deterministic).
+    */
+  def davg(c: Column, scale: Int): Column =
+    (sum(c.cast(DecimalType(18 + scale, scale))).cast(DoubleType) / count(lit(1)))
+
+  def duckAvg(expr: String, scale: Int): String =
+    s"(${duckSum(expr, scale)} / count(*))"
+
+  /** Sample stddev derived from exact decimal sums (x has ≤`scale/2`
+    * decimals so x² is exact at `scale`): deterministic in both engines
+    * with no rounding tolerance needed.
+    */
+  def dstddev(c: Column, scale: Int): Column = {
+    val n = count(lit(1)).cast(DoubleType)
+    val s1 = sum(c.cast(DecimalType(18 + scale, scale))).cast(DoubleType)
+    val s2 = sum((c * c).cast(DecimalType(30 + scale, scale))).cast(DoubleType)
+    // the sums are exact, but the final float expression can differ by an
+    // ULP between engines (FMA contraction) — round to 6 places
+    round(sqrt((s2 - s1 * s1 / n) / (n - lit(1))), 6)
+  }
+
+  def duckStddev(expr: String, scale: Int): String = {
+    val s1 = duckSum(expr, scale)
+    val s2 = s"CAST(sum(CAST(CAST(($expr)*($expr) AS VARCHAR) AS DECIMAL(${30 + scale},$scale))) AS DOUBLE)"
+    s"round(sqrt(($s2 - $s1*$s1/count(*)) / (count(*) - 1)), 6)"
+  }
+}

@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory over the TPC-H-ish testdata (SURVEY §2.2
+  * P8, §2.4 A5, §2.5 F10, §2.6 — all [EXT] built-in declarations).
+  *
+  * Every query is deterministic: explicit ORDER BY on a unique key, exact
+  * decimal arithmetic for float aggregates (see [[Det]]), timestamps
+  * surfaced as formatted strings (pyarrow tz-awareness differs between the
+  * engines' parquet writers).
+  *
+  * Scale notes (100 TB design intent, verified on `.explain`):
+  *  - dimension joins (`region`, `nation`, `supplier`, `part`, `customer`)
+  *    are explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins (`lineitem` ⋈ `orders`) shuffle on the join key once,
+  *    and AQE handles skew;
+  *  - all aggregations are partial-aggregate-friendly (sum/count/min/max),
+  *    so map-side combine runs before the exchange;
+  *  - filters and projections are plain column predicates that push to the
+  *    parquet scan (`PushedFilters`/`ReadSchema`).
+  */
+object RelationalQueries {
+  import Det._
+
+  private def T(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val all: Seq[Q] = Seq(
+    // ---- q01: TPC-H Q1-style pricing summary (filter → groupBy → agg) ----
+    Q("q01_pricing_summary", (s, d) => {
+      val li = T(s, d, "lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity"), 2).as("avg_qty"),
+          davg(col("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${duckSum("l_quantity", 2)} AS sum_qty,
+        ${duckSum("l_extendedprice", 2)} AS sum_base_price,
+        ${duckSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+        ${duckSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+        ${duckAvg("l_quantity", 2)} AS avg_qty,
+        ${duckAvg("l_extendedprice", 2)} AS avg_price,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    // ---- q02: selective filter + projection (parquet pushdown) ----
+    Q("q02_filter_project", (s, d) => {
+      T(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("1999-04-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- q03: TPC-H Q3-style top-N revenue (fact-fact join + topk) ----
+    Q("q03_topk_revenue", (s, d) => {
+      val cust = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = T(s, d, "orders").filter(col("o_orderdate") < lit("1998-06-01"))
+      val li = T(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-06-01"))
+      // orders⋈customer: dim broadcast; lineitem⋈orders: fact-fact shuffle
+      // on the order key (orders would not fit a broadcast at 100 TB)
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }, Some(s"""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        ${duckSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""), bench = true),
+
+    // ---- q04: EXISTS via left-semi join ----
+    Q("q04_priority_exists", (s, d) => {
+      val ord = T(s, d, "orders")
+      val big = T(s, d, "lineitem").filter(col("l_quantity") >= 49).select(col("l_orderkey"))
+      ord.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q05: TPC-H Q5-style multi-join through the star schema ----
+    Q("q05_local_volume", (s, d) => {
+      val li = T(s, d, "lineitem")
+      val ord = T(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val cust = T(s, d, "customer")
+      val supp = T(s, d, "supplier")
+      val nat = T(s, d, "nation")
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }, Some(s"""
+      SELECT n_name, ${duckSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+        count(*) AS n_items
+      FROM lineitem, orders, customer, supplier, nation
+      WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name"""), bench = true),
+
+    // ---- q06: TPC-H Q6 forecast revenue (pure pushdown filter + agg) ----
+    Q("q06_forecast_revenue", (s, d) => {
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    }, Some(s"""
+      SELECT ${duckSum("l_extendedprice * l_discount", 4)} AS revenue, count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24"""),
+      bench = true),
+
+    // ---- q07: broadcast dimension join ----
+    Q("q07_brand_volume", (s, d) => {
+      T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }, Some(s"""
+      SELECT p_brand, ${duckSum("l_quantity", 2)} AS sum_qty, count(*) AS n
+      FROM lineitem, part WHERE l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- q08: left-semi join surface ----
+    Q("q08_semi_join", (s, d) => {
+      val urgent = T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      T(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+
+    // ---- q09: left-anti join surface ----
+    Q("q09_anti_join", (s, d) => {
+      val ord = T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      T(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- q10: ranked window, top-k per group ----
+    Q("q10_window_topk", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }, Some("""
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- q11: running-total window (exact decimal inside the frame) ----
+    Q("q11_window_running", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .over(w).cast(org.apache.spark.sql.types.DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(20,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_spend
+      FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- q12: lag/lead analytics ----
+    Q("q12_lag_lead", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("days_since_prev",
+          datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))))
+        .withColumn("next_orderkey", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("days_since_prev"), col("next_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        date_diff('day',
+          CAST(lag(o_orderdate, 1) OVER w AS DATE),
+          CAST(o_orderdate AS DATE)) AS days_since_prev,
+        lead(o_orderkey, 1) OVER w AS next_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- q13: distinct ----
+    Q("q13_distinct", (s, d) => {
+      T(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+        .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q14: rollup (NULLS FIRST to match Spark's asc default) ----
+    Q("q14_rollup", (s, d) => {
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n, ${duckSum("l_quantity", 2)} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- q15: cube ----
+    Q("q15_cube", (s, d) => {
+      T(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        ${duckSum("o_totalprice", 2)} AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- q16: union (dedup) ----
+    Q("q16_union", (s, d) => {
+      T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy(col("nationkey"))
+    }, Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    // ---- q17: except ----
+    Q("q17_except", (s, d) => {
+      val ord = T(s, d, "orders")
+      ord.select(col("o_custkey").as("custkey"))
+        .except(ord.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")))
+        .orderBy(col("custkey"))
+    }, Some("""
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY custkey""")),
+
+    // ---- q18: intersect ----
+    Q("q18_intersect", (s, d) => {
+      T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(T(s, d, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    }, Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    // ---- q19: group-by + having ----
+    Q("q19_having", (s, d) => {
+      T(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }, Some(s"""
+      SELECT o_custkey, count(*) AS n_orders, ${duckSum("o_totalprice", 2)} AS spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""")),
+
+    // ---- q20: date functions (trunc to month) ----
+    Q("q20_month_agg", (s, d) => {
+      T(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("month"))
+    }, Some(s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+        ${duckSum("o_totalprice", 2)} AS sum_price
+      FROM orders GROUP BY month ORDER BY month""")),
+
+    // ---- q21: string functions ----
+    Q("q21_string_funcs", (s, d) => {
+      T(s, d, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_brand"), 7, 10).as("brand_num"),
+          concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, upper(p_name) AS uname, substr(p_brand, 7) AS brand_num,
+        concat(p_type, '/', p_brand) AS type_brand, length(p_name) AS name_len
+      FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""")),
+
+    // ---- q22: JSON extraction (events.props) ----
+    Q("q22_json", (s, d) => {
+      T(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q23: conditional aggregation (pivot-style) ----
+    Q("q23_case_agg", (s, d) => {
+      T(s, d, "customer").join(broadcast(T(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)).as("n_building"),
+          sum(when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0)).as("n_automobile"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("n_name"))
+    }, Some("""
+      SELECT n_name,
+        sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building,
+        sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n_automobile,
+        count(*) AS n_total
+      FROM customer, nation WHERE c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- q24: stats (stddev from exact sums — engine-deterministic) ----
+    Q("q24_stats", (s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          davg(col("l_extendedprice"), 2).as("avg_price"),
+          dstddev(col("l_extendedprice"), 4).as("std_price"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        max(l_extendedprice) AS max_price,
+        ${duckAvg("l_extendedprice", 2)} AS avg_price,
+        ${duckStddev("l_extendedprice", 4)} AS std_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q25: exact count-distinct ----
+    Q("q25_count_distinct", (s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q26: global top-k sort/limit ----
+    Q("q26_topk_global", (s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    }, Some("""
+      SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ---- q27: as-of join by composition (SURVEY §2.6 [EXT]) ----
+    Q("q27_asof_join", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "events")
+        .withColumn("last_signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          date_format(col("last_signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_signup"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+          max(CASE WHEN event_type = 'signup' THEN ts END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        FROM events) t
+      WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // ---- q28: banded self-join (theta/range join surface) ----
+    Q("q28_range_join", (s, d) => {
+      val a = T(s, d, "supplier").select(col("s_suppkey").as("sk_a"), col("s_acctbal").as("bal_a"))
+      val b = T(s, d, "supplier").select(col("s_suppkey").as("sk_b"), col("s_acctbal").as("bal_b"))
+      a.join(b, col("sk_a") < col("sk_b") &&
+          abs(col("bal_a") - col("bal_b")) < 100.0)
+        .select(col("sk_a"), col("sk_b"))
+        .orderBy(col("sk_a"), col("sk_b"))
+    }, Some("""
+      SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b
+      FROM supplier a, supplier b
+      WHERE a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 100.0
+      ORDER BY sk_a, sk_b"""))
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.streaming.EventsStream
+
+/** Batch-equivalents of the streaming transforms (SURVEY §2.7): the same
+  * window semantics run as batch queries so the DuckDB oracle can check
+  * them; `StreamingSpec` separately proves streaming == batch on the same
+  * transform functions.
+  */
+object StreamingQueries {
+  import Det._
+
+  val all: Seq[Q] = Seq(
+    // ---- tumbling window agg (epoch-aligned, same as time_bucket) ----
+    Q("q54_events_window", (s, d) => {
+      EventsStream.windowedAgg(Tables(s, d, "events"))
+        .orderBy(col("wstart"), col("event_type"))
+    }, Some(s"""
+      SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        event_type, count(*) AS n, ${duckSum("value", 2)} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""), bench = true),
+
+    // ---- sessionization via gap analysis (window functions) ----
+    Q("q55_sessionize", (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(runFrame))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some("""
+      WITH g AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts, 1) OVER w IS NULL
+                 OR date_diff('second', lag(ts, 1) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- keep-first dedup (batch analogue of watermark dedup) ----
+    Q("q56_dedup_first", (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }, Some("""
+      SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface for the `events` table (SURVEY §2.7 [EXT]).
+  *
+  * Transforms are written as plain `DataFrame => DataFrame` so the *same*
+  * logical plan runs in batch and in streaming — streaming-batch parity is
+  * then by construction and checked in `StreamingSpec` via the memory sink.
+  * At scale: the watermark bounds state; tumbling windows aggregate with
+  * partial aggregation before the shuffle; dedup state is keyed and expires
+  * with the watermark.
+  */
+object EventsStream {
+
+  /** Raw file schema: ts is parquet TIMESTAMP(NANOS), read as nano longs
+    * (see [[graft.queries.Tables]]) and converted to micros here.
+    */
+  val eventsSchema: StructType = StructType.fromDDL(
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  /** File-source stream over a directory of events parquet. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 10-minute windowed counts/sums per event type, 30-minute
+    * watermark. Works on batch and streaming frames alike.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 10-minute window every 5 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute gap per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sstart"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("send"),
+        col("user_id"), col("n_events"))
+
+  /** Stateful stream dedup on event_id, state bounded by the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming transform to completion against a static directory via
+    * the memory sink (synchronous; for tests and parity checks).
+    */
+  def runToMemory(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
+    val q = transform(readStream(spark, dir))
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Tables
+import graft.streaming.EventsStream
+
+/** Streaming-batch parity (SURVEY §2.7): the same transform function run
+  * over the events table as a stream (memory sink, processAllAvailable)
+  * and as a batch frame must agree.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The file stream source needs a directory; stage the single parquet
+    * into a temp dir (testdata itself is read-only).
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def batchEvents = Tables(spark, dir, "events")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(df(_)): _*).collect().toSeq
+      .map((r: Row) => r.toSeq).sortBy(_.mkString("|"))
+  }
+
+  test("tumbling window agg: stream == batch") {
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.windowedAgg, "win_out")
+    val batch = EventsStream.windowedAgg(batchEvents)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("sliding window agg: stream == batch") {
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.slidingAgg, "slide_out")
+    val batch = EventsStream.slidingAgg(batchEvents)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("session window agg: stream == batch") {
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.sessionAgg, "sess_out")
+    val batch = EventsStream.sessionAgg(batchEvents)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("stream dedup matches batch dropDuplicates count") {
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.dedup, "dedup_out", outputMode = "append")
+    assert(stream.count() == batchEvents.dropDuplicates("event_id").count())
+  }
+}

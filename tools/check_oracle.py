@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 check: for each query output parquet in
+OUTDIR, run the corresponding oracle SQL from oracle_sql.json in DuckDB with
+the sf tables registered as views, and compare schema/rows/values.
+
+Usage: check_oracle.py SFDIR OUTDIR
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns {gcols} != {wcols}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        g = got[gcols].sort_values(gcols).reset_index(drop=True)
+        w = want[wcols].sort_values(wcols).reset_index(drop=True)
+        bad = None
+        for c in gcols:
+            gv, wv = list(g[c]), list(w[c])
+            for i, (x, y) in enumerate(zip(gv, wv)):
+                x, y = norm(x), norm(y)
+                if x is None and y is None:
+                    continue
+                try:
+                    import pandas as pd
+                    if pd.isna(x) and pd.isna(y):
+                        continue
+                except (TypeError, ValueError):
+                    pass
+                if x != y:
+                    delta = ""
+                    if isinstance(x, float) and isinstance(y, float):
+                        delta = f" (delta={abs(x-y):.3e})"
+                    bad = f"col {c} row {i}: spark={x!r} duck={y!r}{delta}"
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
