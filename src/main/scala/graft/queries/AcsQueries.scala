@@ -128,6 +128,27 @@ object AcsQueries {
         .orderBy(col("n_nationkey"))
     }, Some(s"""
       SELECT n_nationkey, ${VarRep.aveWeightSql("n_nationkey")} AS ave_weight
-      FROM nation ORDER BY n_nationkey"""))
+      FROM nation ORDER BY n_nationkey""")),
+
+    // ---- the reference's end-to-end slice (SURVEY §7.5): censusreporter
+    // source → metadata frame → margin-carrying select → MOE algebra →
+    // RSS group-by. Runs on the checked-in B17001-format fixture; not
+    // SQL-expressible for the oracle (driver records rows-only).
+    Q("q38_census_pipeline", (s, _) => {
+      val cf = graft.sources.CensusReporter
+        .loadJsonResource(s, "censusreporter/acs_fixture.json", "B17001")
+      val enriched = cf
+        .withPairs(
+          "under5" -> cf.sumM("004", "007"), // male + female under 5
+          "poor_share" -> cf.proportion("002", "001"))
+        .addRse("under5")
+        .fillNaMargins()
+      val grouped = enriched.copy(df = enriched.df
+          .withColumn("g", substring(col("geoid"), -1, 1)))
+        .selectCensus("g", "under5", "poor_share")
+        .groupBySum("g")
+        .sortColumns
+      grouped.df.orderBy(col("g"))
+    }, None)
   )
 }
