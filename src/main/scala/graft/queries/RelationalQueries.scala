@@ -74,12 +74,14 @@ object RelationalQueries {
       val cust = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = T(s, d, "orders").filter(col("o_orderdate") < lit("1998-06-01"))
       val li = T(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-06-01"))
-      // orders⋈customer: dim broadcast; lineitem⋈orders: fact-fact shuffle
-      // on the order key (orders would not fit a broadcast at 100 TB)
-      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
+      // pre-aggregate revenue per order key BEFORE the join (o_orderdate
+      // functionally depends on o_orderkey, so grouping early is
+      // equivalent): shrinks the join input by the lineitem fan-out —
+      // the shuffle-minimizing plan at any scale. Dims broadcast.
+      val liAgg = li.groupBy(col("l_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      liAgg.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
