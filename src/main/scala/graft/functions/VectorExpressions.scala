@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over two numeric array columns.
+  *
+  * This is the tier-(b) custom operator of the preference order (compose
+  * built-ins > custom Expression > custom plan > mapPartitions): the
+  * higher-order-function formulation
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` allocates an intermediate
+  * array per row and is not whole-stage-codegen'd; this expression
+  * generates a tight primitive loop inside the stage's generated code —
+  * the shape that matters when scoring 10⁹ embeddings.
+  *
+  * Accumulation is a sequential left fold in element order, bit-identical
+  * to the HOF version and to DuckDB's `list_sum` over an index
+  * comprehension — so oracle hash-parity is preserved.
+  *
+  * Null semantics: a null array yields null (nullSafeEval); elements are
+  * assumed non-null (embedding vectors), mismatched lengths dot the
+  * common prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall { e =>
+      e.dataType match {
+        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (at, bt) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += get(a, at, i) * get(b, bt, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def getter(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case LongType => s"(double) $arr.getLong($i)"
+        case other => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column API for [[DotProduct]]. */
+  def dotNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Register `dot_product` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftSqlBridge.registerFunction(spark, "dot_product", { exprs =>
+      require(exprs.length == 2,
+        s"dot_product takes exactly 2 array arguments, got ${exprs.length}")
+      DotProduct(exprs(0), exprs(1))
+    })
+}

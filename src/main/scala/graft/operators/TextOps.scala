@@ -64,9 +64,18 @@ object TextOps {
 
   /** Sequential-fold dot product of two equal-length arrays in double —
     * same accumulation order as DuckDB's `list_sum` over an index
-    * comprehension, so results match bit-for-bit.
+    * comprehension, so results match bit-for-bit. Implemented as the
+    * native codegen'd [[graft.functions.DotProduct]] expression; the
+    * higher-order-function formulation is kept as [[dotHof]] for
+    * reference and cross-checked bit-identical in VectorExprSpec.
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotNative(a, b)
+
+  /** HOF formulation of [[dot]] (allocates an intermediate array per row,
+    * not whole-stage-codegen'd — kept for equivalence testing).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

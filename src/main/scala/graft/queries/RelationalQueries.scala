@@ -446,6 +446,29 @@ object RelationalQueries {
       SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b
       FROM supplier a, supplier b
       WHERE a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 100.0
-      ORDER BY sk_a, sk_b"""))
+      ORDER BY sk_a, sk_b""")),
+
+    // ---- q29: pivot (fixed value list → deterministic schema) ----
+    Q("q29_pivot", (s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity"), 2))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      SELECT l_returnflag,
+        ${duckSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS F,
+        ${duckSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q29b: approximate count-distinct (HLL++). The estimate is
+    // engine-specific, so the driver records a rows-only check; the
+    // ScalaTest suite separately asserts <5% error vs exact. ----
+    Q("q29_approx_distinct", (s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }, None)
   )
 }

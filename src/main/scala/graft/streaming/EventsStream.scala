@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** Per-user streaming state for [[EventsStream.statefulUserTotals]]. */
+final case class UserTotals(n: Long, sum: Double)
+
 /** Structured Streaming surface for the `events` table (SURVEY §2.7 [EXT]).
   *
   * Transforms are written as plain `DataFrame => DataFrame` so the *same*
@@ -64,6 +67,33 @@ object EventsStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via `mapGroupsWithState` (SURVEY §2.7): per-user
+    * running totals that survive across triggers. State is per-key and
+    * bounded by the key cardinality; at scale the store shuffles on
+    * user_id and checkpoints incrementally.
+    */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n = prev.n
+          var sum = prev.sum
+          rows.foreach { r => n += 1; sum += r._2 }
+          val next = UserTotals(n, sum)
+          state.update(next)
+          (user, next.n, next.sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 
   /** Run a streaming transform to completion against a static directory via
     * the memory sink (synchronous; for tests and parity checks).

@@ -54,6 +54,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("mapGroupsWithState running totals match batch aggregation") {
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.statefulUserTotals, "state_out", outputMode = "update")
+    // single micro-batch → one emission per user carrying final totals
+    val batch = batchEvents.groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("value")).as("sum_value"))
+    val s = stream.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s == b)
+  }
+
   test("stream dedup matches batch dropDuplicates count") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.dedup, "dedup_out", outputMode = "append")

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.TextOps
+
+/** The native DotProduct expression: bit-identical to the HOF fold,
+  * codegen'd, SQL-registrable, null-safe.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("native dot == HOF dot bit-for-bit on all embeddings") {
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = embs.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        TextOps.dot(col("embedding"), col("qv")).as("native"),
+        TextOps.dotHof(col("embedding"), col("qv")).as("hof"))
+    val mismatches = both.filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("dot_product registered for SQL") {
+    VectorFunctions.register(spark)
+    embs.createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      """SELECT vec_id, dot_product(embedding, embedding) AS d
+         FROM emb_v WHERE vec_id < 5""").collect()
+    assert(n.length == 5 && n.forall(_.getDouble(1) > 0))
+  }
+
+  test("null array yields null, ints and floats both accepted") {
+    val df = spark.sql(
+      """SELECT dot_product(array(1, 2, 3), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS a,
+                dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(CAST(1.0 AS DOUBLE))) AS b""")
+    val r = df.head()
+    assert(r.getDouble(0) == 1 * 2.0 + 2 * 3.0 + 3 * 4.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("stays inside whole-stage codegen") {
+    // scan → project(dot) must fuse into one codegen stage (the cross-join
+    // variant sits above a BroadcastNestedLoopJoin, which never codegens —
+    // that's the join's property, not the expression's)
+    val plan = embs
+      .select(TextOps.dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [dot_product"),
+      s"expected the dot_product Project inside a codegen stage in:\n$plan")
+  }
+
+  test("type check rejects non-array input") {
+    intercept[Exception] {
+      spark.sql("SELECT dot_product(1.0, array(1.0))").collect()
+    }
+  }
+}
