@@ -274,6 +274,35 @@ object PipelineQueries {
         unnest(list_distinct([list_min(hs[i:i+3]) for i in generate_series(1, len(hs)-3)])) AS fp
       FROM h ORDER BY doc_id, fp""")),
 
+    // ---- embedding-cosine near-duplicate pairs ----
+    Q("q60_embed_dup", (s, d) => {
+      val a = embs(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = embs(s, d).select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      // all-pairs here (the threshold keeps output tiny); the 100 TB path
+      // is the LSH-bucketed variant (q47/q48) — same cosine kernel
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          TextOps.cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }, Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+        list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(a.embedding))])
+        / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(a.embedding))]))
+         * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(b.embedding))]))), 6) AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id AND round(
+        list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(a.embedding))])
+        / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(a.embedding))]))
+         * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(b.embedding))]))), 6) >= 0.4
+      ORDER BY vec_a, vec_b""")),
+
     // ---- multimodal: opaque binary column + typed metadata extraction ----
     Q("q53_multimodal_meta", (s, d) => {
       // the "media" column is an opaque blob (here: utf-8 encoded text —

@@ -469,6 +469,56 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))
-    }, None)
+    }, None),
+
+    // ---- q57: scalar subquery through the SQL front-end ----
+    Q("q57_scalar_subquery", (s, d) => {
+      T(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(s"""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+                                     / count(*) FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }, Some(s"""
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders
+      WHERE o_totalprice > (SELECT ${duckAvg("o_totalprice", 2)} FROM orders)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- q58: IN / NOT IN subqueries through the SQL front-end ----
+    Q("q58_in_subquery", (s, d) => {
+      T(s, d, "part").createOrReplaceTempView("part")
+      T(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT p_partkey, p_name,
+          p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49) AS never_bulk
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+        ORDER BY p_partkey""")
+    }, Some("""
+      SELECT p_partkey, p_name,
+        p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49) AS never_bulk
+      FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+      ORDER BY p_partkey""")),
+
+    // ---- q59: RANGE window frame (value-based, order-insensitive sums) ----
+    Q("q59_range_frame", (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+        .rangeBetween(-10000, Window.currentRow)
+      T(s, d, "orders")
+        .withColumn("near_spend",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .over(w).cast(org.apache.spark.sql.types.DoubleType))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("near_spend"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(20,2)))
+             OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS near_spend
+      FROM orders ORDER BY o_orderkey"""))
   )
 }
