@@ -240,6 +240,17 @@ final case class CensusFrame(df: DataFrame, release: Option[Release] = None) {
     (fromNames ++ fromMeta).distinct.toSeq
   }
 
+  /** Driver-side transposed preview of the first `n` rows (the notebook's
+    * `.T` display idiom, SURVEY P7): one output row per column, one output
+    * column per previewed source row. Collects only the preview.
+    */
+  def previewTranspose(n: Int = 5): Seq[(String, Seq[Any])] = {
+    val rows = df.limit(n).collect()
+    df.schema.fieldNames.toSeq.zipWithIndex.map { case (name, i) =>
+      name -> rows.toSeq.map(_.get(i))
+    }
+  }
+
   // ---- row-generator scan (SURVEY §2.1 S5) ----
 
   /** Header row of column codes then data rows, like the reference's

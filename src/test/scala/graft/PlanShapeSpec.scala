@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression locks on physical-plan properties the 100 TB design depends
+  * on (SURVEY §4): pushdown, pruning, broadcast placement, partial
+  * aggregation, top-k without global sort. If a refactor silently breaks
+  * one of these, correctness stays green but scale does not — these fail
+  * instead.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q06: all filters pushed to the parquet scan") {
+    val p = planOf("q06_forecast_revenue")
+    assert(p.contains("PushedFilters:"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(p.split("PushedFilters:")(1).split("\n")(0).contains(c),
+        s"filter on $c not pushed:\n$p")
+    }
+  }
+
+  test("q02: scan reads only the needed columns") {
+    val p = planOf("q02_filter_project")
+    val readSchema = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      s"scan reads pruned columns:\n$readSchema")
+  }
+
+  test("q05: all dimension joins are broadcast (lineitem never shuffled pre-agg)") {
+    val p = planOf("q05_local_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    // exchanges: only the aggregation + final sort (plus broadcast
+    // exchanges, which are not data shuffles of the fact table)
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 2, s"unexpected fact shuffles:\n$p")
+  }
+
+  test("q01: partial aggregation before the exchange") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
+  test("q03/q26: top-k via TakeOrderedAndProject, not global sort") {
+    assert(planOf("q03_topk_revenue").contains("TakeOrderedAndProject"))
+    assert(planOf("q26_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q42: minhash signatures are map-side (no shuffle at all)") {
+    val p = planOf("q42_minhash_sig")
+    // sort for output ordering is the only exchange
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"signature computation should not shuffle:\n$p")
+  }
+}
