@@ -503,6 +503,22 @@ object RelationalQueries {
       WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
       ORDER BY p_partkey""")),
 
+    // ---- q61: exact percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont: both linear-interpolated; verified equal) ----
+    Q("q61_percentiles", (s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q59: RANGE window frame (value-based, order-insensitive sums) ----
     Q("q59_range_frame", (s, d) => {
       val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
