@@ -303,6 +303,39 @@ object PipelineQueries {
                   for i in generate_series(1, len(b.embedding))]))), 6) >= 0.4
       ORDER BY vec_a, vec_b""")),
 
+    // ---- the composed training-data pipeline: language filter →
+    // quality score → exact-dup removal → top-quality selection.
+    // One declarative plan: filter/score map-side, one shuffle for the
+    // dedup group-by, TakeOrdered for the final cut. ----
+    Q("q62_training_pipeline", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val scored = docs(s, d)
+        .filter(col("lang").isin("en", "de", "fr"))
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("quality",
+          round(lit(0.3) * (size(filter(ws, w => w.isin("the", "a"))) / size(ws)) +
+            lit(0.7) * least(col("n_tokens"), lit(200)) / 200.0, 6))
+      scored
+        .groupBy(md5(lower(col("text"))).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("quality")).as("quality"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("quality").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("quality"), col("n_copies"))
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, text,
+          len(string_split(text, ' ')) AS n_tokens,
+          round(0.3 * (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+                       / len(string_split(text, ' ')))
+            + 0.7 * least(len(string_split(text, ' ')), 200) / 200.0, 6) AS quality
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr') AND len(string_split(text, ' ')) >= 20)
+      SELECT min(doc_id) AS doc_id, max(quality) AS quality, count(*) AS n_copies
+      FROM scored
+      GROUP BY md5(lower(text))
+      ORDER BY quality DESC, doc_id LIMIT 100""")),
+
     // ---- multimodal: opaque binary column + typed metadata extraction ----
     Q("q53_multimodal_meta", (s, d) => {
       // the "media" column is an opaque blob (here: utf-8 encoded text —

@@ -95,6 +95,38 @@ object EventsStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** `flatMapGroupsWithState` variant: emits an alert row whenever a
+    * user's cumulative value crosses a multiple of `threshold` — zero or
+    * many outputs per group per trigger, which is exactly what
+    * flatMapGroupsWithState exists for (mapGroups must emit exactly one).
+    */
+  def spendAlerts(threshold: Double)(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var sum = prev.sum
+          var alerts = List.empty[(Long, Long)]
+          rows.foreach { r =>
+            val before = (sum / threshold).toLong
+            sum += r._2
+            val after = (sum / threshold).toLong
+            if (after > before) alerts ::= (user, after)
+          }
+          state.update(UserTotals(prev.n, sum))
+          alerts.reverseIterator
+      }
+      .toDF("user_id", "milestone")
+  }
+
   /** Run a streaming transform to completion against a static directory via
     * the memory sink (synchronous; for tests and parity checks).
     */

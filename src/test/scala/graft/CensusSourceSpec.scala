@@ -181,6 +181,19 @@ class CensusSourceSpec extends AnyFunSuite {
     assert(ds.fetchDataFrame(spark, Seq("NAME")).count() == 2)
   }
 
+  test("CensusApi dataset catalog search by regex (test_censusapi.py:14-20)") {
+    val catalogJson = """{"dataset": [
+      {"identifier": "ACSSF5Y2015", "title": "ACS 5-Year Estimates 2015",
+       "distribution": [{"accessURL": "https://api.census.gov/data/2015/acs/acs5"}]},
+      {"identifier": "POPESTpop2015", "title": "Population Estimates 2015",
+       "distribution": [{"accessURL": "https://api.census.gov/data/2015/pep/population"}]}]}"""
+    val hits = CensusApi.searchDatasets("(?i)population", _ => catalogJson)
+    assert(hits.map(_.id) == Seq("POPESTpop2015"))
+    assert(hits.head.basePath.endsWith("/pep/population"))
+    assert(CensusApi.searchDatasets("ACS.*2015", _ => catalogJson).map(_.id) ==
+      Seq("ACSSF5Y2015"))
+  }
+
   test("CensusApi variable search filters by substring") {
     val varsJson = """{"variables": {
         "B01003_001E": {"label": "Estimate!!Total population"},

@@ -66,6 +66,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b)
   }
 
+  test("flatMapGroupsWithState spend alerts match batch-computed milestones") {
+    import org.apache.spark.sql.functions.{col, sum => fsum, floor}
+    val threshold = 500.0
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.spendAlerts(threshold), "alerts_out", outputMode = "append")
+    // batch milestones: floor(total/threshold) crossings per user
+    val expected = batchEvents.groupBy(col("user_id"))
+      .agg(floor(fsum(col("value")) / threshold).cast("long").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = stream.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the count of alerts per user equals the final milestone number,
+    // and the max milestone matches the batch total
+    val perUser = got.groupBy(_._1)
+    expected.filter(_._2 > 0).foreach { case (u, m) =>
+      assert(perUser.contains(u), s"user $u missing alerts")
+      assert(perUser(u).map(_._2).max == m, s"user $u milestone mismatch")
+      assert(perUser(u).length == m, s"user $u alert count mismatch")
+    }
+  }
+
   test("stream dedup matches batch dropDuplicates count") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.dedup, "dedup_out", outputMode = "append")
