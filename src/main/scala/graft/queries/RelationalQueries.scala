@@ -519,6 +519,54 @@ object RelationalQueries {
         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q63: array functions (sort/distinct/slice/join) ----
+    Q("q63_array_funcs", (s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(slice(array_sort(array_distinct(split(col("text"), " "))), 1, 5), ",")
+            .as("first_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+          AS first_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- q64: regex extraction ----
+    Q("q64_regexp", (s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 2).as("prio_word"),
+          regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 1).cast("int").as("prio_num"))
+        .filter(col("prio_num") <= 2)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+        regexp_extract(o_orderpriority, '(\d+)-(\w+)', 2) AS prio_word,
+        CAST(regexp_extract(o_orderpriority, '(\d+)-(\w+)', 1) AS INT) AS prio_num
+      FROM orders
+      WHERE CAST(regexp_extract(o_orderpriority, '(\d+)-(\w+)', 1) AS INT) <= 2
+      ORDER BY o_orderkey""")),
+
+    // ---- q65: conditional scalar functions ----
+    Q("q65_conditionals", (s, d) => {
+      T(s, d, "supplier")
+        .select(col("s_suppkey"),
+          coalesce(nullif(col("s_acctbal"), lit(0.0)), lit(-1.0)).as("bal_or_sentinel"),
+          greatest(col("s_acctbal"), lit(5000.0)).as("floor5k"),
+          least(col("s_acctbal"), lit(5000.0)).as("cap5k"),
+          when(col("s_acctbal") > 5000, "high").otherwise("low").as("tier"))
+        .orderBy(col("s_suppkey"))
+    }, Some("""
+      SELECT s_suppkey,
+        coalesce(nullif(s_acctbal, 0.0), -1.0) AS bal_or_sentinel,
+        greatest(s_acctbal, 5000.0) AS floor5k,
+        least(s_acctbal, 5000.0) AS cap5k,
+        CASE WHEN s_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
+      FROM supplier ORDER BY s_suppkey""")),
+
     // ---- q59: RANGE window frame (value-based, order-insensitive sums) ----
     Q("q59_range_frame", (s, d) => {
       val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
