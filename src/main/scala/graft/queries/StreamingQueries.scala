@@ -57,6 +57,32 @@ object StreamingQueries {
         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // ---- custom as-of join OPERATOR (graft.plans.AsOfJoinExec, the
+    // tier-(c) LogicalPlan+Strategy+SparkPlan path) checked against
+    // DuckDB's native ASOF JOIN ----
+    Q("q66_asof_operator", (s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("s_ts"))
+      graft.operators.AsOf.join(purchases, signups,
+          leftKey = "user_id", leftTime = "ts",
+          rightKey = "su", rightTime = "s_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_signup"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        strftime(s.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+      ASOF LEFT JOIN
+        (SELECT user_id AS su, ts AS s_ts FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.su AND e.ts >= s.s_ts
+      ORDER BY e.event_id""")),
+
     // ---- keep-first dedup (batch analogue of watermark dedup) ----
     Q("q56_dedup_first", (s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
