@@ -303,6 +303,85 @@ object PipelineQueries {
                   for i in generate_series(1, len(b.embedding))]))), 6) >= 0.4
       ORDER BY vec_a, vec_b""")),
 
+    // ---- IVF-style ANN: coarse quantizer with deterministic seed
+    // centroids (embeddings of vec_id 0..7), assignment = argmax cosine.
+    // The 100 TB shape: centroids broadcast, assignment map-side, search
+    // probes only the query's cell (q68). ----
+    Q("q67_ivf_assign", (s, d) => {
+      val e = embs(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cid"),
+          TextOps.cosine(col("embedding"), col("cv")).as("cos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("centroid"), col("cos").as("cosine"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH seeds AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, s.cid, round(
+          list_sum([e.embedding[i]::DOUBLE * s.cv[i]::DOUBLE
+                    for i in generate_series(1, len(e.embedding))])
+          / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                    for i in generate_series(1, len(e.embedding))]))
+           * sqrt(list_sum([s.cv[i]::DOUBLE * s.cv[i]::DOUBLE
+                    for i in generate_series(1, len(s.cv))]))), 6) AS cos
+        FROM embeddings e, seeds s),
+      ranked AS (
+        SELECT vec_id, cid, cos,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored)
+      SELECT vec_id, cid AS centroid, cos AS cosine
+      FROM ranked WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- IVF search: probe the query vector's cell, rank within it ----
+    Q("q68_ivf_search", (s, d) => {
+      val e = embs(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          TextOps.cosine(col("embedding"), col("cv")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val q = assigned.filter(col("vec_id") === 1)
+        .select(col("cid").as("qcid"), col("embedding").as("qv"))
+      assigned.join(broadcast(q), col("cid") === col("qcid") && col("vec_id") =!= 1)
+        .select(col("vec_id"), TextOps.cosine(col("embedding"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    }, Some("""
+      WITH seeds AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, e.embedding, s.cid, round(
+          list_sum([e.embedding[i]::DOUBLE * s.cv[i]::DOUBLE
+                    for i in generate_series(1, len(e.embedding))])
+          / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                    for i in generate_series(1, len(e.embedding))]))
+           * sqrt(list_sum([s.cv[i]::DOUBLE * s.cv[i]::DOUBLE
+                    for i in generate_series(1, len(s.cv))]))), 6) AS cos
+        FROM embeddings e, seeds s),
+      assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT vec_id, embedding, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM scored) t WHERE rn = 1),
+      q AS (SELECT cid AS qcid, embedding AS qv FROM assigned WHERE vec_id = 1)
+      SELECT a.vec_id, round(
+        list_sum([a.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+                  for i in generate_series(1, len(a.embedding))])
+        / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                  for i in generate_series(1, len(a.embedding))]))
+         * sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+                  for i in generate_series(1, len(q.qv))]))), 6) AS cosine
+      FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 1
+      ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
     // ---- the composed training-data pipeline: language filter →
     // quality score → exact-dup removal → top-quality selection.
     // One declarative plan: filter/score map-side, one shuffle for the
