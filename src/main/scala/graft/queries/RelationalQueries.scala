@@ -519,6 +519,19 @@ object RelationalQueries {
         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q69: JSON → map column + explode (map functions) ----
+    Q("q69_json_map", (s, d) => {
+      T(s, d, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))))
+        .select(col("event_id"), col("key"), col("value"))
+        .orderBy(col("event_id"), col("key"))
+    }, Some("""
+      SELECT event_id, k AS key, CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS value
+      FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) t
+      ORDER BY event_id, key""")),
+
     // ---- q63: array functions (sort/distinct/slice/join) ----
     Q("q63_array_funcs", (s, d) => {
       T(s, d, "documents")
