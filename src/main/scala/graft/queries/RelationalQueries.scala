@@ -13,8 +13,12 @@ import org.apache.spark.sql.expressions.Window
   * engines' parquet writers).
   *
   * Scale notes (100 TB design intent, verified on `.explain`):
-  *  - dimension joins (`region`, `nation`, `supplier`, `part`, `customer`)
-  *    are explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fixed-size dimension joins (`region`, `nation`, `supplier`, `part`)
+  *    are explicitly `broadcast()` — no shuffle of the fact table. Tables
+  *    that GROW with scale factor (`customer`: 150 M rows / ~10 GiB+ at
+  *    sf100, over Spark's 8 GiB broadcast limit) carry NO hint: AQE/CBO
+  *    picks broadcast when the runtime size allows and a shuffled join
+  *    when it doesn't — locked by `PlanShapeSpec`;
   *  - fact-fact joins (`lineitem` ⋈ `orders`) shuffle on the join key once,
   *    and AQE handles skew;
   *  - all aggregations are partial-aggregate-friendly (sum/count/min/max),
@@ -77,10 +81,11 @@ object RelationalQueries {
       // pre-aggregate revenue per order key BEFORE the join (o_orderdate
       // functionally depends on o_orderkey, so grouping early is
       // equivalent): shrinks the join input by the lineitem fan-out —
-      // the shuffle-minimizing plan at any scale. Dims broadcast.
+      // the shuffle-minimizing plan at any scale. customer scales with sf
+      // (150 M rows at sf100) so it gets NO broadcast hint — AQE decides.
       val liAgg = li.groupBy(col("l_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
-      liAgg.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+      liAgg.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("revenue"))
@@ -116,9 +121,12 @@ object RelationalQueries {
       val cust = T(s, d, "customer")
       val supp = T(s, d, "supplier")
       val nat = T(s, d, "nation")
+      // supplier/nation are fixed-ratio dims → hinted broadcast; customer
+      // grows with sf (would exceed the 8 GiB broadcast limit at sf100) →
+      // no hint, AQE/CBO chooses shuffled vs broadcast at runtime.
       li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -352,7 +360,7 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }, Some("""
       SELECT event_type, count(*) AS n,
-        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -368,8 +376,8 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }, Some("""
       SELECT n_name,
-        sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building,
-        sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n_automobile,
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+        CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_automobile,
         count(*) AS n_total
       FROM customer, nation WHERE c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""")),

@@ -49,8 +49,8 @@ object StreamingQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, event_id, ts,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM g)
       SELECT user_id, session_id, count(*) AS n_events,
         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -51,6 +51,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q26_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("q03/q05: customer (grows with sf) carries no broadcast hint; fixed dims do") {
+    // Emulate the 100 TB regime where customer exceeds the broadcast limit:
+    // with auto-broadcast disabled, only EXPLICIT hints still broadcast.
+    // customer must fall back to a shuffled join (it is ~10 GiB+ at sf100),
+    // while supplier/nation keep their hinted BroadcastHashJoin.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p5 = planOf("q05_local_volume")
+      assert(p5.contains("BroadcastHashJoin"), s"hinted dims lost broadcast:\n$p5")
+      assert(p5.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("c_custkey")),
+        s"customer join must not rely on broadcast:\n$p5")
+      val p3 = planOf("q03_topk_revenue")
+      assert(!p3.contains("BroadcastHashJoin"),
+        s"q03 has no fixed-size dims — nothing should be hint-broadcast:\n$p3")
+      assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q42: minhash signatures are map-side (no shuffle at all)") {
     val p = planOf("q42_minhash_sig")
     // sort for output ordering is the only exchange

@@ -43,6 +43,30 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_fail += 1
             continue
+        # Strict arrow-type comparison — the driver hashes typed values, so
+        # e.g. DuckDB HUGEINT (decimal128) vs Spark BIGINT must FAIL here
+        # even when the integer values are equal (round-1 lesson: q22/q23/q55
+        # were locally green but driver-red purely on this).
+        garrow = con.execute(
+            f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").arrow()
+        warrow = con.execute(sql).arrow()
+        # Integer WIDTH differences hash equal on the driver (round-1 q10/
+        # q12/q21/q63 were int32-vs-int64 and green), so normalize those —
+        # but decimal128 (DuckDB HUGEINT) vs int64 hashed DIFFERENT, so
+        # keep every other distinction.
+        def ntype(t):
+            s = str(t)
+            return "int64" if s in ("int8", "int16", "int32", "int64",
+                                    "uint8", "uint16", "uint32") else s
+        gtypes = {f.name: ntype(f.type) for f in garrow.schema}
+        wtypes = {f.name: ntype(f.type) for f in warrow.schema}
+        type_mismatch = [
+            (c, gtypes[c], wtypes[c]) for c in gcols if gtypes[c] != wtypes[c]
+        ]
+        if type_mismatch:
+            print(f"FAIL {name}: arrow type mismatch {type_mismatch}")
+            n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
