@@ -105,4 +105,16 @@ object TextOps {
       val plane = array(hyperplane(j, dim).map(lit): _*)
       when(dot(embedding, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded LSH bucket: same sign-of-projection code as [[lshBucket]] but
+    * over planes `[planeStart, planeStart + nPlanes)`, so B bands of r
+    * planes give OR-amplified recall (a pair is a candidate when ANY band
+    * bucket matches) while each band key stays equi-joinable — the
+    * all-pairs-free near-dup candidate generator.
+    */
+  def lshBandBucket(embedding: Column, planeStart: Int, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      val plane = array(hyperplane(planeStart + j, dim).map(lit): _*)
+      when(dot(embedding, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -40,6 +40,27 @@ object PipelineQueries {
     withSh.select(col("doc_id") +: mh: _*)
   }
 
+  /** DuckDB rendering of TextOps.cosine over two list columns. */
+  private def duckCos(a: String, b: String): String = s"""round(
+        list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+                  for i in generate_series(1, len($a))])
+        / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+                  for i in generate_series(1, len($a))]))
+         * sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+                  for i in generate_series(1, len($b))]))), 6)"""
+
+  /** DuckDB rendering of TextOps.lshBandBucket (sign bits over md5-derived
+    * hyperplanes `[planeStart, planeStart+nPlanes)`).
+    */
+  private def duckBandBucket(tbl: String, planeStart: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      val p = planeStart + j
+      s"""CASE WHEN list_sum([$tbl.embedding[i]::DOUBLE *
+             ((CAST(concat('0x', substr(md5('${p}_' || (i-1)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0
+             for i in generate_series(1, len($tbl.embedding))]) >= 0
+           THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+
   private def duckSigCte(nHashes: Int): String = {
     val mh = (0 until nHashes)
       .map(j => s"list_min([${duckHash(j, "x")} for x in sh]) AS mh$j").mkString(",\n        ")
@@ -302,6 +323,121 @@ object PipelineQueries {
          * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
                   for i in generate_series(1, len(b.embedding))]))), 6) >= 0.4
       ORDER BY vec_a, vec_b""")),
+
+    // ---- embedding near-dup pairs AT SCALE: banded LSH candidates
+    // (equi-join on (band, bucket) — never all-pairs), cosine verified
+    // within buckets only. 4 bands × 4 planes OR-amplify recall: a pair
+    // is a candidate when ANY band bucket matches. q60 above is the
+    // all-pairs recall oracle on small data; THIS is the 100 TB plan
+    // (PlanShapeSpec locks it to contain no cartesian/BNL join). ----
+    Q("q70_embed_dup_bucketed", (s, d) => {
+      val bandsN = 4
+      val r = 4
+      val bandStructs = (0 until bandsN).map(b => struct(lit(b).as("band"),
+        TextOps.lshBandBucket(col("embedding"), b * r, r, 64).as("bkey")))
+      val banded = embs(s, d)
+        .select(col("vec_id"), col("embedding"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("vec_id"), col("embedding"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val a = banded.select(col("band"), col("bkey"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+          col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), TextOps.cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    }, Some {
+      val bandSelects = (0 until 4).map { bnd =>
+        s"""SELECT vec_id, embedding, $bnd AS band,
+            CAST(${duckBandBucket("e", bnd * 4, 4)} AS BIGINT) AS bkey FROM embeddings e"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH bb AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+               FROM bb x JOIN bb y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+      SELECT c.vec_a, c.vec_b, ${duckCos("a.embedding", "b.embedding")} AS cosine
+      FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a
+                  JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4
+      ORDER BY vec_a, vec_b"""
+    }),
+
+    // ---- the dedup step a training pipeline actually ships: banding
+    // candidates (q43 kernel) → Jaccard-verified pairs (threshold 0.5;
+    // the testdata's candidates split cleanly: real dups ≥0.88, banding
+    // false-positives ≤0.07) → cluster representative via 3 unrolled
+    // rounds of min-label propagation over the verified edges → keep-list
+    // (is_kept = doc is its cluster's min doc_id). Deterministic on both
+    // engines because both run EXACTLY 3 rounds; at 100 TB you iterate to
+    // fixpoint with a checkpoint per round (each round is one shuffle on
+    // the edge key), and the edge set is tiny relative to the corpus ----
+    Q("q72_neardup_keep", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+      val sig = minhashSig(s, d, 8)
+      val bands = (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+      val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = exploded.as("x").join(exploded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      val ver = cand
+        .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = ver.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(ver.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("rep"))
+      for (_ <- 1 to 3) {
+        val nbr = edges.join(
+            labels.select(col("doc_id").as("nbr_id"), col("rep").as("nrep")),
+            col("dst") === col("nbr_id"))
+          .groupBy(col("src")).agg(min(col("nrep")).as("minrep"))
+        labels = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+      }
+      labels.withColumn("is_kept", col("doc_id") === col("rep"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      def prop(from: String, to: String) = s"""
+      $to AS (SELECT l.doc_id, least(l.rep, coalesce(min(r.rep), l.rep)) AS rep
+              FROM $from l LEFT JOIN edges e ON e.src = l.doc_id
+                           LEFT JOIN $from r ON r.doc_id = e.dst
+              GROUP BY l.doc_id, l.rep)"""
+      s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
+      ver AS (SELECT c.doc_a, c.doc_b FROM cand c
+              JOIN shset x ON x.doc_id = c.doc_a
+              JOIN shset y ON y.doc_id = c.doc_b
+              WHERE len(list_distinct(list_intersect(x.sh, y.sh)))
+                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
+      ${prop("l0", "l1")},
+      ${prop("l1", "l2")},
+      ${prop("l2", "l3")}
+      SELECT doc_id, rep, doc_id = rep AS is_kept FROM l3 ORDER BY doc_id"""
+    }),
 
     // ---- IVF-style ANN: coarse quantizer with deterministic seed
     // centroids (embeddings of vec_id 0..7), assignment = argmax cosine.

@@ -73,6 +73,12 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q70: bucketed near-dup pairs — no cartesian/nested-loop join") {
+    val p = planOf("q70_embed_dup_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join on (band, bucket):\n$p")
+  }
+
   test("q42: minhash signatures are map-side (no shuffle at all)") {
     val p = planOf("q42_minhash_sig")
     // sort for output ordering is the only exchange
