@@ -61,6 +61,35 @@ object PipelineQueries {
            THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
 
+  /** DuckDB replay of Ivf.trainCentroids + final Ivf.assign: unrolled
+    * Lloyd rounds as CTEs (c0 = seeds; aN = assignment against c(N-1);
+    * cN = exact-decimal element-wise means). [[duckIvfFinal]] names the
+    * final assignment CTE, [[duckIvfCents]] the trained-centroid CTE.
+    */
+  private def duckIvfCtes(k: Int, rounds: Int): String = {
+    def assignCte(cents: String, out: String) = s"""
+      ${out}_sc AS (SELECT e.vec_id, e.embedding, c.cid,
+          ${duckCos("e.embedding", "c.cv")} AS cos
+        FROM embeddings e, $cents c),
+      $out AS (SELECT vec_id, embedding, cid, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM ${out}_sc) t WHERE rn = 1)"""
+    def meanCte(assigned: String, out: String) = s"""
+      $out AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT a.cid, g.i AS pos,
+            ${Det.duckAvg("round(a.embedding[g.i]::DOUBLE, 6)", 6)} AS m
+          FROM $assigned a CROSS JOIN generate_series(1, 64) g(i)
+          GROUP BY a.cid, g.i) t
+        GROUP BY cid)"""
+    val steps = (1 to rounds).flatMap { t =>
+      Seq(assignCte(s"c${t - 1}", s"a$t"), meanCte(s"a$t", s"c$t"))
+    } :+ assignCte(s"c$rounds", s"a${rounds + 1}")
+    (s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $k)"
+      +: steps).mkString(",\n")
+  }
+  private val duckIvfFinal = "a3"
+  private val duckIvfCents = "c2"
+
   private def duckSigCte(nHashes: Int): String = {
     val mh = (0 until nHashes)
       .map(j => s"list_min([${duckHash(j, "x")} for x in sh]) AS mh$j").mkString(",\n        ")
@@ -439,83 +468,46 @@ object PipelineQueries {
       SELECT doc_id, rep, doc_id = rep AS is_kept FROM l3 ORDER BY doc_id"""
     }),
 
-    // ---- IVF-style ANN: coarse quantizer with deterministic seed
-    // centroids (embeddings of vec_id 0..7), assignment = argmax cosine.
-    // The 100 TB shape: centroids broadcast, assignment map-side, search
-    // probes only the query's cell (q68). ----
+    // ---- IVF ANN: TRAINED coarse quantizer (deterministic k-means-lite,
+    // graft.operators.Ivf — 2 Lloyd rounds from vec_id<8 seeds, centroid
+    // means via the exact-decimal Det convention so the oracle replays
+    // training bit-for-bit). The 100 TB shape: centroids broadcast,
+    // assignment map-side, Lloyd update shuffles only k·dim partial sums,
+    // search probes the query's top-2 cells (q68 multi-probe). ----
     Q("q67_ivf_assign", (s, d) => {
       val e = embs(s, d)
-      val seeds = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("cid"),
-          TextOps.cosine(col("embedding"), col("cv")).as("cos"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("cid"))))
-        .filter(col("rn") === 1)
+      graft.operators.Ivf.assign(e, graft.operators.Ivf.trainCentroids(e, 8, 2))
         .select(col("vec_id"), col("cid").as("centroid"), col("cos").as("cosine"))
         .orderBy(col("vec_id"))
-    }, Some("""
-      WITH seeds AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-      scored AS (
-        SELECT e.vec_id, s.cid, round(
-          list_sum([e.embedding[i]::DOUBLE * s.cv[i]::DOUBLE
-                    for i in generate_series(1, len(e.embedding))])
-          / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-                    for i in generate_series(1, len(e.embedding))]))
-           * sqrt(list_sum([s.cv[i]::DOUBLE * s.cv[i]::DOUBLE
-                    for i in generate_series(1, len(s.cv))]))), 6) AS cos
-        FROM embeddings e, seeds s),
-      ranked AS (
-        SELECT vec_id, cid, cos,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-        FROM scored)
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2)}
       SELECT vec_id, cid AS centroid, cos AS cosine
-      FROM ranked WHERE rn = 1 ORDER BY vec_id""")),
+      FROM ${duckIvfFinal} ORDER BY vec_id""")),
 
-    // ---- IVF search: probe the query vector's cell, rank within it ----
+    // ---- IVF multi-probe search: rank within the query's top-2 cells ----
     Q("q68_ivf_search", (s, d) => {
       val e = embs(s, d)
-      val seeds = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          TextOps.cosine(col("embedding"), col("cv")).as("cos"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-      val q = assigned.filter(col("vec_id") === 1)
-        .select(col("cid").as("qcid"), col("embedding").as("qv"))
-      assigned.join(broadcast(q), col("cid") === col("qcid") && col("vec_id") =!= 1)
+      val cents = graft.operators.Ivf.trainCentroids(e, 8, 2)
+      val assigned = graft.operators.Ivf.assign(e, cents)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cells = graft.operators.Ivf.probeCells(q, cents, 2)
+        .select(col("qid"), col("qv"), col("cid").as("qcid"))
+      assigned.join(broadcast(cells),
+          col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
         .select(col("vec_id"), TextOps.cosine(col("embedding"), col("qv")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
-    }, Some("""
-      WITH seeds AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-      scored AS (
-        SELECT e.vec_id, e.embedding, s.cid, round(
-          list_sum([e.embedding[i]::DOUBLE * s.cv[i]::DOUBLE
-                    for i in generate_series(1, len(e.embedding))])
-          / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-                    for i in generate_series(1, len(e.embedding))]))
-           * sqrt(list_sum([s.cv[i]::DOUBLE * s.cv[i]::DOUBLE
-                    for i in generate_series(1, len(s.cv))]))), 6) AS cos
-        FROM embeddings e, seeds s),
-      assigned AS (
-        SELECT vec_id, embedding, cid FROM (
-          SELECT vec_id, embedding, cid,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-          FROM scored) t WHERE rn = 1),
-      q AS (SELECT cid AS qcid, embedding AS qv FROM assigned WHERE vec_id = 1)
-      SELECT a.vec_id, round(
-        list_sum([a.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
-                  for i in generate_series(1, len(a.embedding))])
-        / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-                  for i in generate_series(1, len(a.embedding))]))
-         * sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
-                  for i in generate_series(1, len(q.qv))]))), 6) AS cosine
-      FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 1
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2)},
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 1),
+      qc_sc AS (SELECT q.qid, q.qv, c.cid, ${duckCos("q.qv", "c.cv")} AS cos
+                FROM q, ${duckIvfCents} c),
+      qc AS (SELECT qid, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM qc_sc) t WHERE rn <= 2)
+      SELECT vec_id, cosine FROM (
+        SELECT a.vec_id, ${duckCos("a.embedding", "qc.qv")} AS cosine
+        FROM ${duckIvfFinal} a JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid) t
       ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
     // ---- the composed training-data pipeline: language filter →
