@@ -57,6 +57,14 @@ final case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  /** Output rows are the left child's rows (extended) in place, so the
+    * left partitioning still holds — declaring it lets EnsureRequirements
+    * elide the exchange for a downstream groupBy/join on the same key
+    * (data already hash-clustered on it would otherwise re-shuffle).
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
     val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)

@@ -32,6 +32,12 @@ object AcsQueries {
   private val BM = "(1.0 + 5.0 * l_tax)"
   private val Key = "ORDER BY l_orderkey, l_linenumber"
 
+  /** Fixed path where q38 dumps its decoded census inputs so the DuckDB
+    * oracle (which cannot decode the census JSON) can replay the
+    * downstream MOE pipeline over the same rows.
+    */
+  private val Q38BasePath = "/tmp/graft_oracle_fixtures/q38_base.parquet"
+
   val all: Seq[Q] = Seq(
     // ---- M1: row-wise sum with RSS margin ----
     Q("q30_acs_sum_m", (s, d) => {
@@ -132,11 +138,22 @@ object AcsQueries {
 
     // ---- the reference's end-to-end slice (SURVEY §7.5): censusreporter
     // source → metadata frame → margin-carrying select → MOE algebra →
-    // RSS group-by. Runs on the checked-in B17001-format fixture; not
-    // SQL-expressible for the oracle (driver records rows-only).
+    // RSS group-by, on the checked-in B17001-format fixture. The JSON
+    // decode itself is not SQL-expressible, so the query materializes the
+    // decoded (estimate, m90) inputs to a fixed parquet path and the
+    // oracle replays the ENTIRE downstream pipeline (sumM, guarded
+    // proportion, fillna, RSS group-by) over it in DuckDB — closing the
+    // loop that was rows-only in round 1. Group sums are a handful of
+    // doubles, so both sides round to 6 (same mitigation as q35).
     Q("q38_census_pipeline", (s, _) => {
       val cf = graft.sources.CensusReporter
         .loadJsonResource(s, "censusreporter/acs_fixture.json", "B17001")
+      cf.df.select(col("geoid"),
+        cf.pair("004")._1.as("e004"), cf.pair("004")._2.as("m004"),
+        cf.pair("007")._1.as("e007"), cf.pair("007")._2.as("m007"),
+        cf.pair("002")._1.as("e002"), cf.pair("002")._2.as("m002"),
+        cf.pair("001")._1.as("e001"), cf.pair("001")._2.as("m001"))
+        .coalesce(1).write.mode("overwrite").parquet(Q38BasePath)
       val enriched = cf
         .withPairs(
           "under5" -> cf.sumM("004", "007"), // male + female under 5
@@ -148,7 +165,30 @@ object AcsQueries {
         .selectCensus("g", "under5", "poor_share")
         .groupBySum("g")
         .sortColumns
-      grouped.df.orderBy(col("g"))
-    }, None)
+      val out = grouped.df
+      out.select(col("g") +: out.columns.filterNot(_ == "g")
+          .map(c => round(col(c), 6).as(c)).toSeq: _*)
+        .orderBy(col("g"))
+    }, Some(s"""
+      WITH base AS (SELECT * FROM parquet_scan('$Q38BasePath/*.parquet')),
+      d AS (SELECT substr(geoid, length(geoid), 1) AS g,
+        e004 + e007 AS under5,
+        sqrt(m004*m004 + m007*m007) AS u_m90,
+        e002 / e001 AS poor_share,
+        CASE WHEN m002*m002 - (e002/e001)*(e002/e001)*(m001*m001) >= 0
+             THEN sqrt(m002*m002 - (e002/e001)*(e002/e001)*(m001*m001)) / e001
+             ELSE sqrt(m002*m002 + (e002/e001)*(e002/e001)*(m001*m001)) / e001
+        END AS p_m90
+        FROM base),
+      f AS (SELECT g, under5,
+        coalesce(CASE WHEN isnan(u_m90) THEN 0.0 ELSE u_m90 END, 0.0) AS under5_m90,
+        poor_share,
+        coalesce(CASE WHEN isnan(p_m90) THEN 0.0 ELSE p_m90 END, 0.0) AS poor_share_m90
+        FROM d)
+      SELECT g, round(sum(poor_share), 6) AS poor_share,
+        round(sqrt(sum(poor_share_m90*poor_share_m90)), 6) AS poor_share_m90,
+        round(sum(under5), 6) AS under5,
+        round(sqrt(sum(under5_m90*under5_m90)), 6) AS under5_m90
+      FROM f GROUP BY g ORDER BY g"""))
   )
 }

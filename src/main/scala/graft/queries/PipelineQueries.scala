@@ -541,7 +541,7 @@ object PipelineQueries {
       SELECT min(doc_id) AS doc_id, max(quality) AS quality, count(*) AS n_copies
       FROM scored
       GROUP BY md5(lower(text))
-      ORDER BY quality DESC, doc_id LIMIT 100""")),
+      ORDER BY quality DESC, doc_id LIMIT 100"""), bench = true),
 
     // ---- multimodal: opaque binary column + typed metadata extraction ----
     Q("q53_multimodal_meta", (s, d) => {

@@ -213,7 +213,7 @@ object RelationalQueries {
           ROW_NUMBER() OVER (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) t
-      WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""), bench = true),
 
     // ---- q11: running-total window (exact decimal inside the frame) ----
     Q("q11_window_running", (s, d) => {

@@ -23,6 +23,21 @@ object StreamingQueries {
         event_type, count(*) AS n, ${duckSum("value", 2)} AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""), bench = true),
 
+    // ---- sliding window (10 min every 5): each event lands in exactly
+    // two windows — the DuckDB oracle expresses that as a UNION ALL of
+    // the home 5-min bucket and the one 5 minutes earlier ----
+    Q("q71_sliding", (s, d) => {
+      EventsStream.slidingAgg(Tables(s, d, "events"))
+        .orderBy(col("wstart"), col("event_type"))
+    }, Some("""
+      WITH w AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type
+        FROM events)
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type, count(*) AS n
+      FROM w GROUP BY ws, event_type ORDER BY wstart, event_type""")),
+
     // ---- sessionization via gap analysis (window functions) ----
     Q("q55_sessionize", (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -1,5 +1,8 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +60,73 @@ object VarRep {
     raw.withColumn("replicates", array(repCols: _*))
       .drop((1 to 80).map(i => s"Var_Rep$i"): _*)
   }
+
+  /** URL of a published ACS Variance Replicate Estimates file — the
+    * download behind the reference's
+    * `get_varrep_dataframe(2015, 'B01001', '140', state='11', cache=False)`
+    * (ref `test/test_basic.py:221-225`; layout per the Census Bureau's
+    * public VRE documentation: one zipped long-format CSV per
+    * (table, state) under the year + summary-level directory).
+    */
+  def varRepUrl(year: Int, tableId: String, summaryLevel: String, state: String): String =
+    s"https://www2.census.gov/programs-surveys/acs/replicate_estimates/" +
+      s"$year/data/5-year/$summaryLevel/${tableId}_$state.csv.zip"
+
+  /** Cache key mirroring the censusreporter cache layout (S3). */
+  private def cacheKey(year: Int, tableId: String, summaryLevel: String,
+      state: String): String =
+    s"varrep/$year/${tableId}_${summaryLevel}_$state.csv"
+
+  /** If the payload is a ZIP archive (the published files are), extract
+    * the first entry; otherwise treat it as plain CSV bytes (test
+    * transports inject either).
+    */
+  private[graft] def unwrapCsv(payload: Array[Byte]): Array[Byte] =
+    if (payload.length >= 4 && payload(0) == 'P' && payload(1) == 'K') {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      require(zin.getNextEntry != null, "empty zip payload")
+      zin.readAllBytes()
+    } else payload
+
+  private def httpGetBytes(url: String): Array[Byte] = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+    resp.body()
+  }
+
+  /** Fetch a remote VRE file to a local CSV path, consulting the cache
+    * first (same shape as CensusReporter.getResource: injectable
+    * transport, cache-hit skips the fetch entirely). With `cache=false`
+    * the CSV still lands in the cache dir (the Spark reader needs a
+    * path) but is always re-fetched.
+    */
+  def fetchVarRep(year: Int, tableId: String, summaryLevel: String, state: String,
+      cache: Boolean = true,
+      cacheDir: Path = CensusReporter.defaultCacheDir,
+      fetch: String => Array[Byte] = httpGetBytes): Path = {
+    val cached = cacheDir.resolve(cacheKey(year, tableId, summaryLevel, state))
+    if (!(cache && Files.exists(cached))) {
+      val csv = unwrapCsv(fetch(varRepUrl(year, tableId, summaryLevel, state)))
+      Files.createDirectories(cached.getParent)
+      Files.write(cached, csv)
+    }
+    cached
+  }
+
+  /** One-call remote load — the engine's `get_varrep_dataframe`
+    * (ref `test/test_basic.py:221-225`): URL construction → cached fetch
+    * → long-format CSV → packed-replicate frame via [[loadVarRep]].
+    */
+  def load(spark: SparkSession, year: Int, tableId: String, summaryLevel: String,
+      state: String, cache: Boolean = true,
+      cacheDir: Path = CensusReporter.defaultCacheDir,
+      fetch: String => Array[Byte] = httpGetBytes): DataFrame =
+    loadVarRep(spark,
+      fetchVarRep(year, tableId, summaryLevel, state, cache, cacheDir, fetch).toString)
 
   /** Successive-difference-replication variance: `4/80 · Σ (repᵢ − est)²`,
     * computed with a higher-order aggregate over the packed array (no UDF).

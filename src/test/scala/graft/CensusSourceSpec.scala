@@ -231,6 +231,55 @@ class CensusSourceSpec extends AnyFunSuite {
     assert(math.abs(out("g2")._2 - 1.645 * 2.0) < 1e-12)
   }
 
+  test("VarRep remote fetch: URL construction, zip unwrap, cache-hit skips fetch") {
+    import org.apache.spark.sql.functions._
+    // mirror of the reference's get_varrep_dataframe(2015,'B01001','140',
+    // state='11', cache=False) entry point (test_basic.py:221-225), with
+    // the HTTP transport injected (no network in the sandbox).
+    assert(VarRep.varRepUrl(2015, "B01001", "140", "11") ==
+      "https://www2.census.gov/programs-surveys/acs/replicate_estimates/" +
+        "2015/data/5-year/140/B01001_11.csv.zip")
+
+    val header = (Seq("TBLID", "GEOID", "ORDER", "TITLE", "CME", "ESTIMATE", "MOE") ++
+      (1 to 80).map(i => s"Var_Rep$i")).mkString(",")
+    val nRows = 97
+    val rows = (1 to nRows).map { r =>
+      (Seq("B01001", s"g$r", r.toString, "Total", "", "100.0", "5") ++
+        Seq.fill(80)("100.0")).mkString(",")
+    }
+    val csv = (header +: rows).mkString("", "\n", "\n").getBytes("UTF-8")
+    // zip the payload like the published files
+    val baos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(baos)
+    zout.putNextEntry(new java.util.zip.ZipEntry("B01001_11.csv"))
+    zout.write(csv); zout.closeEntry(); zout.close()
+    val zipped = baos.toByteArray
+
+    var fetches = List.empty[String]
+    val transport: String => Array[Byte] = { url => fetches ::= url; zipped }
+    val cacheDir = java.nio.file.Files.createTempDirectory("varrep-cache")
+
+    val df = VarRep.load(spark, 2015, "B01001", "140", "11",
+      cache = true, cacheDir = cacheDir, fetch = transport)
+    assert(df.count() == nRows) // the 8771-row assertion shape, scaled down
+    assert(df.columns.contains("replicates") && !df.columns.contains("Var_Rep1"))
+    assert(fetches == List(VarRep.varRepUrl(2015, "B01001", "140", "11")))
+
+    // second load: cache hit, transport not consulted again
+    val df2 = VarRep.load(spark, 2015, "B01001", "140", "11",
+      cache = true, cacheDir = cacheDir,
+      fetch = _ => fail("cache hit must not fetch"))
+    assert(df2.count() == nRows)
+
+    // cache=false refetches even with a warm cache
+    VarRep.load(spark, 2015, "B01001", "140", "11",
+      cache = false, cacheDir = cacheDir, fetch = transport)
+    assert(fetches.length == 2)
+
+    // plain-CSV payloads (unzipped transports) work too
+    assert(new String(VarRep.unwrapCsv(csv), "UTF-8").startsWith("TBLID,"))
+  }
+
   test("k-val pinned constants (test_basic.py:231-234)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1).select(

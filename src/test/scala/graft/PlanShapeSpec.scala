@@ -79,6 +79,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must be an equi-join on (band, bucket):\n$p")
   }
 
+  test("as-of join propagates partitioning: groupBy on the join key adds no exchange") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("s_ts"))
+    val joined = graft.operators.AsOf.join(purchases, signups,
+      leftKey = "user_id", leftTime = "ts", rightKey = "su", rightTime = "s_ts")
+    val p = joined.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 2,
+      s"expected only the two join-input exchanges (agg reuses the join clustering):\n$p")
+  }
+
   test("q42: minhash signatures are map-side (no shuffle at all)") {
     val p = planOf("q42_minhash_sig")
     // sort for output ordering is the only exchange
