@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{CountMinSketchMd5, DotProduct}
 
 /** Session-extension entry point so deployments get graft's custom
   * expressions in every session without imperative registration:
@@ -19,6 +19,10 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Hint-resolution batch: runs BEFORE the analyzer's LookupFunctions
+    // sanity check, so `with_m90(c)` is rewritten away before anything
+    // tries to resolve it as a function.
+    e.injectHintResolutionRule(_ => graft.plans.MarginExpansionRule)
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
@@ -26,6 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"dot_product takes exactly 2 array arguments, got ${exprs.length}")
         DotProduct(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cms_md5"),
+      new ExpressionInfo(classOf[CountMinSketchMd5].getName, "cms_md5"),
+      { exprs =>
+        require(exprs.nonEmpty && exprs.length <= 3,
+          s"cms_md5(col[, depth, width]) got ${exprs.length} args")
+        def intArg(i: Int, default: Int): Int =
+          if (exprs.length > i) exprs(i).eval(null).asInstanceOf[Number].intValue
+          else default
+        CountMinSketchMd5(exprs.head, intArg(1, 4), intArg(2, 64))
       }))
   }
 }

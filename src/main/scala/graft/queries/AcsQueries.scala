@@ -136,6 +136,24 @@ object AcsQueries {
       SELECT n_nationkey, ${VarRep.aveWeightSql("n_nationkey")} AS ave_weight
       FROM nation ORDER BY n_nationkey""")),
 
+    // ---- the SQL surface of the margin-pairing convention: the
+    // MarginExpansionRule (injected via GraftExtensions) expands
+    // `with_m90(qty)` to `qty, qty_m90` during analysis — the SQL twin
+    // of selectCensus. The rewrite happens pre-optimization, so column
+    // pruning still reaches the scan. ----
+    Q("q74_margin_sql", (s, d) => {
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"),
+          (lit(1.0) + lit(10.0) * col("l_tax")).as("qty_m90"))
+        .createOrReplaceTempView("margins")
+      s.sql("""SELECT l_orderkey, l_linenumber, with_m90(qty)
+               FROM margins ORDER BY l_orderkey, l_linenumber""")
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        (1.0 + 10.0 * l_tax) AS qty_m90
+      FROM lineitem $Key""")),
+
     // ---- the reference's end-to-end slice (SURVEY §7.5): censusreporter
     // source → metadata frame → margin-carrying select → MOE algebra →
     // RSS group-by, on the checked-in B17001-format fixture. The JSON

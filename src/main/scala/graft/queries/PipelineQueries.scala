@@ -510,6 +510,37 @@ object PipelineQueries {
         FROM ${duckIvfFinal} a JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid) t
       ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
+    // ---- count-min sketch token frequencies (TypedImperativeAggregate):
+    // the sketch is built with one partial-aggregating pass (each task
+    // folds into a local 4×64 long array; the exchange moves only those
+    // buffers), then every token's estimate = min over the 4 rows of its
+    // bucket counter. md5-derived hashing → the oracle rebuilds the
+    // sketch exactly; CmsSpec asserts estimate ≥ exact always ----
+    Q("q73_cms_freq", (s, d) => {
+      val toks = docs(s, d).select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sketch = toks.agg(graft.functions.CountMin.sketch(col("token")).as("sk"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      val est = (0 until 4).map { j =>
+        element_at(col("sk"),
+          ((TextOps.seededHash(j, col("token")) % 64) + lit(j * 64) + 1).cast("int"))
+      }.reduce(least(_, _))
+      counts.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_n"), est.as("cms_n"))
+        .orderBy(col("token"))
+    }, Some(s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      counts AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token),
+      tb AS (SELECT token, exact_n, g.j,
+               CAST(concat('0x', substr(md5(g.j || '|' || token), 1, 8)) AS BIGINT) % 64 AS b
+             FROM counts CROSS JOIN generate_series(0, 3) g(j)),
+      bsum AS (SELECT j, b, CAST(sum(exact_n) AS BIGINT) AS s FROM tb GROUP BY j, b),
+      est AS (SELECT tb.token, min(bsum.s) AS cms_n
+              FROM tb JOIN bsum ON tb.j = bsum.j AND tb.b = bsum.b
+              GROUP BY tb.token)
+      SELECT c.token AS token, c.exact_n, e.cms_n
+      FROM counts c JOIN est e ON c.token = e.token
+      ORDER BY c.token""")),
+
     // ---- the composed training-data pipeline: language filter →
     // quality score → exact-dup removal → top-quality selection.
     // One declarative plan: filter/score map-side, one shuffle for the

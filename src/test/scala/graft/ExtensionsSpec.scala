@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions end-to-end: all three injection legs (planner strategy,
+  * functions, resolution rule) live in the shared test session, which is
+  * built with `.withExtensions(new GraftExtensions)` exactly like a
+  * `spark.sql.extensions=graft.GraftExtensions` deployment.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("injected dot_product function resolves in SQL") {
+    assert(spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0)
+  }
+
+  test("injected cms_md5 aggregate resolves in SQL") {
+    val sk = spark.sql("SELECT cms_md5(t) FROM VALUES ('x'), ('x'), ('y') AS v(t)")
+      .head().getSeq[Long](0)
+    assert(sk.length == 4 * 64)
+    assert(sk.sum == 3 * 4) // each row increments one counter per depth row
+  }
+
+  test("margin-expansion rule: with_m90(c) expands to c, c_m90 in SQL") {
+    import spark.implicits._
+    Seq(("g1", 10.0, 1.5, 99.0), ("g2", 20.0, 2.5, 99.0))
+      .toDF("geoid", "under5", "under5_m90", "unrelated")
+      .createOrReplaceTempView("margin_t")
+    val out = spark.sql("SELECT geoid, with_m90(under5) FROM margin_t ORDER BY geoid")
+    assert(out.columns.toSeq == Seq("geoid", "under5", "under5_m90"))
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq(("g1", 10.0, 1.5), ("g2", 20.0, 2.5)))
+  }
+
+  test("margin expansion keeps column pruning intact (scan reads no unrelated cols)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("margin-prune")
+    Seq(("g1", 10.0, 1.5, 99.0)).toDF("geoid", "under5", "under5_m90", "unrelated")
+      .write.mode("overwrite").parquet(dir.resolve("t").toString)
+    spark.read.parquet(dir.resolve("t").toString).createOrReplaceTempView("margin_p")
+    val p = spark.sql("SELECT with_m90(under5) FROM margin_p")
+      .queryExecution.executedPlan.toString
+    val readSchema = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(readSchema.contains("under5") && readSchema.contains("under5_m90"))
+    assert(!readSchema.contains("unrelated") && !readSchema.contains("geoid"),
+      s"expansion must not defeat pruning:\n$readSchema")
+  }
+
+  test("missing margin partner fails analysis with a clear unresolved column") {
+    import spark.implicits._
+    Seq(("g1", 10.0)).toDF("geoid", "nomargin").createOrReplaceTempView("margin_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT with_m90(nomargin) FROM margin_bad").collect()
+    }
+    assert(e.getMessage.contains("nomargin_m90"))
+  }
+
+  test("as-of join strategy is injected (no imperative registration needed)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 2.0)).toDF("rk", "rt", "v")
+    val out = graft.operators.AsOf.join(left, right,
+      leftKey = "k", leftTime = "t", rightKey = "rk", rightTime = "rt")
+    assert(out.collect().head.getDouble(5) == 2.0) // v from the matched right row
+  }
+}
