@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CountMinSketchMd5
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by per-partition BATCHED
+  * imperative stages — the Scala/Dataset analogue of `mapInPandas`
+  * (typed `mapPartitions` + `Iterator.grouped(batchSize)` gives the same
+  * batch shape an Arrow UDF would see; encoders replace the Arrow
+  * schema). This is the one operator family where `mapPartitions` is the
+  * right tier: a codec call per record is genuine imperative
+  * per-partition logic no Catalyst expression expresses.
+  *
+  * The container ships no media codecs, so [[decodeStub]] /
+  * [[featureStub]] are the CODEC SEAM: deterministic md5-derived
+  * stand-ins with the real shapes (swap in javacv/ffmpeg bindings in a
+  * real deployment — signatures, schemas, batching, and the zero-shuffle
+  * plan all stay as tested here). Determinism also makes the stages
+  * oracle-checkable (q75 rebuilds the features in SQL).
+  *
+  * Scale shape: both stages are map-side (no shuffle — plan-locked in
+  * MultimodalSpec); batches bound peak memory to `batchSize` decoded
+  * records per task regardless of partition size.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+  val BatchSize = 64
+
+  final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
+  final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int)
+  final case class MediaFeatures(doc_id: Long, kind: String, features: Array[Double])
+
+  /** Attach the opaque media column + kind to the documents table (the
+    * testdata has no real media, so the blob is the utf-8 text — same
+    * convention as q53).
+    */
+  def withMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  /** CODEC SEAM #1 — "decode" a media blob to (width, height, n_frames).
+    * Deterministic stand-in matching q53's metadata formulas; a real
+    * build replaces the body with an image/container parser.
+    */
+  private[graft] def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
+    val n = media.length.toLong
+    ((64 + (n % 640)).toInt, (64 + (n * 7 % 480)).toInt, (1 + (n % 30)).toInt)
+  }
+
+  /** CODEC SEAM #2 — "embed" a media blob into [[FeatureDim]] doubles in
+    * [-1, 1]: component j = ((md5hash(j, md5hex(media)) % 2001) - 1000)
+    * / 1000 — the same md5-derived convention as the LSH hyperplanes, so
+    * any engine replays it.
+    */
+  private[graft] def featureStub(media: Array[Byte]): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(media).map("%02x".format(_)).mkString
+    Array.tabulate(FeatureDim) { j =>
+      ((CountMinSketchMd5.hash(j, hex) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  /** Deterministic evenly-spaced frame indices (0-based) for sampling
+    * `k` of `nFrames` frames — the frame-sample stage's index math.
+    */
+  def frameSampleIndices(nFrames: Int, k: Int): Seq[Int] = {
+    val take = math.min(k, nFrames)
+    (0 until take).map(i => (i.toLong * nFrames / take).toInt)
+  }
+
+  /** Batched decode stage: binary → typed metadata, map-side. */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch => // mapInPandas-style batch shape
+        batch.map { r =>
+          val (w, h, f) = decodeStub(r.media)
+          MediaMeta(r.doc_id, r.kind, r.media.length.toLong, w, h, f)
+        }
+      }
+    }
+  }
+
+  /** Batched feature-extraction stage: binary → fixed-dim embedding. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map(r => MediaFeatures(r.doc_id, r.kind, featureStub(r.media)))
+      }
+    }
+  }
+}

@@ -574,6 +574,30 @@ object PipelineQueries {
       GROUP BY md5(lower(text))
       ORDER BY quality DESC, doc_id LIMIT 100"""), bench = true),
 
+    // ---- multimodal feature extraction through the BATCHED imperative
+    // path (Multimodal.extractFeatures: typed mapPartitions + grouped
+    // batches — the Scala analogue of mapInPandas; decode is the
+    // documented codec-seam stub). Features are md5-derived, so the
+    // oracle rebuilds them; media bytes are the utf-8 text, so DuckDB's
+    // VARCHAR md5 sees the same digest. ----
+    Q("q75_media_features", (s, d) => {
+      val feats = graft.operators.Multimodal
+        .extractFeatures(graft.operators.Multimodal.withMedia(docs(s, d))).toDF()
+      feats.select(Seq(col("doc_id"), col("kind")) ++
+          (0 until graft.operators.Multimodal.FeatureDim)
+            .map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
+        .orderBy(col("doc_id"))
+    }, Some {
+      val fcols = (0 until 8).map { j =>
+        s"((CAST(concat('0x', substr(md5($j || '|' || md5(text)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS f$j"
+      }.mkString(",\n        ")
+      s"""
+      SELECT doc_id,
+        (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+        $fcols
+      FROM documents ORDER BY doc_id"""
+    }),
+
     // ---- multimodal: opaque binary column + typed metadata extraction ----
     Q("q53_multimodal_meta", (s, d) => {
       // the "media" column is an opaque blob (here: utf-8 encoded text —
