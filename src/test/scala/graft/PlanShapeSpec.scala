@@ -97,6 +97,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected only the two join-input exchanges (agg reuses the join clustering):\n$p")
   }
 
+  test("q73: count-min sketch aggregates with a partial (map-side) phase") {
+    val p = planOf("q73_cms_freq")
+    // the TypedImperativeAggregate must fold rows into per-task buffers
+    // before the exchange — only the fixed-size sketches cross the wire
+    assert(p.contains("partial_cms_md5"), s"no map-side sketch combine:\n$p")
+  }
+
   test("q42: minhash signatures are map-side (no shuffle at all)") {
     val p = planOf("q42_minhash_sig")
     // sort for output ordering is the only exchange
