@@ -456,6 +456,34 @@ object RelationalQueries {
       WHERE a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 100.0
       ORDER BY sk_a, sk_b""")),
 
+    // ---- q76: the SCALE form of q28 — band the continuous value into
+    // width-sized buckets, explode each left row to its 3 candidate
+    // bands, equi-join on the band key, then apply the exact range
+    // predicate. Same result set as q28's theta join, but the plan is a
+    // shuffled/broadcast EQUI join (plan-locked: no BNLJ/cartesian) —
+    // the shape that survives when both sides are fact-sized. Each pair
+    // matches exactly once (the right row's band is unique and the probe
+    // list is distinct), so no dedup is needed. ----
+    Q("q76_range_join_banded", (s, d) => {
+      val width = 100.0
+      val a = T(s, d, "supplier")
+        .select(col("s_suppkey").as("sk_a"), col("s_acctbal").as("bal_a"))
+        .withColumn("band_a", floor(col("bal_a") / width))
+      val b = T(s, d, "supplier")
+        .select(col("s_suppkey").as("sk_b"), col("s_acctbal").as("bal_b"))
+        .withColumn("band_b", floor(col("bal_b") / width))
+      a.withColumn("probe",
+          explode(array(col("band_a") - 1, col("band_a"), col("band_a") + 1)))
+        .join(b, col("probe") === col("band_b") && col("sk_a") < col("sk_b") &&
+          abs(col("bal_a") - col("bal_b")) < width)
+        .select(col("sk_a"), col("sk_b"))
+        .orderBy(col("sk_a"), col("sk_b"))
+    }, Some("""
+      SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b
+      FROM supplier a, supplier b
+      WHERE a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 100.0
+      ORDER BY sk_a, sk_b""")),
+
     // ---- q29: pivot (fixed value list → deterministic schema) ----
     Q("q29_pivot", (s, d) => {
       T(s, d, "lineitem")

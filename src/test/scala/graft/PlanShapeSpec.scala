@@ -97,6 +97,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected only the two join-input exchanges (agg reuses the join clustering):\n$p")
   }
 
+  test("q76: banded range join plans as an equi-join (no nested loop)") {
+    val p = planOf("q76_range_join_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banding must turn the theta join into an equi join:\n$p")
+  }
+
   test("q73: count-min sketch aggregates with a partial (map-side) phase") {
     val p = planOf("q73_cms_freq")
     // the TypedImperativeAggregate must fold rows into per-task buffers
