@@ -27,6 +27,14 @@ object PipelineQueries {
   private def duckHash32(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
   private val duckWords = "string_split(text, ' ')"
+
+  /** Tiny per-language stopword profiles for q77 (shared by the Spark
+    * and DuckDB sides so both score identically).
+    */
+  private val LangStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"))
   private val duckShingles =
     "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]"
 
@@ -297,6 +305,41 @@ object PipelineQueries {
         CASE WHEN list_contains(string_split(text, ' '), 'the')
              THEN 'en' ELSE 'unk' END AS predicted
       FROM documents ORDER BY doc_id""")),
+
+    // ---- profile-based language ID: per-language stopword hit ratios,
+    // argmax with deterministic tie-break (en > de > fr on equal score).
+    // Ratios are int/int divisions of identical counts → exact doubles
+    // on both engines. The scale shape is unchanged from q50: pure
+    // map-side expressions, no shuffle until the output sort. ----
+    Q("q77_lang_profile", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      def hitRatio(stops: Seq[String]) =
+        size(filter(ws, w => w.isin(stops: _*))) / size(ws)
+      val rEn = hitRatio(LangStops("en"))
+      val rDe = hitRatio(LangStops("de"))
+      val rFr = hitRatio(LangStops("fr"))
+      docs(s, d).select(col("doc_id"), col("lang"),
+        rEn.as("r_en"), rDe.as("r_de"), rFr.as("r_fr"),
+        when(rEn >= rDe && rEn >= rFr, "en")
+          .when(rDe >= rFr, "de").otherwise("fr").as("predicted"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      def duckRatio(lang: String) = {
+        val set = LangStops(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(ws, w -> w IN ($set))) / len(ws)"
+      }
+      s"""
+      WITH t AS (SELECT doc_id, lang, $duckWords ws FROM documents)
+      SELECT doc_id, lang,
+        ${duckRatio("en")} AS r_en,
+        ${duckRatio("de")} AS r_de,
+        ${duckRatio("fr")} AS r_fr,
+        CASE WHEN ${duckRatio("en")} >= ${duckRatio("de")}
+              AND ${duckRatio("en")} >= ${duckRatio("fr")} THEN 'en'
+             WHEN ${duckRatio("de")} >= ${duckRatio("fr")} THEN 'de'
+             ELSE 'fr' END AS predicted
+      FROM t ORDER BY doc_id"""
+    }),
 
     // ---- token frequency top-N ----
     Q("q51_token_topn", (s, d) => {

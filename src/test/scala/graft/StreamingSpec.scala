@@ -33,6 +33,28 @@ class StreamingSpec extends AnyFunSuite {
       .map((r: Row) => r.toSeq).sortBy(_.mkString("|"))
   }
 
+  test("foreachBatch sink: micro-batches land in parquet, union == batch input") {
+    // the programmable-sink leg of the streaming surface: each
+    // micro-batch is handed to arbitrary batch-write logic (here:
+    // append-partitioned parquet with the epoch id riding along)
+    val outDir = java.nio.file.Files.createTempDirectory("febatch").toString
+    var batches = 0
+    val q = EventsStream.readStream(spark, streamDir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        batches += 1
+        df.withColumn("epoch", org.apache.spark.sql.functions.lit(epochId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 1)
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == batchEvents.count())
+    assert(written.columns.contains("epoch"))
+  }
+
   test("tumbling window agg: stream == batch") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.windowedAgg, "win_out")
