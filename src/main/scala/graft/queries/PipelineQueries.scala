@@ -351,6 +351,25 @@ object PipelineQueries {
       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY token ORDER BY n DESC, token LIMIT 30""")),
 
+    // ---- BPE-ish subword token counting: a greedy regex chunker
+    // ([a-z]{1,4} → each word becomes ≤4-char pieces, the shape of a
+    // byte-pair vocabulary's longest-match segmentation) alongside the
+    // whitespace count. Both engines' regex engines agree on this
+    // char-class pattern; map-side only. ----
+    Q("q78_subword_tokens", (s, d) => {
+      docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long").as("n_pieces"),
+        array_join(slice(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"), 1, 5), ",")
+          .as("first_pieces"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[a-z]{1,4}', 0)) AS BIGINT) AS n_pieces,
+        array_to_string(regexp_extract_all(text, '[a-z]{1,4}', 0)[1:5], ',') AS first_pieces
+      FROM documents ORDER BY doc_id""")),
+
     // ---- winnowing rolling-hash fingerprints ----
     Q("q52_winnow", (s, d) => {
       val ws = TextOps.tokens(col("text"))

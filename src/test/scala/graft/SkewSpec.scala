@@ -56,4 +56,37 @@ class SkewSpec extends AnyFunSuite {
     // spreads: at least half the buckets used
     assert(rows.map(_.getInt(0)).distinct.length >= 8)
   }
+
+  test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // the other half of the skew story: salting handles skewed
+    // AGGREGATION deterministically; for skewed JOINS the engine leans
+    // on AQE's runtime re-plan. Force tiny thresholds so the hot key's
+    // shuffle partition qualifies, then check the finalized adaptive
+    // plan actually split it.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key (0) carrying ~98% of rows vs a uniform right side
+      val left = spark.range(0, 200000)
+        .select(when($"id" % 50 =!= 0, lit(0L)).otherwise($"id" % 100).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("rk"), ($"id" * 2).as("w"))
+      // global agg keeps the collect tiny WITHOUT imposing a required
+      // distribution on the join output (a groupBy on k would make AQE
+      // decline to split, since splitting breaks the clustering)
+      val joined = left.join(right, $"k" === $"rk").agg(sum($"v").as("s"))
+      // execute THIS queryExecution (count() would spawn a separate one
+      // and the inspected adaptive plan would never finalize)
+      assert(joined.collect().nonEmpty)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
