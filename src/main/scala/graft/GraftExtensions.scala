@@ -42,5 +42,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else default
         CountMinSketchMd5(exprs.head, intArg(1, 4), intArg(2, 64))
       }))
+    // Table-valued function leg: `SELECT * FROM frame_samples(n, k)`
+    // yields the deterministic frame-sampling indices of
+    // graft.operators.Multimodal as a relation.
+    e.injectTableFunction((
+      FunctionIdentifier("frame_samples"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "frame_samples"),
+      { exprs =>
+        require(exprs.length == 2, s"frame_samples(n_frames, k) got ${exprs.length} args")
+        val Seq(n, k) = exprs.map(_.eval(null).asInstanceOf[Number].intValue)
+        val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "frame_idx", org.apache.spark.sql.types.IntegerType, nullable = false)()
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          Seq(attr),
+          graft.operators.Multimodal.frameSampleIndices(n, k)
+            .map(i => org.apache.spark.sql.catalyst.InternalRow(i)))
+      }))
   }
 }

@@ -57,6 +57,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nomargin_m90"))
   }
 
+  test("frame_samples table-valued function resolves in SQL") {
+    val idx = spark.sql("SELECT frame_idx FROM frame_samples(30, 4) ORDER BY frame_idx")
+      .collect().map(_.getInt(0)).toSeq
+    assert(idx == Seq(0, 7, 15, 22))
+    // composes with plain relational ops
+    val n = spark.sql(
+      "SELECT count(*) FROM frame_samples(10, 3) WHERE frame_idx > 0").head().getLong(0)
+    assert(n == 2)
+  }
+
   test("as-of join strategy is injected (no imperative registration needed)") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1")).toDF("k", "t", "tag")
