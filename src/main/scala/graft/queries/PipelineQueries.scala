@@ -351,6 +351,65 @@ object PipelineQueries {
       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY token ORDER BY n DESC, token LIMIT 30""")),
 
+    // ---- deterministic corpus sampling: keep rows where an md5-derived
+    // hash of the key falls under the rate. The training-pipeline
+    // sampling primitive — reproducible across runs/engines/partitions
+    // (TABLESAMPLE is not), map-side, and stratifiable by prefixing the
+    // key with the stratum ----
+    Q("q79_deterministic_sample", (s, d) => {
+      val h = conv(substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      docs(s, d).filter(h % 100 < 10)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, source, lang, n_chars
+      FROM documents
+      WHERE CAST(concat('0x', substr(md5('sample|' || doc_id), 1, 8)) AS BIGINT) % 100 < 10
+      ORDER BY doc_id""")),
+
+    // ---- SimHash near-dup PAIRS: band the 32-bit signature into 4
+    // byte-keys, candidates via equi-join on (band, byte), verify by
+    // Hamming distance (bit_count of xor) ≤ 3 — the simhash analogue of
+    // q43→q72's candidates-then-verify shape; a pair within distance 3
+    // is guaranteed to agree on ≥1 full byte band, so recall is exact ----
+    Q("q82_simhash_neardup", (s, d) => {
+      val sh = docs(s, d)
+        .select(col("doc_id"), TextOps.simhash32(TextOps.tokens(col("text"))).as("sh"))
+      val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("bkey")))
+      val banded = sh.select(col("doc_id"), col("sh"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val x = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val y = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      x.join(y, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      hsrc AS (SELECT doc_id, len(ws) AS n,
+        [${duckHash32("w")} for w in ws] AS hs FROM t),
+      sig AS (SELECT doc_id,
+        CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                       for b in generate_series(0, 31)]) AS BIGINT) AS sh
+      FROM hsrc),
+      bands AS (SELECT doc_id, sh, g.band, (sh >> (g.band * 8)) & 255 AS bkey
+                FROM sig CROSS JOIN generate_series(0, 3) g(band))
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        bit_count(xor(x.sh, y.sh)) AS hamming
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sh, y.sh)) <= 3
+      ORDER BY doc_a, doc_b""")),
+
     // ---- BPE-ish subword token counting: a greedy regex chunker
     // ([a-z]{1,4} → each word becomes ≤4-char pieces, the shape of a
     // byte-pair vocabulary's longest-match segmentation) alongside the

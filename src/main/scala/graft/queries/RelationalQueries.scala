@@ -616,6 +616,21 @@ object RelationalQueries {
         CASE WHEN s_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
       FROM supplier ORDER BY s_suppkey""")),
 
+    // ---- q80: NTILE quantile bucketing (deterministic: the window
+    // ordering includes the unique order key) ----
+    Q("q80_ntile", (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        ntile(4) OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders ORDER BY o_orderkey""")),
+
     // ---- q59: RANGE window frame (value-based, order-insensitive sums) ----
     Q("q59_range_frame", (s, d) => {
       val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
