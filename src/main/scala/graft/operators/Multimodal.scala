@@ -75,6 +75,29 @@ object Multimodal {
     (0 until take).map(i => (i.toLong * nFrames / take).toInt)
   }
 
+  /** CODEC SEAM #3 — "resize" a media blob to target dimensions. The
+    * stand-in produces a deterministic payload of the resized byte
+    * budget (truncate or cycle-pad); a real build decodes, scales, and
+    * re-encodes here. Byte budget: one byte per 4×4 pixel block.
+    */
+  private[graft] def resizeStub(media: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h / 16)
+    if (media.isEmpty) new Array[Byte](target)
+    else Array.tabulate(target)(i => media(i % media.length))
+  }
+
+  /** Batched resize stage: binary → binary at the target dimensions,
+    * map-side; kind and doc_id ride along.
+    */
+  def resizeMedia(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map(r => MediaRow(r.doc_id, r.kind, resizeStub(r.media, w, h)))
+      }
+    }
+  }
+
   /** Batched decode stage: binary → typed metadata, map-side. */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._

@@ -58,6 +58,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxBatch <= Multimodal.BatchSize)
   }
 
+  test("resize stage: exact byte budget, deterministic, map-side") {
+    val resized = Multimodal.resizeMedia(media, 64, 64)
+    val p = resized.toDF().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"resize must not shuffle:\n$p")
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.media.length == 64 * 64 / 16))
+    // deterministic + content-dependent: same input → same bytes
+    val again = Multimodal.resizeMedia(media, 64, 64).collect()
+      .map(r => r.doc_id -> r.media.toSeq).toMap
+    rows.foreach(r => assert(again(r.doc_id) == r.media.toSeq))
+    // downstream stages compose: features over resized media still typed
+    val feats = Multimodal.extractFeatures(resized.toDF())
+    assert(feats.head().features.length == Multimodal.FeatureDim)
+  }
+
   test("frame sampling: deterministic evenly-spaced indices") {
     assert(Multimodal.frameSampleIndices(30, 4) == Seq(0, 7, 15, 22))
     assert(Multimodal.frameSampleIndices(2, 4) == Seq(0, 1)) // k capped at n
