@@ -616,6 +616,59 @@ object RelationalQueries {
         CASE WHEN s_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
       FROM supplier ORDER BY s_suppkey""")),
 
+    // ---- q81: histogram-sketch median — the 100 TB form of a quantile:
+    // one partial-aggregating pass into fixed-width bins (the histogram
+    // is k counters per group, like the CMS buffer) + linear
+    // interpolation inside the straddling bin. Exact `percentile`
+    // requires materializing every value per group; this is one
+    // map-side-combined shuffle of bin counts. The exact value rides
+    // along to show the approximation error. All-integer counts →
+    // identical interpolation doubles on both engines. ----
+    Q("q81_histogram_quantile", (s, d) => {
+      val binW = 1000.0
+      val li = T(s, d, "lineitem")
+      val hist = li.groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / binW).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val cumW = byFlag.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("total", sum(col("c")).over(byFlag))
+        .filter(col("cum") >= col("total") * 0.5)
+        .withColumn("rn", row_number().over(byFlag.orderBy(col("bin"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"),
+          round(col("bin") * binW +
+            ((col("total") * 0.5 - (col("cum") - col("c"))) / col("c")) * binW, 6)
+            .as("p50_approx"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"))
+      med.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH hist AS (
+        SELECT l_returnflag, floor(l_extendedprice / 1000.0) AS bin, count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, bin, c,
+          sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY l_returnflag) AS total
+        FROM hist),
+      med AS (
+        SELECT l_returnflag,
+          round(bin * 1000.0 + ((total * 0.5 - (cum - c)) / c) * 1000.0, 6) AS p50_approx
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY bin) AS rn
+              FROM cum WHERE cum >= total * 0.5) t
+        WHERE rn = 1),
+      exact AS (
+        SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT m.l_returnflag AS l_returnflag, m.p50_approx, e.p50_exact
+      FROM med m JOIN exact e ON m.l_returnflag = e.l_returnflag
+      ORDER BY m.l_returnflag""")),
+
     // ---- q80: NTILE quantile bucketing (deterministic: the window
     // ordering includes the unique order key) ----
     Q("q80_ntile", (s, d) => {
