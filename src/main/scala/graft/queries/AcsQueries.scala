@@ -118,6 +118,24 @@ object AcsQueries {
         round(sqrt(sum($AM*$AM)), 6) AS a_m90, count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- A2: grouped mean with RSS/count margin (the groupByMean
+    // semantics of CensusFrame through the oracle gate: estimate mean
+    // via exact decimal sum / count, margin = sqrt(sum m²)/n rounded
+    // like q35's RSS) ----
+    Q("q83_acs_grouped_mean", (s, d) => {
+      val (a, am, _, _) = pairs
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          davg(a, 2).as("a_mean"),
+          round(sqrt(sum(am * am)) / count(lit(1)), 6).as("a_mean_m90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      SELECT l_returnflag, ${duckAvg(A, 2)} AS a_mean,
+        round(sqrt(sum($AM*$AM)) / count(*), 6) AS a_mean_m90, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- F7/F8: k-value step function + average-weight lookup ----
     Q("q36_kval_weight", (s, d) => {
       Tables(s, d, "orders")
