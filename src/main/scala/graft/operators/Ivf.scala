@@ -1,17 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** IVF coarse quantizer: deterministic k-means-lite training + assignment.
   *
-  * The 100 TB shape: centroids are tiny (k × dim doubles) and always
-  * broadcast; assignment is map-side (argmax of a codegen'd dot product
-  * per row, zero shuffles over the corpus); each Lloyd update shuffles
-  * only (cid, pos) partial sums — k·dim groups, independent of corpus
-  * size. Search probes the query's top-`nprobe` cells only.
+  * The 100 TB shape: trained centroids are tiny (k × dim doubles) and are
+  * collected to the driver once per Lloyd round — a legitimate driver-side
+  * literal, exactly like [[TextOps.lshBucket]]'s hyperplanes. Assignment is
+  * then ONE map-side expression (argmax of codegen'd cosines over the
+  * literal centroid array): the corpus is never expanded, never joined,
+  * never shuffled — `PlanShapeSpec` locks q67 to ≤1 exchange (the output
+  * sort). Each Lloyd update shuffles only (cid, pos) partial sums — k·dim
+  * groups, independent of corpus size. Search probes the query's
+  * top-`nprobe` cells only.
   *
   * Everything is cross-engine deterministic so the DuckDB oracle can
   * replay training bit-for-bit:
@@ -20,34 +23,51 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *  - the centroid mean uses the [[graft.queries.Det]] convention — exact
   *    decimal sum of 6-dec-rounded components, divided in double — so
   *    both engines produce identical centroid vectors;
+  *  - an EMPTIED cluster keeps its previous centroid (k never shrinks;
+  *    the oracle replays this as a coalesce against the previous round);
   *  - both engines run EXACTLY `rounds` Lloyd iterations (unrolled CTEs
   *    on the oracle side), so convergence is irrelevant to parity.
   */
 object Ivf {
+
+  /** Driver-side centroid table: (cid, vector), sorted by cid. */
+  type Centroids = Seq[(Long, Seq[Double])]
+
+  private def litVec(cv: Seq[Double]): Column = array(cv.map(lit): _*)
 
   /** Deterministic seed centroids: the embeddings of `vec_id < k`. */
   def seedCentroids(e: DataFrame, k: Int): DataFrame =
     e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
 
+  /** Collect a (cid, cv) frame to the driver (k·dim doubles — tiny). */
+  def collectCentroids(cents: DataFrame): Centroids =
+    cents.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+
   /** Nearest-centroid assignment: argmax rounded cosine, ties → lowest
-    * cid. Centroids broadcast; the corpus is never shuffled.
+    * cid. Centroids are literals, so this is a single map-side projection
+    * over the corpus — zero joins, zero shuffles (the struct max ranks by
+    * (cos desc, cid asc) via the negated-cid field).
     */
-  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        TextOps.cosine(col("embedding"), col("cv")).as("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"), col("cos"))
+  def assign(e: DataFrame, cents: Centroids): DataFrame = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
+        lit(-cid).as("ncid"), lit(cid).as("cid"))
+    }: _*)
+    e.select(col("vec_id"), col("embedding"), array_max(scored).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").as("cid"), col("best.cos").as("cos"))
   }
 
-  /** One Lloyd update: element-wise mean per cluster. Components are
-    * rounded to 6 decimals and summed as exact decimals (Det.davg
-    * pattern) → the division is the same IEEE op in both engines.
-    * An emptied cluster simply drops out (same in the oracle).
+  /** Element-wise mean per cluster. Components are rounded to 6 decimals
+    * and summed as exact decimals (Det.davg pattern) → the division is
+    * the same IEEE op in both engines. Partial aggregation collapses each
+    * task's contribution to ≤ k·dim partial sums before the exchange.
     */
-  def recompute(assigned: DataFrame): DataFrame =
+  private[operators] def clusterMeans(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("embedding")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(round(col("col").cast(DoubleType), 6).cast(DecimalType(24, 6)))
@@ -56,22 +76,30 @@ object Ivf {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cv"))
 
-  /** `rounds` unrolled Lloyd iterations from the deterministic seeds. */
-  def trainCentroids(e: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var c = seedCentroids(e, k)
-    for (_ <- 1 to rounds) c = recompute(assign(e, c))
+  /** `rounds` unrolled Lloyd iterations from the deterministic seeds.
+    * A cluster that receives no points keeps its previous centroid, so
+    * the trained quantizer always has exactly `k` cells.
+    */
+  def train(e: DataFrame, k: Int, rounds: Int): Centroids = {
+    var c = collectCentroids(seedCentroids(e, k))
+    for (_ <- 1 to rounds) {
+      val means = collectCentroids(clusterMeans(assign(e, c))).toMap
+      c = c.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+    }
     c
   }
 
   /** The query vector's top-`nprobe` cells by rounded cosine (multi-probe:
     * rank 1 is the home cell, rank 2+ recover near-boundary neighbors).
+    * Also map-side: sort the literal-scored array (negated cosine →
+    * ascending sort ranks cos desc, ties cid asc), take `nprobe`.
     */
-  def probeCells(queryVec: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    queryVec.crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cid"),
-        TextOps.cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
+  def probeCells(queryVec: DataFrame, cents: Centroids, nprobe: Int): DataFrame = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct((-TextOps.cosine(col("qv"), litVec(cv))).as("ncos"), lit(cid).as("cid"))
+    }: _*)
+    queryVec.select(col("qid"), col("qv"),
+        explode(slice(array_sort(scored), 1, nprobe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cid").as("cid"))
   }
 }

@@ -69,12 +69,14 @@ object PipelineQueries {
            THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
 
-  /** DuckDB replay of Ivf.trainCentroids + final Ivf.assign: unrolled
-    * Lloyd rounds as CTEs (c0 = seeds; aN = assignment against c(N-1);
-    * cN = exact-decimal element-wise means). [[duckIvfFinal]] names the
-    * final assignment CTE, [[duckIvfCents]] the trained-centroid CTE.
+  /** DuckDB replay of Ivf.train + final Ivf.assign: unrolled Lloyd rounds
+    * as CTEs (c0 = seeds; aN = assignment against c(N-1); cN = exact-decimal
+    * element-wise means, COALESCEd against c(N-1) so an emptied cluster
+    * keeps its previous centroid — mirrors Ivf.train). k/dim/rounds are all
+    * parameters. [[duckIvfFinal]] names the final assignment CTE,
+    * [[duckIvfCents]] the trained-centroid CTE.
     */
-  private def duckIvfCtes(k: Int, rounds: Int): String = {
+  private def duckIvfCtes(k: Int, rounds: Int, dim: Int): String = {
     def assignCte(cents: String, out: String) = s"""
       ${out}_sc AS (SELECT e.vec_id, e.embedding, c.cid,
           ${duckCos("e.embedding", "c.cv")} AS cos
@@ -82,21 +84,24 @@ object PipelineQueries {
       $out AS (SELECT vec_id, embedding, cid, cos FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
           FROM ${out}_sc) t WHERE rn = 1)"""
-    def meanCte(assigned: String, out: String) = s"""
-      $out AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
-          SELECT a.cid, g.i AS pos,
-            ${Det.duckAvg("round(a.embedding[g.i]::DOUBLE, 6)", 6)} AS m
-          FROM $assigned a CROSS JOIN generate_series(1, 64) g(i)
-          GROUP BY a.cid, g.i) t
-        GROUP BY cid)"""
+    def meanCte(assigned: String, prev: String, out: String) = s"""
+      $out AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv
+        FROM $prev p LEFT JOIN (
+          SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, g.i AS pos,
+              ${Det.duckAvg("round(a.embedding[g.i]::DOUBLE, 6)", 6)} AS m
+            FROM $assigned a CROSS JOIN generate_series(1, $dim) g(i)
+            GROUP BY a.cid, g.i) t
+          GROUP BY cid) mm ON mm.cid = p.cid)"""
     val steps = (1 to rounds).flatMap { t =>
-      Seq(assignCte(s"c${t - 1}", s"a$t"), meanCte(s"a$t", s"c$t"))
+      Seq(assignCte(s"c${t - 1}", s"a$t"), meanCte(s"a$t", s"c${t - 1}", s"c$t"))
     } :+ assignCte(s"c$rounds", s"a${rounds + 1}")
-    (s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $k)"
+    (s"""c0 AS (SELECT vec_id AS cid, [x::DOUBLE for x in embedding] AS cv
+         FROM embeddings WHERE vec_id < $k)"""
       +: steps).mkString(",\n")
   }
-  private val duckIvfFinal = "a3"
-  private val duckIvfCents = "c2"
+  private def duckIvfFinal(rounds: Int) = s"a${rounds + 1}"
+  private def duckIvfCents(rounds: Int) = s"c$rounds"
 
   private def duckSigCte(nHashes: Int): String = {
     val mh = (0 until nHashes)
@@ -592,23 +597,27 @@ object PipelineQueries {
     // ---- IVF ANN: TRAINED coarse quantizer (deterministic k-means-lite,
     // graft.operators.Ivf — 2 Lloyd rounds from vec_id<8 seeds, centroid
     // means via the exact-decimal Det convention so the oracle replays
-    // training bit-for-bit). The 100 TB shape: centroids broadcast,
-    // assignment map-side, Lloyd update shuffles only k·dim partial sums,
-    // search probes the query's top-2 cells (q68 multi-probe). ----
+    // training bit-for-bit; an emptied cluster keeps its previous
+    // centroid). The 100 TB shape: trained centroids are a k×dim literal
+    // (collected to the driver once per round, like lshBucket's
+    // hyperplanes), assignment is ONE map-side argmax projection — the
+    // corpus is never expanded or shuffled (PlanShapeSpec locks q67 to
+    // ≤1 exchange, the output sort); each Lloyd update moves only k·dim
+    // partial sums; search probes the query's top-2 cells (q68). ----
     Q("q67_ivf_assign", (s, d) => {
       val e = embs(s, d)
-      graft.operators.Ivf.assign(e, graft.operators.Ivf.trainCentroids(e, 8, 2))
+      graft.operators.Ivf.assign(e, graft.operators.Ivf.train(e, 8, 2))
         .select(col("vec_id"), col("cid").as("centroid"), col("cos").as("cosine"))
         .orderBy(col("vec_id"))
     }, Some(s"""
-      WITH ${duckIvfCtes(8, 2)}
+      WITH ${duckIvfCtes(8, 2, 64)}
       SELECT vec_id, cid AS centroid, cos AS cosine
-      FROM ${duckIvfFinal} ORDER BY vec_id""")),
+      FROM ${duckIvfFinal(2)} ORDER BY vec_id""")),
 
     // ---- IVF multi-probe search: rank within the query's top-2 cells ----
     Q("q68_ivf_search", (s, d) => {
       val e = embs(s, d)
-      val cents = graft.operators.Ivf.trainCentroids(e, 8, 2)
+      val cents = graft.operators.Ivf.train(e, 8, 2)
       val assigned = graft.operators.Ivf.assign(e, cents)
       val q = e.filter(col("vec_id") === 1)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -619,16 +628,16 @@ object PipelineQueries {
         .select(col("vec_id"), TextOps.cosine(col("embedding"), col("qv")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     }, Some(s"""
-      WITH ${duckIvfCtes(8, 2)},
+      WITH ${duckIvfCtes(8, 2, 64)},
       q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 1),
       qc_sc AS (SELECT q.qid, q.qv, c.cid, ${duckCos("q.qv", "c.cv")} AS cos
-                FROM q, ${duckIvfCents} c),
+                FROM q, ${duckIvfCents(2)} c),
       qc AS (SELECT qid, qv, cid FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
           FROM qc_sc) t WHERE rn <= 2)
       SELECT vec_id, cosine FROM (
         SELECT a.vec_id, ${duckCos("a.embedding", "qc.qv")} AS cosine
-        FROM ${duckIvfFinal} a JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid) t
+        FROM ${duckIvfFinal(2)} a JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid) t
       ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
     // ---- count-min sketch token frequencies (TypedImperativeAggregate):

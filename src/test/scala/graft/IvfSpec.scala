@@ -38,7 +38,7 @@ class IvfSpec extends AnyFunSuite {
       .select(col("qid"), col("vec_id"),
         TextOps.cosine(col("embedding"), col("qv")).as("cosine")))
 
-  private def ivfTop(cents: DataFrame, nprobe: Int): Map[Long, Set[Long]] = {
+  private def ivfTop(cents: Ivf.Centroids, nprobe: Int): Map[Long, Set[Long]] = {
     val cells = Ivf.probeCells(queries, cents, nprobe)
       .select(col("qid"), col("qv"), col("cid").as("qcid"))
     topSets(Ivf.assign(e, cents)
@@ -53,8 +53,8 @@ class IvfSpec extends AnyFunSuite {
     }.toMap
 
   test("trained top-2-probe recall@10 >= untrained single-probe on >= 0.8 of queries") {
-    val trained = recall(ivfTop(Ivf.trainCentroids(e, 8, 2), nprobe = 2))
-    val baseline = recall(ivfTop(Ivf.seedCentroids(e, 8), nprobe = 1))
+    val trained = recall(ivfTop(Ivf.train(e, 8, 2), nprobe = 2))
+    val baseline = recall(ivfTop(Ivf.collectCentroids(Ivf.seedCentroids(e, 8)), nprobe = 1))
     val wins = (0L until nQueries.toLong).count(q => trained(q) >= baseline(q))
     info(s"mean recall trained+2probe = ${trained.values.sum / nQueries}, " +
       s"seed+1probe = ${baseline.values.sum / nQueries}, ties-or-wins = $wins/$nQueries")
@@ -65,8 +65,44 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("lloyd update keeps k centroids of dim 64 on this data") {
-    val c = Ivf.trainCentroids(e, 8, 2).collect()
+    val c = Ivf.train(e, 8, 2)
     assert(c.length == 8, s"clusters emptied: ${c.length}")
-    c.foreach(r => assert(r.getSeq[Double](1).length == 64))
+    c.foreach { case (_, cv) => assert(cv.length == 64) }
+  }
+
+  test("an emptied cluster keeps its previous centroid (k never shrinks)") {
+    import spark.implicits._
+    // seed 3 duplicates seed 0, so every point that ties between cid 0 and
+    // cid 3 resolves to the LOWER cid — cluster 3 receives no points and
+    // must survive the Lloyd round with its seed vector intact
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f),
+      2L -> Array(-1.0f, 0.1f), 3L -> Array(1.0f, 0.0f),
+      4L -> Array(0.9f, 0.1f), 5L -> Array(0.1f, 0.9f),
+      6L -> Array(-0.9f, 0.2f), 7L -> Array(0.8f, 0.2f))
+    val adversarial = vecs.toDF("vec_id", "embedding")
+    // while cid 0 and cid 3 are identical (the seed round), the tie-break
+    // shadows cluster 3 completely
+    val seeds = Ivf.collectCentroids(Ivf.seedCentroids(adversarial, 4))
+    val seedCids = Ivf.assign(adversarial, seeds)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(!seedCids.contains(3L), s"tie-break must prefer the lower cid: $seedCids")
+    val trained = Ivf.train(adversarial, 4, 1)
+    assert(trained.length == 4, s"k shrank: ${trained.map(_._1)}")
+    val c3 = trained.find(_._1 == 3L).get._2
+    assert(c3 == Seq(1.0, 0.0), s"empty cluster 3 must keep its seed, got $c3")
+  }
+
+  test("k and dim are free parameters (k=5 over a 2-dim corpus trains clean)") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      i -> Array((math.cos(i * 0.31) * 10).toFloat, (math.sin(i * 0.31) * 10).toFloat)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Ivf.train(df, 5, 2)
+    assert(trained.length == 5)
+    trained.foreach { case (_, cv) => assert(cv.length == 2) }
+    val assigned = Ivf.assign(df, trained)
+    assert(assigned.count() == 40)
   }
 }

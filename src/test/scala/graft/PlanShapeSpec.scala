@@ -110,6 +110,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_cms_md5"), s"no map-side sketch combine:\n$p")
   }
 
+  test("q67: trained-IVF assignment is map-side (≤1 exchange — the output sort)") {
+    val p = planOf("q67_ivf_assign")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not join the corpus against the centroids:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"assignment must be a map-side projection:\n$p")
+  }
+
   test("q42: minhash signatures are map-side (no shuffle at all)") {
     val p = planOf("q42_minhash_sig")
     // sort for output ordering is the only exchange
