@@ -16,20 +16,24 @@ object Bench {
     // warm the JVM/IO once so headline timings measure the queries, not
     // class-loading
     SparkEntry.queries.get("q06_forecast_revenue").foreach(f => f(spark, sfDir).count())
-    // steady-state timing: best of two runs per query (first run pays
-    // whole-stage-codegen compilation)
-    val results = SparkEntry.benchQueries.map { name =>
+    // steady-state timing: queries run in the FIXED declaration order
+    // (SparkEntry.benchQueries), min of THREE runs each — the first run
+    // pays whole-stage-codegen compilation, and min-of-3 narrows the
+    // ±30% machine variance that made round-over-round deltas ambiguous
+    val results: Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
       name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
-    }.toMap
+    }
+    // per-query timings stay in the artifact (ordered as run) so future
+    // rounds can separate noise from real regressions query-by-query
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

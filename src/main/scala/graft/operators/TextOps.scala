@@ -40,17 +40,26 @@ object TextOps {
   def minhash(j: Int, shingleArr: Column): Column =
     array_min(transform(shingleArr, s => seededHash(j, s)))
 
-  /** 32-bit SimHash over a token array: bit b is set when more than half
-    * the token hashes have bit b set.
+  /** SimHash bit accumulation: bit b is set when more than half the token
+    * hashes have bit b set.
     */
-  def simhash32(ws: Column): Column = {
-    val hs = transform(ws, w => hash32(w))
-    val n = size(ws)
+  private def simhashBits(hs: Column, n: Column): Column =
     (0 until 32).map { b =>
       val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
       when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** 32-bit SimHash over a token array (unseeded token hash). */
+  def simhash32(ws: Column): Column =
+    simhashBits(transform(ws, w => hash32(w)), size(ws))
+
+  /** Seeded 32-bit SimHash half: two seeds give a 64-bit signature as
+    * (lo, hi) halves — wide enough that 16-bit bands stay selective at
+    * scale, without the signed-shift edge cases a single 64-bit long
+    * would hit (DuckDB errors on `1::BIGINT << 63`).
+    */
+  def simhash32Seeded(seed: Int, ws: Column): Column =
+    simhashBits(transform(ws, w => seededHash(seed, w)), size(ws))
 
   /** Winnowing fingerprints: distinct minima of a sliding window (size 4)
     * over the seeded shingle-hash sequence — the rolling-hash document

@@ -207,6 +207,56 @@ object PipelineQueries {
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
       ORDER BY doc_a, doc_b""")),
 
+    // ---- n-gram Jaccard THROUGH BANDING (the 100 TB form of q45):
+    // candidates come from the q43 MinHash-banding kernel — an equi-join
+    // on high-cardinality band keys, never O(B²) within a constant-arity
+    // block like q45's per-source join — then the exact Jaccard verifies
+    // each candidate. q45 above stays as the small-data recall oracle
+    // (mirroring the q60→q70 pattern); PlanShapeSpec locks this plan
+    // cartesian-free. Banding recall: 4 bands × 2 hashes catch any pair
+    // with J ≥ 0.5 w.h.p.; pairs in [0.2, 0.5) surface only when a band
+    // collides — the standard LSH trade, tuned by (bands, rows). ----
+    Q("q84_ngram_jaccard_banded", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+      val sig = minhashSig(s, d, 8)
+      val bands = (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+      val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = exploded.as("x").join(exploded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      cand
+        .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
+        .withColumn("jaccard", size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s)
+      SELECT c.doc_a, c.doc_b,
+        round(len(list_distinct(list_intersect(x.sh, y.sh)))
+          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+      FROM cand c JOIN shset x ON x.doc_id = c.doc_a
+                  JOIN shset y ON y.doc_id = c.doc_b
+      WHERE len(list_distinct(list_intersect(x.sh, y.sh)))
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+      ORDER BY doc_a, doc_b""")),
+
     // ---- brute-force cosine top-k (similarity-search baseline) ----
     Q("q46_cosine_topk", (s, d) => {
       val e = embs(s, d)
@@ -373,47 +423,64 @@ object PipelineQueries {
       WHERE CAST(concat('0x', substr(md5('sample|' || doc_id), 1, 8)) AS BIGINT) % 100 < 10
       ORDER BY doc_id""")),
 
-    // ---- SimHash near-dup PAIRS: band the 32-bit signature into 4
-    // byte-keys, candidates via equi-join on (band, byte), verify by
-    // Hamming distance (bit_count of xor) ≤ 3 — the simhash analogue of
-    // q43→q72's candidates-then-verify shape; a pair within distance 3
-    // is guaranteed to agree on ≥1 full byte band, so recall is exact ----
+    // ---- SimHash near-dup PAIRS at scale: a 64-BIT signature (two seeded
+    // 32-bit halves) banded into 4 × 16-BIT keys — candidates via
+    // equi-join on (band, bkey), verify by Hamming distance ≤ 3. The
+    // bucket-cardinality budget: each band has 65,536 buckets, so the
+    // per-band self-join is O(sum over buckets of n_b²) with expected
+    // n_b ≈ n/65k under a uniform signature — vs 256 buckets for byte
+    // bands, which saturate and go quadratic at corpus scale. A pair
+    // within distance 3 differs in ≤3 of the 4 bands, so it agrees on
+    // ≥1 full band — recall at radius 3 stays exact. ----
     Q("q82_simhash_neardup", (s, d) => {
-      val sh = docs(s, d)
-        .select(col("doc_id"), TextOps.simhash32(TextOps.tokens(col("text"))).as("sh"))
-      val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("bkey")))
-      val banded = sh.select(col("doc_id"), col("sh"),
+      val ws = TextOps.tokens(col("text"))
+      val sh = docs(s, d).select(col("doc_id"),
+        TextOps.simhash32Seeded(0, ws).as("lo"), TextOps.simhash32Seeded(1, ws).as("hi"))
+      val bandStructs = Seq(
+        (0, col("lo").bitwiseAND(lit(65535L))),
+        (1, shiftright(col("lo"), 16).bitwiseAND(lit(65535L))),
+        (2, col("hi").bitwiseAND(lit(65535L))),
+        (3, shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))
+      ).map { case (b, k) => struct(lit(b).as("band"), k.as("bkey")) }
+      val banded = sh.select(col("doc_id"), col("lo"), col("hi"),
           explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        .select(col("doc_id"), col("lo"), col("hi"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       val x = banded.select(col("band"), col("bkey"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
       val y = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
       x.join(y, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
           col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
-    }, Some(s"""
+    }, Some {
+      def half(src: String) =
+        s"""CAST(list_sum([CASE WHEN 2 * len(list_filter($src, x -> ((x >> b) & 1) = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                       for b in generate_series(0, 31)]) AS BIGINT)"""
+      s"""
       WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
       hsrc AS (SELECT doc_id, len(ws) AS n,
-        [${duckHash32("w")} for w in ws] AS hs FROM t),
-      sig AS (SELECT doc_id,
-        CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > n
-                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
-                       for b in generate_series(0, 31)]) AS BIGINT) AS sh
-      FROM hsrc),
-      bands AS (SELECT doc_id, sh, g.band, (sh >> (g.band * 8)) & 255 AS bkey
-                FROM sig CROSS JOIN generate_series(0, 3) g(band))
+        [${duckHash(0, "w")} for w in ws] AS h0,
+        [${duckHash(1, "w")} for w in ws] AS h1 FROM t),
+      sig AS (SELECT doc_id, ${half("h0")} AS lo, ${half("h1")} AS hi FROM hsrc),
+      bands AS (
+        SELECT doc_id, lo, hi, 0 AS band, lo & 65535 AS bkey FROM sig UNION ALL
+        SELECT doc_id, lo, hi, 1, (lo >> 16) & 65535 FROM sig UNION ALL
+        SELECT doc_id, lo, hi, 2, hi & 65535 FROM sig UNION ALL
+        SELECT doc_id, lo, hi, 3, (hi >> 16) & 65535 FROM sig)
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        bit_count(xor(x.sh, y.sh)) AS hamming
+        bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS hamming
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.sh, y.sh)) <= 3
-      ORDER BY doc_a, doc_b""")),
+      WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+      ORDER BY doc_a, doc_b"""
+    }),
 
     // ---- BPE-ish subword token counting: a greedy regex chunker
     // ([a-z]{1,4} → each word becomes ≤4-char pieces, the shape of a

@@ -497,15 +497,23 @@ object RelationalQueries {
         ${duckSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS O
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ---- q29b: approximate count-distinct (HLL++). The estimate is
-    // engine-specific, so the driver records a rows-only check; the
-    // ScalaTest suite separately asserts <5% error vs exact. ----
+    // ---- q29b: approximate count-distinct (HLL++). The raw estimate is
+    // engine-specific, so the ORACLE-FACING columns are the exact count
+    // plus a Spark-computed `within_5pct` flag (the oracle asserts TRUE —
+    // a wrong estimate flips the flag and fails the hash); the ScalaTest
+    // suite separately asserts <5% error on the estimate itself. ----
     Q("q29_approx_distinct", (s, d) => {
       T(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            lit(0.05) * col("exact_parts")).as("within_5pct"))
         .orderBy(col("l_returnflag"))
-    }, None),
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- q57: scalar subquery through the SQL front-end ----
     Q("q57_scalar_subquery", (s, d) => {

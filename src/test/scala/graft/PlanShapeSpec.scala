@@ -97,6 +97,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected only the two join-input exchanges (agg reuses the join clustering):\n$p")
   }
 
+  test("q84: banded n-gram Jaccard — no cartesian/nested-loop join") {
+    val p = planOf("q84_ngram_jaccard_banded")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the banding equi-join:\n$p")
+  }
+
   test("q76: banded range join plans as an equi-join (no nested loop)") {
     val p = planOf("q76_range_join_banded")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
