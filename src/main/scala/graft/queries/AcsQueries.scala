@@ -172,6 +172,28 @@ object AcsQueries {
         (1.0 + 10.0 * l_tax) AS qty_m90
       FROM lineitem $Key""")),
 
+    // ---- with_m90 inside an aggregate select list: the rule expands to
+    // the groupBySum RSS semantics — sum(qty) AS qty,
+    // sqrt(sum(power(qty_m90, 2))) AS qty_m90 — so SQL users get grouped
+    // margin propagation for free (VERDICT r2 #7). Group sums of doubles
+    // are order-dependent, so both sides round to 6 (same mitigation as
+    // q35/q38; 60k-row sums carry ~1e-9 absolute error, far below it). ----
+    Q("q85_margin_sql_agg", (s, d) => {
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").as("qty"),
+          (lit(1.0) + lit(10.0) * col("l_tax")).as("qty_m90"))
+        .createOrReplaceTempView("margins_agg")
+      s.sql("SELECT g, with_m90(qty) FROM margins_agg GROUP BY g")
+        .select(col("g"), round(col("qty"), 6).as("qty"),
+          round(col("qty_m90"), 6).as("qty_m90"))
+        .orderBy(col("g"))
+    }, Some(s"""
+      SELECT l_returnflag AS g,
+        round(sum(l_quantity), 6) AS qty,
+        round(sqrt(sum($AM * $AM)), 6) AS qty_m90
+      FROM lineitem GROUP BY 1 ORDER BY g""")),
+
     // ---- the reference's end-to-end slice (SURVEY §7.5): censusreporter
     // source → metadata frame → margin-carrying select → MOE algebra →
     // RSS group-by, on the checked-in B17001-format fixture. The JSON

@@ -111,6 +111,52 @@ object PipelineQueries {
       sig AS (SELECT doc_id, $mh FROM s)"""
   }
 
+  /** The near-dup edge kernel shared by q72/q87: MinHash-banding
+    * candidates (q43's 4×2 bands over an 8-hash signature) verified at
+    * exact Jaccard ≥ 0.5, emitted in both directions as (src, dst).
+    */
+  private def verifiedEdges(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+    val sig = minhashSig(s, d, 8)
+    val bands = (0 until 4).map(b => struct(lit(b).as("band"),
+      concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val ver = cand
+      .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    ver.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(ver.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  }
+
+  /** DuckDB twin of [[verifiedEdges]]: CTEs `t,s,sig,bands,cand,shset,ver,edges`. */
+  private def duckEdgesCtes: String = s"""${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
+      ver AS (SELECT c.doc_a, c.doc_b FROM cand c
+              JOIN shset x ON x.doc_id = c.doc_a
+              JOIN shset y ON y.doc_id = c.doc_b
+              WHERE len(list_distinct(list_intersect(x.sh, y.sh)))
+                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver)"""
+
   val all: Seq[Q] = Seq(
     // ---- exact dedup: hash-groupBy on full text ----
     Q("q40_dedup_exact", (s, d) => {
@@ -598,26 +644,7 @@ object PipelineQueries {
     // fixpoint with a checkpoint per round (each round is one shuffle on
     // the edge key), and the edge set is tiny relative to the corpus ----
     Q("q72_neardup_keep", (s, d) => {
-      val ws = TextOps.tokens(col("text"))
-      val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
-        .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
-      val sig = minhashSig(s, d, 8)
-      val bands = (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
-      val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = exploded.as("x").join(exploded.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      val ver = cand
-        .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
-        .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = ver.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(ver.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val edges = verifiedEdges(s, d)
       var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("rep"))
       for (_ <- 1 to 3) {
         val nbr = edges.join(
@@ -637,29 +664,34 @@ object PipelineQueries {
                            LEFT JOIN $from r ON r.doc_id = e.dst
               GROUP BY l.doc_id, l.rep)"""
       s"""
-      WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
-      ver AS (SELECT c.doc_a, c.doc_b FROM cand c
-              JOIN shset x ON x.doc_id = c.doc_a
-              JOIN shset y ON y.doc_id = c.doc_b
-              WHERE len(list_distinct(list_intersect(x.sh, y.sh)))
-                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
-                UNION ALL SELECT doc_b, doc_a FROM ver),
+      WITH $duckEdgesCtes,
       l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
       ${prop("l0", "l1")},
       ${prop("l1", "l2")},
       ${prop("l2", "l3")}
       SELECT doc_id, rep, doc_id = rep AS is_kept FROM l3 ORDER BY doc_id"""
     }),
+
+    // ---- the same keep-list at FIXPOINT (VERDICT r2 #10): q72's 3
+    // unrolled rounds are the fixed-depth oracle form; this runs
+    // graft.operators.Dedup.keepListToFixpoint — iterate-with-checkpoint
+    // until no label changes, the shape you'd ship at 100 TB where chain
+    // length is unknown. The fixpoint is the min doc_id per connected
+    // component, which is order- and round-count-independent, so DuckDB
+    // can oracle it exactly with a recursive CTE (transitive closure over
+    // the tiny edge set; UNION dedup bounds the recursion). ----
+    Q("q87_neardup_fixpoint", (s, d) => {
+      graft.operators.Dedup
+        .keepListToFixpoint(docs(s, d), verifiedEdges(s, d))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckEdgesCtes,
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
+      FROM reach GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- IVF ANN: TRAINED coarse quantizer (deterministic k-means-lite,
     // graft.operators.Ivf — 2 Lloyd rounds from vec_id<8 seeds, centroid

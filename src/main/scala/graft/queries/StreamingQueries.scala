@@ -72,6 +72,36 @@ object StreamingQueries {
         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // ---- the session_window OPERATOR itself (ST4), oracled — q55 checks
+    // the gap-analysis formulation; this one runs EventsStream.sessionAgg
+    // verbatim and has DuckDB replay Spark's merge rule exactly: a session
+    // is [min(ts), max(ts) + gap), and an event starts a NEW session iff
+    // ts - prev_ts >= gap at microsecond precision (Spark merges only on
+    // strict overlap). DuckDB reads the parquet ts as TIMESTAMP_NS; the
+    // cast to TIMESTAMP truncates to micros exactly like the Spark-side
+    // nanos DIV 1000 (see Tables). ----
+    Q("q86_session_window", (s, d) => {
+      EventsStream.sessionAgg(Tables(s, d, "events"))
+        .orderBy(col("user_id"), col("sstart"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts, 1) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) >= 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart,
+        strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS send,
+        user_id, count(*) AS n_events
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""")),
+
     // ---- custom as-of join OPERATOR (graft.plans.AsOfJoinExec, the
     // tier-(c) LogicalPlan+Strategy+SparkPlan path) checked against
     // DuckDB's native ASOF JOIN ----

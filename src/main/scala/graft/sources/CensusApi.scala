@@ -110,16 +110,45 @@ object CensusApi {
     }
   }
 
-  /** `api.get_dataset('ACSSF5Y2015')`-style accessor: well-known dataset
-    * ids mapped to their API base paths.
+  /** `api.get_dataset('ACSSF5Y2015')`-style accessor. The two ids the
+    * reference tests exercise (`test/test_censusapi.py:21-27`) are
+    * resolved directly; any other id is resolved through the dataset
+    * catalog the client already fetches for [[searchDatasets]] — the
+    * entry whose `identifier` matches contributes its first
+    * `distribution.accessURL` as the base path. Falls back to
+    * `$Host/$id` only when the catalog has no match (or is unreachable),
+    * so offline behavior is unchanged.
     */
   def getDataset(id: String, fetchFn: String => String = httpGet): Dataset = {
     val base = id match {
       case "POPESTpop2015" => s"$Host/2015/pep/population"
       case "ACSSF5Y2015" => s"$Host/2015/acs/acs5"
-      case other => s"$Host/$other"
+      case other => catalogBasePath(other, fetchFn).getOrElse(s"$Host/$other")
     }
     Dataset(id, base, fetchFn)
+  }
+
+  /** Catalog lookup for [[getDataset]]: match `identifier` exactly or by
+    * trailing path segment (the live catalog publishes identifiers as
+    * `https://api.census.gov/data/id/<id>` URLs).
+    */
+  private[sources] def catalogBasePath(id: String,
+      fetchFn: String => String): Option[String] = {
+    implicit val formats: Formats = DefaultFormats
+    scala.util.Try(JsonMethods.parse(fetchFn(s"$Host.json")) \ "dataset").toOption.flatMap {
+      case JArray(ds) =>
+        ds.collectFirst(Function.unlift { d =>
+          val ident = (d \ "identifier").extractOrElse[String]("")
+          if (ident == id || ident.endsWith("/" + id))
+            (d \ "distribution") match {
+              case JArray(dist :: _) =>
+                Option((dist \ "accessURL").extractOrElse[String]("")).filter(_.nonEmpty)
+              case _ => None
+            }
+          else None
+        })
+      case _ => None
+    }
   }
 
   private[sources] def httpGet(url: String): String = {

@@ -194,6 +194,26 @@ class CensusSourceSpec extends AnyFunSuite {
       Seq("ACSSF5Y2015"))
   }
 
+  test("CensusApi getDataset resolves unknown ids through the catalog (VERDICT r2 #6)") {
+    val catalogJson = """{"dataset": [
+      {"identifier": "https://api.census.gov/data/id/CBP2016", "title": "County Business Patterns 2016",
+       "distribution": [{"accessURL": "https://api.census.gov/data/2016/cbp"}]},
+      {"identifier": "ACSSF5Y2015", "title": "ACS 5-Year Estimates 2015",
+       "distribution": [{"accessURL": "https://api.census.gov/data/2015/acs/acs5"}]}]}"""
+    // non-hardcoded id, URL-style identifier → matched by trailing segment
+    val ds = CensusApi.getDataset("CBP2016", _ => catalogJson)
+    assert(ds.basePath == "https://api.census.gov/data/2016/cbp")
+    // well-known ids never hit the catalog
+    var fetched = 0
+    val known = CensusApi.getDataset("ACSSF5Y2015", { _ => fetched += 1; catalogJson })
+    assert(known.basePath == "https://api.census.gov/data/2015/acs/acs5" && fetched == 0)
+    // no catalog match (or unreachable catalog) falls back to $Host/$id
+    assert(CensusApi.getDataset("NOPE", _ => catalogJson).basePath ==
+      s"${CensusApi.Host}/NOPE")
+    assert(CensusApi.getDataset("NOPE", _ => throw new java.io.IOException("offline"))
+      .basePath == s"${CensusApi.Host}/NOPE")
+  }
+
   test("CensusApi variable search filters by substring") {
     val varsJson = """{"variables": {
         "B01003_001E": {"label": "Estimate!!Total population"},

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** [[graft.operators.Dedup.keepListToFixpoint]]: min-label propagation to
+  * convergence (VERDICT r2 #10). q72's oracle form unrolls exactly 3
+  * rounds; this proves the fixpoint utility handles chains LONGER than 3
+  * edges, where fixed-depth propagation would return the wrong keep-list.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def undirected(pairs: (Long, Long)*) = {
+    val e = pairs.toSeq.toDF("src", "dst")
+    e.union(e.select(col("dst"), col("src")))
+  }
+
+  test("fixpoint keep-list on a 6-node chain (needs 5 rounds, > q72's 3)") {
+    val docs = (1L to 8L).toDF("doc_id") // 7,8 are singletons
+    val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val out = Dedup.keepListToFixpoint(docs, edges).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 1L, 1L, 1L, 7L, 8L))
+    assert(out.map(_.getBoolean(2)).toSeq ==
+      Seq(true, false, false, false, false, false, true, true))
+  }
+
+  test("3 fixed rounds are NOT enough on that chain (why fixpoint exists)") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
+    for (_ <- 1 to 3) {
+      val nbr = edges.join(
+          labels.select(col("doc_id").as("nbr_id"), col("rep").as("nrep")),
+          col("dst") === col("nbr_id"))
+        .groupBy(col("src")).agg(min(col("nrep")).as("minrep"))
+      labels = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+    }
+    // node 6 is 5 hops from the min — after 3 rounds its label is still 3
+    assert(labels.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
+      Seq(1L, 1L, 1L, 1L, 2L, 3L))
+  }
+
+  test("maxRounds guard trips instead of silently returning a non-fixpoint") {
+    val docs = (1L to 4L).toDF("doc_id")
+    val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepListToFixpoint(docs, edges, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("already-converged input costs exactly one verification round") {
+    val docs = (1L to 3L).toDF("doc_id")
+    val out = Dedup.keepListToFixpoint(docs, undirected()).orderBy("doc_id").collect()
+    assert(out.forall(_.getBoolean(2)))
+  }
+}

@@ -48,6 +48,32 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expansion must not defeat pruning:\n$readSchema")
   }
 
+  test("with_m90 in an aggregate select list expands to sum/RSS (groupBySum semantics)") {
+    import spark.implicits._
+    Seq(("g1", 3.0, 3.0), ("g1", 4.0, 4.0), ("g2", 5.0, 12.0))
+      .toDF("g", "under5", "under5_m90")
+      .createOrReplaceTempView("margin_agg")
+    val out = spark.sql("SELECT g, with_m90(under5) FROM margin_agg GROUP BY g ORDER BY g")
+    assert(out.columns.toSeq == Seq("g", "under5", "under5_m90"))
+    // estimates sum; margins RSS: sqrt(3²+4²)=5 for g1, 12 for g2
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq(("g1", 7.0, 5.0), ("g2", 5.0, 12.0)))
+  }
+
+  test("with_m90 outside a select list fails with an actionable error") {
+    import spark.implicits._
+    Seq(("g1", 10.0, 1.5)).toDF("g", "under5", "under5_m90")
+      .createOrReplaceTempView("margin_misuse")
+    val e = intercept[Exception] {
+      spark.sql("SELECT g FROM margin_misuse WHERE with_m90(under5) > 0").collect()
+    }
+    assert(e.getMessage.contains("top-level select item"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT with_m90(under5) + 1 FROM margin_misuse").collect()
+    }
+    assert(e2.getMessage.contains("top-level select item"), e2.getMessage)
+  }
+
   test("missing margin partner fails analysis with a clear unresolved column") {
     import spark.implicits._
     Seq(("g1", 10.0)).toDF("geoid", "nomargin").createOrReplaceTempView("margin_bad")
