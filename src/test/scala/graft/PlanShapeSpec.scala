@@ -132,4 +132,23 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
     assert(shuffles <= 1, s"signature computation should not shuffle:\n$p")
   }
+
+  test("q87: fixpoint keep-list stays cartesian-free (same kernel as q72)") {
+    val p = planOf("q87_neardup_fixpoint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edge generation must be the banding equi-join:\n$p")
+  }
+
+  test("q85: SQL margin expansion aggregates with a partial phase") {
+    val p = planOf("q85_margin_sql_agg")
+    assert(p.contains("partial_sum"), s"no map-side combine under with_m90:\n$p")
+  }
+
+  test("q86: session window aggregates with partial merging before the exchange") {
+    val p = planOf("q86_session_window")
+    // batch session_window plans as partial agg → exchange → session merge;
+    // only the session keys + partial counts cross the wire
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial aggregation for session windows:\n$p")
+  }
 }
