@@ -19,9 +19,14 @@ object TextOps {
     * callers filter `size(tokens) >= 3` (Spark's `sequence(1, 0)` would
     * count down, not return empty).
     */
-  def shingles3(ws: Column): Column =
-    transform(sequence(lit(1), size(ws) - 2),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+  def shingles3(ws: Column): Column = shinglesK(ws, 3)
+
+  /** Word k-shingles for arbitrary k (callers filter `size(ws) >= k`).
+    * k=8..13 is the usual n-gram width for test-set decontamination.
+    */
+  def shinglesK(ws: Column, k: Int): Column =
+    transform(sequence(lit(1), size(ws) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))
 
   /** 32-bit hash of a string, seeded: first 8 hex digits of
     * `md5(seed + "|" + s)` as a long. Mirrors the DuckDB expression

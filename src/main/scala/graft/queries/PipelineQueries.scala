@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps
@@ -692,6 +693,130 @@ object PipelineQueries {
         SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
       SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
       FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- test-set decontamination: drop training docs that share any
+    // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —
+    // in production, the benchmark suite). The canonical LLM-pipeline
+    // hygiene step. Scale shape: grams are hashed to longs map-side (the
+    // gram STRINGS never shuffle); the eval gram set is tiny by
+    // construction (eval sets don't grow with the corpus) so it
+    // broadcasts, and contamination detection is a broadcast semi-join —
+    // the 100 TB corpus is scanned once with zero fact shuffles before
+    // the distinct on hit doc_ids. ----
+    Q("q88_decontaminate", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val grams = docs(s, d).filter(size(ws) >= 8)
+        .select(col("doc_id"), explode(array_distinct(TextOps.shinglesK(ws, 8))).as("gram"))
+        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
+      val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
+        .join(broadcast(evalGrams), "g").select(col("doc_id")).distinct()
+      docs(s, d).filter(col("doc_id") % 10 =!= 7)
+        .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("hit").isNull.as("is_clean"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      g AS (SELECT doc_id, ${duckHash32("gr")} AS g FROM (
+              SELECT doc_id, unnest(list_distinct(
+                [array_to_string(ws[i:i+7], ' ')
+                 for i in generate_series(1, len(ws) - 7)])) gr
+              FROM t WHERE len(ws) >= 8)),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7),
+      cont AS (SELECT DISTINCT doc_id FROM g
+               WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev))
+      SELECT d.doc_id, d.source, c.doc_id IS NULL AS is_clean
+      FROM documents d LEFT JOIN cont c USING (doc_id)
+      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""")),
+
+    // ---- TF×rarity top terms per document — the log-free tf-idf
+    // variant (score = tf/df): both engines divide the same two exact
+    // integers, so scores are bit-identical with no rounding tolerance
+    // (ln() is NOT cross-engine-reproducible; 1/df preserves the same
+    // rarity ordering for ranking purposes). Scale shape: tf and df are
+    // partial-aggregated explodes; the join shuffles on term (the
+    // canonical vocabulary join); top-k per doc is one window over the
+    // doc partition. ----
+    Q("q89_tf_rarity", (s, d) => {
+      val terms = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = terms.distinct().groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf") / col("df")).desc, col("term"))
+      tf.join(dfc, "term")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          (col("tf") / col("df")).as("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }, Some("""
+      WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT term, count(*) df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      r AS (SELECT doc_id, term, tf, df,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY CAST(tf AS DOUBLE) / df DESC, term) rnk
+            FROM tf JOIN df USING (term))
+      SELECT doc_id, rnk, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // ---- within-document repetition score (boilerplate detector, à la
+    // Gopher's repetition filters): fraction of 2-gram occurrences taken
+    // by the single most frequent 2-gram. Computed entirely map-side as
+    // array expressions over each row — ZERO shuffles over the corpus
+    // (the oracle uses the relational unnest/group form; results agree
+    // because both divide the same two exact integers). ----
+    Q("q90_repetition", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val grams = TextOps.shinglesK(ws, 2)
+      val counts = transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))
+      docs(s, d).filter(size(ws) >= 2)
+        .select(col("doc_id"), size(grams).as("n_2grams"),
+          array_max(counts).as("top_cnt"))
+        .select(col("doc_id"), col("n_2grams"), col("top_cnt"),
+          (col("top_cnt") / col("n_2grams")).as("top_ratio"),
+          (col("top_cnt") / col("n_2grams") > 0.1).as("is_repetitive"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      g2 AS (SELECT doc_id, unnest(
+               [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) g
+             FROM t WHERE len(ws) >= 2),
+      c AS (SELECT doc_id, g, count(*) cnt FROM g2 GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n_2grams,
+                CAST(max(cnt) AS BIGINT) top_cnt
+              FROM c GROUP BY 1)
+      SELECT doc_id, n_2grams, top_cnt,
+        CAST(top_cnt AS DOUBLE) / n_2grams AS top_ratio,
+        CAST(top_cnt AS DOUBLE) / n_2grams > 0.1 AS is_repetitive
+      FROM agg ORDER BY doc_id""")),
+
+    // ---- domain mixture reweighting: per-source keep rates (here a
+    // deterministic md5-derived rate in [25%, 74%]; in production the
+    // tuned mixture weights) applied via the q79 deterministic-sampling
+    // kernel. Pure map-side — reproducible across engines, partitions,
+    // and retries, and stratified by construction: each source keeps
+    // exactly its hash-selected fraction. ----
+    Q("q91_mixture_reweight", (s, d) => {
+      val srcHash = conv(substring(md5(concat(lit("mix|"), col("source"))),
+        1, 8), 16, 10).cast("long")
+      val docHash = conv(substring(md5(concat(lit("sample|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      docs(s, d).withColumn("keep_pct", srcHash % 50 + 25)
+        .filter(docHash % 100 < col("keep_pct"))
+        .select(col("doc_id"), col("source"), col("keep_pct"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, source, keep_pct FROM (
+        SELECT doc_id, source,
+          CAST(concat('0x', substr(md5('mix|' || source), 1, 8)) AS BIGINT) % 50 + 25 AS keep_pct,
+          CAST(concat('0x', substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+        FROM documents)
+      WHERE h < keep_pct ORDER BY doc_id""")),
 
     // ---- IVF ANN: TRAINED coarse quantizer (deterministic k-means-lite,
     // graft.operators.Ivf — 2 Lloyd rounds from vec_id<8 seeds, centroid

@@ -128,6 +128,23 @@ object StreamingQueries {
         ON e.user_id = s.su AND e.ts >= s.s_ts
       ORDER BY e.event_id""")),
 
+    // ---- stream-stream interval join (ST8): the batch run of the same
+    // EventsStream.intervalJoin transform (watermarks are no-ops in
+    // batch); StreamingSpec separately proves stream == batch on it.
+    // Equi-key on user_id keeps it a hash join — the range lives in the
+    // residual condition (and, in streaming, bounds the join state). ----
+    Q("q92_interval_join", (s, d) => {
+      EventsStream.intervalJoin(Tables(s, d, "events"))
+        .orderBy(col("p_id"), col("s_ts_s"))
+    }, Some("""
+      SELECT p.event_id AS p_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts_s,
+        strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS s_ts_s
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+      ORDER BY p_id, s_ts_s""")),
+
     // ---- keep-first dedup (batch analogue of watermark dedup) ----
     Q("q56_dedup_first", (s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))

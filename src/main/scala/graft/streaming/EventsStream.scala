@@ -63,6 +63,30 @@ object EventsStream {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("send"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase matched to the signup(s)
+    * of the same user in the preceding 2 hours. Both sides are
+    * watermarked and the join condition carries the time range, so Spark
+    * can bound and expire the join state (without the range, stream-stream
+    * state grows forever). Works on batch frames too (watermark is a
+    * no-op there), which is how the DuckDB oracle checks it (q92).
+    * Scale: equi-key on user_id → hash-partitioned state, no
+    * nested-loop; state per key bounded by watermark + 2 h window.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val sg = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "30 minutes")
+    p.join(sg, col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("p_id"), col("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts_s"),
+        date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_ts_s"))
+  }
+
   /** Stateful stream dedup on event_id, state bounded by the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -144,6 +144,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine under with_m90:\n$p")
   }
 
+  test("q88: decontamination probes eval grams via broadcast (corpus never shuffles on gram)") {
+    val p = planOf("q88_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval gram set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q90: repetition score is map-side (array exprs, ≤1 exchange for the sort)") {
+    val p = planOf("q90_repetition")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"per-doc repetition must not shuffle the corpus:\n$p")
+  }
+
+  test("q91: mixture reweighting is map-side (filter pushed against the scan)") {
+    val p = planOf("q91_mixture_reweight")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"sampling must be a map-side filter:\n$p")
+  }
+
+  test("q92: interval join is a hash/merge equi-join on user_id, not a nested loop") {
+    val p = planOf("q92_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"time range must ride as residual condition on the equi-join:\n$p")
+  }
+
   test("q86: session window aggregates with partial merging before the exchange") {
     val p = planOf("q86_session_window")
     // batch session_window plans as partial agg → exchange → session merge;

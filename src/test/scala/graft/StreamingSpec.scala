@@ -108,6 +108,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join: stream == batch (ST8)") {
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.intervalJoin, "ssjoin_out", outputMode = "append")
+    val batch = EventsStream.intervalJoin(batchEvents)
+    assert(stream.count() > 0)
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("stream dedup matches batch dropDuplicates count") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.dedup, "dedup_out", outputMode = "append")
