@@ -19,6 +19,9 @@ import graft.functions.{CountMinSketchMd5, DotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Parser leg: adds `SHOW GRAFT QUERIES` (inventory introspection),
+    // delegating everything else to the stock parser.
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     // Hint-resolution batch: runs BEFORE the analyzer's LookupFunctions
     // sanity check, so `with_m90(c)` is rewritten away before anything
     // tries to resolve it as a function.

@@ -727,7 +727,7 @@ object PipelineQueries {
                WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev))
       SELECT d.doc_id, d.source, c.doc_id IS NULL AS is_clean
       FROM documents d LEFT JOIN cont c USING (doc_id)
-      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""")),
+      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id"""), bench = true),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
@@ -794,6 +794,106 @@ object PipelineQueries {
         CAST(top_cnt AS DOUBLE) / n_2grams AS top_ratio,
         CAST(top_cnt AS DOUBLE) / n_2grams > 0.1 AS is_repetitive
       FROM agg ORDER BY doc_id""")),
+
+    // ---- term scrubbing / vocabulary filtering: mask banned terms
+    // map-side with a word-boundary regex (the same shape as PII
+    // redaction — swap the term list for email/phone patterns). Spark's
+    // regexp_replace is global by default; DuckDB needs the 'g' flag.
+    // Zero shuffles over the corpus. ----
+    Q("q93_scrub", (s, d) => {
+      val scrubbed = regexp_replace(col("text"), "\\b(customer|key)\\b", "[MASK]")
+      docs(s, d).select(col("doc_id"), scrubbed.as("sc"))
+        .select(col("doc_id"), md5(col("sc")).as("fp"),
+          (size(split(col("sc"), "\\[MASK\\]")) - 1).as("n_masked"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, md5(sc) AS fp,
+        len(string_split(sc, '[MASK]')) - 1 AS n_masked
+      FROM (SELECT doc_id,
+              regexp_replace(text, '\b(customer|key)\b', '[MASK]', 'g') sc
+            FROM documents)
+      ORDER BY doc_id""")),
+
+    // ---- corpus-wide duplicated-span removal (the RefinedWeb/CCNet
+    // "line dedup" shape, chunked since the synthetic docs have no
+    // newlines): split every doc into consecutive 10-token spans, keep
+    // each distinct span only at its FIRST occurrence corpus-wide
+    // (ordered by doc_id, position), reassemble the survivors. Scale
+    // shape: one shuffle on the span key (first-occurrence window), one
+    // shuffle back on doc_id to reassemble — both standard; the span
+    // table is the exploded corpus, never pairwise. ----
+    Q("q94_span_dedup", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val nChunks = ceil(size(ws) / lit(10.0)).cast("int")
+      val chunks = docs(s, d)
+        .select(col("doc_id"), ws.as("ws"),
+          explode(sequence(lit(0), nChunks - 1)).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          concat_ws(" ", slice(col("ws"), col("ci") * 10 + 1, lit(10))).as("chunk"))
+      val firstSeen = Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id"), col("ci"))
+      val kept = chunks.withColumn("rn", row_number().over(firstSeen))
+        .filter(col("rn") === 1)
+      val agg = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ci"), col("chunk")))),
+          x => x.getField("chunk")), " ")).as("fp"))
+      docs(s, d).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("fp"), md5(lit(""))).as("fp"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      ch0 AS (SELECT doc_id,
+                [{'ci': i, 'chunk': array_to_string(ws[i*10+1:i*10+10], ' ')}
+                 for i in generate_series(0, CAST(ceil(len(ws)/10.0) AS INT) - 1)] cs
+              FROM t),
+      ch AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch0),
+      k AS (SELECT doc_id, ci, chunk,
+              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) rn
+            FROM ch),
+      agg AS (SELECT doc_id, count(*) n_kept,
+                md5(string_agg(chunk, ' ' ORDER BY ci)) fp
+              FROM k WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+        coalesce(a.fp, md5('')) AS fp
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""")),
+
+    // ---- sequence packing: assign docs (in doc_id order) to fixed-
+    // capacity training sequences by cumulative token count. The naive
+    // form is a GLOBAL running sum — a single-partition bottleneck — so
+    // this uses the scalable two-level prefix sum: per-bucket totals
+    // (one row per bucket) get a tiny global cumsum and broadcast back
+    // as offsets; each row then needs only a WITHIN-bucket running sum.
+    // The only global ordering touches |buckets| rows, not the corpus. ----
+    Q("q95_sequence_pack", (s, d) => {
+      val cap = 512
+      val bucketW = 50
+      val base = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV $bucketW").as("bucket"))
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("btotal"))
+        .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
+        .select(col("bucket"), col("boffset"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      base.join(broadcast(offsets), "bucket")
+        .withColumn("cum_tokens", col("boffset") + sum(col("n_tokens")).over(wIn))
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          expr(s"(cum_tokens - 1) DIV $cap").as("seq_id"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_tokens
+            FROM t)
+      SELECT doc_id, n_tokens, cum_tokens, (cum_tokens - 1) // 512 AS seq_id
+      FROM c ORDER BY doc_id""")),
 
     // ---- domain mixture reweighting: per-source keep rates (here a
     // deterministic md5-derived rate in [25%, 74%]; in production the

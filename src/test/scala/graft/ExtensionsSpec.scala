@@ -83,6 +83,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nomargin_m90"))
   }
 
+  test("injected parser: SHOW GRAFT QUERIES lists the inventory, normal SQL untouched") {
+    val inv = spark.sql("SHOW GRAFT QUERIES")
+    assert(inv.columns.toSeq == Seq("name", "has_oracle", "bench"))
+    val names = inv.collect().map(_.getString(0)).toSeq
+    assert(names.length == SparkEntry.queries.size && names == names.sorted)
+    assert(names.contains("q01_pricing_summary") && names.contains("q87_neardup_fixpoint"))
+    // delegation: ordinary statements still parse through the stock parser
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // it composes with relational ops like any relation
+    assert(spark.sql("SHOW GRAFT QUERIES").filter("has_oracle").count() > 80)
+  }
+
   test("frame_samples table-valued function resolves in SQL") {
     val idx = spark.sql("SELECT frame_idx FROM frame_samples(30, 4) ORDER BY frame_idx")
       .collect().map(_.getInt(0)).toSeq

@@ -170,6 +170,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"time range must ride as residual condition on the equi-join:\n$p")
   }
 
+  test("q93: term scrubbing is map-side (≤1 exchange for the sort)") {
+    val p = planOf("q93_scrub")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"regex scrub must not shuffle the corpus:\n$p")
+  }
+
+  test("q94/q95: span dedup and sequence packing avoid nested loops; offsets broadcast") {
+    val p94 = planOf("q94_span_dedup")
+    assert(!p94.contains("CartesianProduct") && !p94.contains("BroadcastNestedLoopJoin"))
+    val p95 = planOf("q95_sequence_pack")
+    assert(!p95.contains("CartesianProduct") && !p95.contains("BroadcastNestedLoopJoin"))
+    // two-level prefix sum: the per-bucket offset table joins back via broadcast
+    assert(p95.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p95")
+  }
+
   test("q86: session window aggregates with partial merging before the exchange") {
     val p = planOf("q86_session_window")
     // batch session_window plans as partial agg → exchange → session merge;
