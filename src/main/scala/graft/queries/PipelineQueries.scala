@@ -795,6 +795,27 @@ object PipelineQueries {
         CAST(top_cnt AS DOUBLE) / n_2grams > 0.1 AS is_repetitive
       FROM agg ORDER BY doc_id""")),
 
+    // ---- IVF-cell diversity sampling: within each trained cell, keep
+    // the 3 vectors FARTHEST from their centroid (lowest assignment
+    // cosine) — per-cluster hard-example mining for training-set
+    // curation. Pure composition over the trained quantizer: map-side
+    // assignment (q67's plan) + one window per cell. ----
+    Q("q96_cell_diverse", (s, d) => {
+      val e = embs(s, d)
+      val assigned = graft.operators.Ivf.assign(e, graft.operators.Ivf.train(e, 8, 2))
+      val w = Window.partitionBy(col("cid")).orderBy(col("cos").asc, col("vec_id"))
+      assigned.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("cid").as("centroid"), col("rnk"), col("vec_id"), col("cos").as("cosine"))
+        .orderBy(col("centroid"), col("rnk"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      r AS (SELECT cid, vec_id, cos,
+              row_number() OVER (PARTITION BY cid ORDER BY cos, vec_id) rnk
+            FROM ${duckIvfFinal(2)})
+      SELECT cid AS centroid, rnk, vec_id, cos AS cosine
+      FROM r WHERE rnk <= 3 ORDER BY centroid, rnk""")),
+
     // ---- term scrubbing / vocabulary filtering: mask banned terms
     // map-side with a word-boundary regex (the same shape as PII
     // redaction — swap the term list for email/phone patterns). Spark's

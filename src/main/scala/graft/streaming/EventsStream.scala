@@ -72,7 +72,7 @@ object EventsStream {
     * Scale: equi-key on user_id → hash-partitioned state, no
     * nested-loop; state per key bounded by watermark + 2 h window.
     */
-  def intervalJoin(events: DataFrame): DataFrame = {
+  def intervalJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "30 minutes")
@@ -81,7 +81,7 @@ object EventsStream {
       .withWatermark("s_ts", "30 minutes")
     p.join(sg, col("user_id") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
-        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"), joinType)
       .select(col("p_id"), col("user_id"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts_s"),
         date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_ts_s"))

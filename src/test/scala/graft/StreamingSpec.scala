@@ -110,10 +110,33 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream interval join: stream == batch (ST8)") {
     val stream = EventsStream.runToMemory(spark, streamDir,
-      EventsStream.intervalJoin, "ssjoin_out", outputMode = "append")
+      EventsStream.intervalJoin(_), "ssjoin_out", outputMode = "append")
     val batch = EventsStream.intervalJoin(batchEvents)
     assert(stream.count() > 0)
     assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("stream-stream LEFT OUTER interval join: stream == batch up to the watermark tail") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.intervalJoin(_, "leftOuter"), "ssjoin_lo_out", outputMode = "append")
+    val batch = EventsStream.intervalJoin(batchEvents, "leftOuter")
+    // Documented outer-join semantics: an unmatched left row is emitted
+    // as null only when its join state is evicted, and eviction waits
+    // for watermark − join-interval-width (a purchase could match
+    // signups up to 2 h before it, so Spark holds it until the watermark
+    // clears that whole range). On a FINITE stream the final watermark
+    // is max(ts) − 30 min, so the never-flushed tail spans the last
+    // 30 min + 2 h. The stream must equal batch minus exactly that tail.
+    val cutoffS = batchEvents.agg(org.apache.spark.sql.functions.date_format(
+      fmax(col("ts")) - org.apache.spark.sql.functions.expr("INTERVAL 150 MINUTES"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")).head().getString(0)
+    val batchMinusTail = batch.filter(
+      col("s_ts_s").isNotNull || col("p_ts_s") <= cutoffS)
+    assert(sortedRows(stream) == sortedRows(batchMinusTail))
+    // matched rows are never dropped
+    assert(stream.filter("s_ts_s IS NOT NULL").count() ==
+      batch.filter("s_ts_s IS NOT NULL").count())
   }
 
   test("stream dedup matches batch dropDuplicates count") {
