@@ -795,6 +795,30 @@ object PipelineQueries {
         CAST(top_cnt AS DOUBLE) / n_2grams > 0.1 AS is_repetitive
       FROM agg ORDER BY doc_id""")),
 
+    // ---- per-source quality gate: keep documents at or above their
+    // source's median type-token ratio (distinct/total tokens — a
+    // real boilerplate signal: low TTR = repetitive text). The
+    // percentile is computed WITHIN each source so one domain's prose
+    // style doesn't set another's bar. percent_rank = (rank−1)/(n−1)
+    // divides the same integers in both engines — exact. One shuffle
+    // on source; the quality signal itself is map-side. ----
+    Q("q97_quality_gate", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        (size(array_distinct(ws)) / size(ws)).as("ttr"))
+      base.withColumn("pr", percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("ttr"))))
+        .filter(col("pr") >= 0.5)
+        .select(col("doc_id"), col("source"), col("ttr"), col("pr"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+        len(list_distinct($duckWords)) / len($duckWords) AS ttr FROM documents),
+      r AS (SELECT doc_id, source, ttr,
+              percent_rank() OVER (PARTITION BY source ORDER BY ttr) pr
+            FROM t)
+      SELECT doc_id, source, ttr, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""")),
+
     // ---- IVF-cell diversity sampling: within each trained cell, keep
     // the 3 vectors FARTHEST from their centroid (lowest assignment
     // cosine) — per-cluster hard-example mining for training-set
