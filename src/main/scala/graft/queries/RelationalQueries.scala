@@ -273,6 +273,29 @@ object RelationalQueries {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // ---- q98: explicit GROUPING SETS + grouping_id — the general form
+    // behind rollup/cube (q14/q15); grouping_id's bitmask distinguishes
+    // a genuine NULL group key from an aggregated-away dimension, and
+    // both engines encode it per the SQL standard so it hash-matches.
+    // Planned as a single expand + one partial-agg shuffle. ----
+    Q("q98_grouping_sets", (s, d) => {
+      T(s, d, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id() AS BIGINT) AS gid,
+          count(1) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(20, 2))) AS DOUBLE) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        count(*) AS n, ${duckSum("l_quantity", 2)} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // ---- q15: cube ----
     Q("q15_cube", (s, d) => {
       T(s, d, "orders")

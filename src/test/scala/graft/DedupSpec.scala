@@ -46,6 +46,27 @@ class DedupSpec extends AnyFunSuite {
       Seq(1L, 1L, 1L, 1L, 2L, 3L))
   }
 
+  test("fixpoint equals brute-force connected components on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n / 2)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2)
+      // brute force: union-find over the same edges
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.keepListToFixpoint(
+          (1L to n.toLong).toDF("doc_id"), undirected(pairs: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n) mismatch")
+    }
+  }
+
   test("maxRounds guard trips instead of silently returning a non-fixpoint") {
     val docs = (1L to 4L).toDF("doc_id")
     val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L)
