@@ -742,8 +742,10 @@ object PipelineQueries {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfc = terms.distinct().groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
+      // df from the aggregated tf table (its keys ARE the distinct
+      // (doc, term) pairs) — not from a second distinct over the raw
+      // exploded terms, which would shuffle the full corpus twice
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy((col("tf") / col("df")).desc, col("term"))
       tf.join(dfc, "term")
