@@ -866,29 +866,34 @@ object PipelineQueries {
     // newlines): split every doc into consecutive 10-token spans, keep
     // each distinct span only at its FIRST occurrence corpus-wide
     // (ordered by doc_id, position), reassemble the survivors. Scale
-    // shape: one shuffle on the span key (first-occurrence window), one
-    // shuffle back on doc_id to reassemble — both standard; the span
-    // table is the exploded corpus, never pairwise. ----
+    // shape: span TEXT never leaves the map side — the first-occurrence
+    // window shuffles only (doc_id, ci, 64-bit-ish span hash), the
+    // per-doc keep-lists shuffle back as tiny int arrays, and the
+    // surviving text is rebuilt map-side from the original document.
+    // Hash collisions would merge distinct spans; both engines hash
+    // identically so the oracle still matches — at 100 TB use a 128-bit
+    // hash or add a verify pass, same tradeoff as every hash dedup. ----
     Q("q94_span_dedup", (s, d) => {
       val ws = TextOps.tokens(col("text"))
       val nChunks = ceil(size(ws) / lit(10.0)).cast("int")
-      val chunks = docs(s, d)
+      val hashed = docs(s, d)
         .select(col("doc_id"), ws.as("ws"),
           explode(sequence(lit(0), nChunks - 1)).as("ci"))
         .select(col("doc_id"), col("ci"),
-          concat_ws(" ", slice(col("ws"), col("ci") * 10 + 1, lit(10))).as("chunk"))
-      val firstSeen = Window.partitionBy(col("chunk"))
-        .orderBy(col("doc_id"), col("ci"))
-      val kept = chunks.withColumn("rn", row_number().over(firstSeen))
+          TextOps.hash32(concat_ws(" ",
+            slice(col("ws"), col("ci") * 10 + 1, lit(10)))).as("h"))
+      val firstSeen = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("ci"))
+      val keptIdx = hashed.withColumn("rn", row_number().over(firstSeen))
         .filter(col("rn") === 1)
-      val agg = kept.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("ci"), col("chunk")))),
-          x => x.getField("chunk")), " ")).as("fp"))
-      docs(s, d).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("fp"), md5(lit(""))).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("ci"))).as("keep_ci"))
+      docs(s, d).join(keptIdx, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(size(col("keep_ci")), lit(0)).cast("long").as("n_kept"),
+          md5(array_join(transform(
+            coalesce(col("keep_ci"), array().cast("array<int>")),
+            ci => concat_ws(" ",
+              slice(TextOps.tokens(col("text")), ci * 10 + 1, lit(10)))), " ")).as("fp"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
@@ -898,7 +903,8 @@ object PipelineQueries {
               FROM t),
       ch AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch0),
       k AS (SELECT doc_id, ci, chunk,
-              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) rn
+              row_number() OVER (PARTITION BY ${duckHash32("chunk")}
+                                 ORDER BY doc_id, ci) rn
             FROM ch),
       agg AS (SELECT doc_id, count(*) n_kept,
                 md5(string_agg(chunk, ' ' ORDER BY ci)) fp
