@@ -22,6 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val ShowQueries = """(?is)\s*SHOW\s+GRAFT\s+QUERIES\s*;?\s*""".r
+  private val DescQuery = """(?is)\s*DESCRIBE\s+GRAFT\s+QUERY\s+(\w+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ShowQueries() =>
@@ -35,6 +36,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         InternalRow(UTF8String.fromString(n), oracles.contains(n), benched.contains(n))
       }
       LocalRelation(out, rows)
+    case DescQuery(name) =>
+      // parameterized custom statement: the query's oracle SQL (or an
+      // explanatory row if it has none / doesn't exist)
+      require(graft.SparkEntry.queries.contains(name),
+        s"unknown graft query '$name' — SHOW GRAFT QUERIES lists the inventory")
+      val out = Seq(
+        AttributeReference("name", StringType, nullable = false)(),
+        AttributeReference("oracle_sql", StringType, nullable = true)())
+      val sql = graft.SparkEntry.oracleSql.get(name).orNull
+      LocalRelation(out, Seq(InternalRow(UTF8String.fromString(name),
+        if (sql == null) null else UTF8String.fromString(sql.trim))))
     case _ => delegate.parsePlan(sqlText)
   }
 

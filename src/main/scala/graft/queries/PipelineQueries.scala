@@ -797,6 +797,38 @@ object PipelineQueries {
         CAST(top_cnt AS DOUBLE) / n_2grams > 0.1 AS is_repetitive
       FROM agg ORDER BY doc_id""")),
 
+    // ---- corpus token accounting: tokens per source, share of the
+    // corpus, and cumulative share in descending-size order — the table
+    // a mixture plan starts from. All integer sums (exact); shares are
+    // single divisions of exact longs. One partial-agg shuffle; the
+    // ordered cumulative runs over |sources| rows only. ----
+    Q("q99_token_budget", (s, d) => {
+      val perSource = docs(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"),
+          count(lit(1)).as("docs"))
+      val total = Window.partitionBy()
+      val ordered = Window.orderBy(col("tokens").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perSource
+        .withColumn("share", col("tokens") / sum(col("tokens")).over(total))
+        .withColumn("cum_share",
+          sum(col("tokens")).over(ordered) / sum(col("tokens")).over(total))
+        .select(col("source"), col("tokens"), col("docs"),
+          col("share"), col("cum_share"))
+        .orderBy(col("tokens").desc, col("source"))
+    }, Some("""
+      WITH s AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) tokens,
+          count(*) docs
+        FROM documents GROUP BY 1)
+      SELECT source, tokens, docs,
+        CAST(tokens AS DOUBLE) / (SELECT CAST(sum(tokens) AS BIGINT) FROM s) AS share,
+        CAST(CAST(sum(tokens) OVER (ORDER BY tokens DESC, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+          / (SELECT CAST(sum(tokens) AS BIGINT) FROM s) AS cum_share
+      FROM s ORDER BY tokens DESC, source""")),
+
     // ---- per-source quality gate: keep documents at or above their
     // source's median type-token ratio (distinct/total tokens — a
     // real boilerplate signal: low TTR = repetitive text). The

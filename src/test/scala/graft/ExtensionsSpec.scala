@@ -95,6 +95,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SHOW GRAFT QUERIES").filter("has_oracle").count() > 80)
   }
 
+  test("injected parser: DESCRIBE GRAFT QUERY returns the oracle; errors stay sane") {
+    val r = spark.sql("DESCRIBE GRAFT QUERY q01_pricing_summary").head()
+    assert(r.getString(0) == "q01_pricing_summary" &&
+      r.getString(1).toUpperCase.startsWith("SELECT"))
+    // unknown query name → actionable message
+    val e = intercept[Exception] {
+      spark.sql("DESCRIBE GRAFT QUERY nope").collect()
+    }
+    assert(e.getMessage.contains("SHOW GRAFT QUERIES"), e.getMessage)
+    // malformed stock SQL still raises the standard parse error
+    val pe = intercept[Exception] { spark.sql("SELEC 1").collect() }
+    assert(pe.getMessage.toUpperCase.contains("SYNTAX"), pe.getMessage)
+  }
+
   test("frame_samples table-valued function resolves in SQL") {
     val idx = spark.sql("SELECT frame_idx FROM frame_samples(30, 4) ORDER BY frame_idx")
       .collect().map(_.getInt(0)).toSeq
