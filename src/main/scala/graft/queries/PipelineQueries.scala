@@ -797,6 +797,51 @@ object PipelineQueries {
         CAST(top_cnt AS DOUBLE) / n_2grams > 0.1 AS is_repetitive
       FROM agg ORDER BY doc_id""")),
 
+    // ---- SEMANTIC decontamination: the embedding-level twin of q88's
+    // lexical 8-gram check — flag training vectors whose cosine to any
+    // held-out eval vector reaches 0.4, with candidates generated by the
+    // q70 banding kernel (4 bands × 4 hyperplanes) instead of an
+    // all-pairs scan. Scale shape: the eval side is tiny by construction
+    // (eval sets don't grow with the corpus), so its banded form
+    // BROADCASTS and the corpus is probed map-side — zero fact shuffles
+    // before the distinct on hit ids. Both engines run the same banding,
+    // so recall-by-banding is identical and the oracle is exact. ----
+    Q("q100_embed_decontaminate", (s, d) => {
+      val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+        TextOps.lshBandBucket(col("embedding"), b * 4, 4, 64).as("bkey")))
+      val banded = embs(s, d)
+        .select(col("vec_id"), col("embedding"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("vec_id"), col("embedding"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val ev = banded.filter(col("vec_id") % 10 === 7)
+        .select(col("band").as("e_band"), col("bkey").as("e_bkey"),
+          col("embedding").as("ev_emb"))
+      val contaminated = banded.filter(col("vec_id") % 10 =!= 7)
+        .join(broadcast(ev),
+          col("band") === col("e_band") && col("bkey") === col("e_bkey"))
+        .filter(TextOps.cosine(col("embedding"), col("ev_emb")) >= 0.4)
+        .select(col("vec_id")).distinct()
+      embs(s, d).filter(col("vec_id") % 10 =!= 7)
+        .join(contaminated.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("hit").isNull.as("is_clean"))
+        .orderBy(col("vec_id"))
+    }, Some {
+      val bandSelects = (0 until 4).map { bnd =>
+        s"""SELECT vec_id, embedding, $bnd AS band,
+            CAST(${duckBandBucket("e", bnd * 4, 4)} AS BIGINT) AS bkey FROM embeddings e"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH bb AS ($bandSelects),
+      ev AS (SELECT band, bkey, embedding AS ev_emb FROM bb WHERE vec_id % 10 = 7),
+      cont AS (SELECT DISTINCT t.vec_id
+               FROM bb t JOIN ev e ON t.band = e.band AND t.bkey = e.bkey
+               WHERE t.vec_id % 10 <> 7
+                 AND ${duckCos("t.embedding", "e.ev_emb")} >= 0.4)
+      SELECT v.vec_id, c.vec_id IS NULL AS is_clean
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 7) v
+      LEFT JOIN cont c USING (vec_id) ORDER BY v.vec_id"""
+    }),
+
     // ---- corpus token accounting: tokens per source, share of the
     // corpus, and cumulative share in descending-size order — the table
     // a mixture plan starts from. All integer sums (exact); shares are

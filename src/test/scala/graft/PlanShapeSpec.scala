@@ -150,6 +150,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q100: semantic decontamination probes banded eval vectors via broadcast") {
+    val p = planOf("q100_embed_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q90: repetition score is map-side (array exprs, ≤1 exchange for the sort)") {
     val p = planOf("q90_repetition")
     val shuffles = p.linesIterator.count(l =>
