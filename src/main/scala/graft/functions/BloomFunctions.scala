@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter build/probe over long keys, exposed as Columns via the
+  * same internal expressions Spark's own runtime row-level filtering
+  * injects (`BloomFilterAggregate` / `BloomFilterMightContain`) — so the
+  * probe side stays codegen'd and map-side.
+  *
+  * The 100 TB decontamination shape this enables (q101): an eval set's
+  * n-gram inventory is often too large to broadcast as an exact hash set
+  * (tens of GB of grams), but its bloom filter is a few MB — build it
+  * once, ship it as a task literal, and prune the corpus gram stream
+  * map-side before the exact verification join, which then only sees the
+  * tiny might-contain survivor fraction. No false negatives means the
+  * final result is still exact.
+  */
+object BloomFunctions {
+
+  /** Aggregate a LongType key column into a serialized bloom filter
+    * (binary). Partial aggregation merges per-partition filters, so only
+    * fixed-size `numBits/8`-byte buffers cross the exchange — never keys.
+    */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    GraftSqlBridge.column(
+      new BloomFilterAggregate(GraftSqlBridge.expression(key),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Build the filter eagerly and hand it back as a foldable binary
+    * literal — the same driver-side-literal pattern as the IVF centroid
+    * table ([[graft.operators.Ivf]]): one small aggregate job now, then
+    * the filter rides into every task closure with zero joins.
+    */
+  def trainBloom(keys: DataFrame, key: Column, expectedItems: Long,
+      numBits: Long): Column = {
+    val bin = keys.select(bloomAgg(key, expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    lit(bin)
+  }
+
+  /** Probe: true when `key` MIGHT be in the filter (false positives
+    * possible at the configured bits-per-item rate, false negatives
+    * never — callers needing exactness verify survivors with an exact
+    * join, see q101).
+    */
+  def mightContain(bloom: Column, key: Column): Column =
+    GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(key)))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Cluster-representative selection for near-dup keep-lists (the step
@@ -15,46 +16,67 @@ import org.apache.spark.sql.functions._
   * though the round count is data-dependent.
   *
   * Cost model per round (the 100 TB accounting):
-  *   - one shuffle of `edges` joined with the label table on the edge key
-  *     (edges are tiny relative to the corpus — only docs with a verified
-  *     near-dup partner appear),
+  *   - one shuffle of the *materialized* edge blocks joined with the
+  *     label table on the edge key (edges are pinned once at entry, so a
+  *     round never re-runs the candidate-generation lineage that produced
+  *     them — MinHash banding + Jaccard verification execute exactly
+  *     once),
   *   - one shuffle for the per-src min,
   *   - one left join back onto the label table (corpus-wide, 2 columns),
   *   - one count action on the checkpointed result to test convergence.
-  * `localCheckpoint(eager = true)` after every round truncates lineage so
-  * round N's plan does not replay rounds 1..N-1 — without it the plan
-  * doubles per round and the driver dies long before the data does. On a
-  * cluster prefer `checkpoint()` to a reliable store so executor loss
-  * can't silently restart the chain. Rounds needed = the longest
-  * propagation path in any component (chains of near-dups), bounded by
-  * `maxRounds` as a runaway guard.
+  * Checkpointing after every round truncates lineage so round N's plan
+  * does not replay rounds 1..N-1 — without it the plan doubles per round
+  * and the driver dies long before the data does. The previous round's
+  * blocks are unpersisted as soon as the next round is materialized, so
+  * peak storage is TWO 2-column label tables plus the edges, not
+  * `maxRounds` of them. On a cluster prefer `RDD.checkpoint()` to a
+  * reliable store so executor loss can't silently restart the chain.
+  * Rounds needed = the longest propagation path in any component (chains
+  * of near-dups), bounded by `maxRounds` as a runaway guard.
   */
 object Dedup {
+
+  /** Pin a small/intermediate frame: materialize it to local-checkpoint
+    * blocks and hand back both the block-backed frame and the RDD whose
+    * blocks can be `unpersist`ed once the frame is no longer needed.
+    */
+  private def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count() // eager: materialize before anything downstream replans
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
 
   /** @param docs  one row per document; `idCol` must be its unique id
     * @param edges verified near-dup pairs in BOTH directions, columns
     *              `src`, `dst` (same type as `idCol`)
     * @return docs' ids with `rep` = min id of the connected component and
-    *         `is_kept` = (id == rep)
+    *         `is_kept` = (id == rep). The result reads from the final
+    *         round's pinned blocks — consume (write/collect) before the
+    *         SparkContext that produced it goes away.
     */
   def keepListToFixpoint(docs: DataFrame, edges: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 50): DataFrame = {
-    var labels = docs.select(col(idCol), col(idCol).as("rep")).localCheckpoint()
+    val (e, eRdd) = pin(edges.select(col("src"), col("dst")))
+    var (labels, labelsRdd) = pin(docs.select(col(idCol), col(idCol).as("rep")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val nbr = edges.join(
+      val nbr = e.join(
           labels.select(col(idCol).as("nbr_id"), col("rep").as("nrep")),
           col("dst") === col("nbr_id"))
         .groupBy(col("src")).agg(min(col("nrep")).as("minrep"))
-      val stepped = labels.join(nbr, labels(idCol) === nbr("src"), "left")
-        .select(col(idCol), col("rep").as("prev"),
-          least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
-        .localCheckpoint()
+      val (stepped, steppedRdd) = pin(
+        labels.join(nbr, labels(idCol) === nbr("src"), "left")
+          .select(col(idCol), col("rep").as("prev"),
+            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep")))
       changed = stepped.filter(col("rep") =!= col("prev")).count()
+      labelsRdd.unpersist(blocking = false) // prior round no longer referenced
       labels = stepped.select(col(idCol), col("rep"))
+      labelsRdd = steppedRdd
       round += 1
     }
+    eRdd.unpersist(blocking = false)
     require(changed == 0,
       s"keepListToFixpoint did not converge in $maxRounds rounds — " +
         "either raise maxRounds or check the edge set for corruption " +

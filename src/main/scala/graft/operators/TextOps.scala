@@ -15,18 +15,20 @@ object TextOps {
   /** Whitespace tokens of a single-space-separated text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word k-shingles as space-joined strings (k=3). Requires ≥3 tokens —
-    * callers filter `size(tokens) >= 3` (Spark's `sequence(1, 0)` would
-    * count down, not return empty).
-    */
+  /** Word k-shingles as space-joined strings (k=3). */
   def shingles3(ws: Column): Column = shinglesK(ws, 3)
 
-  /** Word k-shingles for arbitrary k (callers filter `size(ws) >= k`).
-    * k=8..13 is the usual n-gram width for test-set decontamination.
+  /** Word k-shingles for arbitrary k; total — fewer than k tokens yields
+    * an empty array (without the guard, Spark's `sequence(1, 0)` counts
+    * DOWN and `element_at` with indices ≤ 0 reads from the array end,
+    * producing garbage shingles silently). k=8..13 is the usual n-gram
+    * width for test-set decontamination.
     */
   def shinglesK(ws: Column, k: Int): Column =
-    transform(sequence(lit(1), size(ws) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** 32-bit hash of a string, seeded: first 8 hex digits of
     * `md5(seed + "|" + s)` as a long. Mirrors the DuckDB expression

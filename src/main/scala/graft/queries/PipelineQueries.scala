@@ -729,6 +729,47 @@ object PipelineQueries {
       FROM documents d LEFT JOIN cont c USING (doc_id)
       WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id"""), bench = true),
 
+    // ---- bloom-filter decontamination: q88's semantics through the
+    // at-scale shape. q88 broadcasts the EXACT eval gram set — fine while
+    // eval grams fit in a broadcast, but a realistic eval suite's n-gram
+    // inventory can run tens of GB. Here the eval grams are folded into a
+    // ~128 KB bloom filter (built once, shipped as a task literal), the
+    // corpus gram stream is pruned MAP-SIDE by might_contain, and only
+    // the survivor fraction reaches the exact verification join — which
+    // keeps the answer exact (bloom has no false negatives), so the
+    // oracle is identical to q88's. Fixed-size filter buffers are the
+    // only thing the build aggregation exchanges. ----
+    Q("q101_bloom_decontaminate", (s, d) => {
+      import graft.functions.BloomFunctions
+      val ws = TextOps.tokens(col("text"))
+      val grams = docs(s, d).filter(size(ws) >= 8)
+        .select(col("doc_id"), explode(array_distinct(TextOps.shinglesK(ws, 8))).as("gram"))
+        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
+      val bloom = BloomFunctions.trainBloom(evalGrams, col("g"),
+        expectedItems = 1L << 16, numBits = 1L << 20)
+      val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
+        .filter(BloomFunctions.mightContain(bloom, col("g"))) // map-side prune
+        .join(evalGrams, "g") // exact verify on the survivors only
+        .select(col("doc_id")).distinct()
+      docs(s, d).filter(col("doc_id") % 10 =!= 7)
+        .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("hit").isNull.as("is_clean"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      g AS (SELECT doc_id, ${duckHash32("gr")} AS g FROM (
+              SELECT doc_id, unnest(list_distinct(
+                [array_to_string(ws[i:i+7], ' ')
+                 for i in generate_series(1, len(ws) - 7)])) gr
+              FROM t WHERE len(ws) >= 8)),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7),
+      cont AS (SELECT DISTINCT doc_id FROM g
+               WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev))
+      SELECT d.doc_id, d.source, c.doc_id IS NULL AS is_clean
+      FROM documents d LEFT JOIN cont c USING (doc_id)
+      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""")),
+
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
     // integers, so scores are bit-identical with no rounding tolerance

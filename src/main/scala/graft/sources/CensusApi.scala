@@ -128,32 +128,60 @@ object CensusApi {
     Dataset(id, base, fetchFn)
   }
 
-  /** Catalog lookup for [[getDataset]]: match `identifier` exactly or by
-    * trailing path segment (the live catalog publishes identifiers as
-    * `https://api.census.gov/data/id/<id>` URLs).
+  /** Parsed catalogs memoized per fetch function (identity-keyed, so each
+    * injected test transport sees its own cache and the default
+    * [[httpGet]] fetches the live catalog at most once per process).
+    * Failed fetches are NOT cached — a transient outage doesn't poison
+    * later lookups.
     */
-  private[sources] def catalogBasePath(id: String,
-      fetchFn: String => String): Option[String] = {
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[(String, String)]]()
+
+  /** identifier → first `distribution.accessURL`, in catalog order. */
+  private def parseCatalog(fetchFn: String => String): Option[Seq[(String, String)]] = {
     implicit val formats: Formats = DefaultFormats
-    scala.util.Try(JsonMethods.parse(fetchFn(s"$Host.json")) \ "dataset").toOption.flatMap {
+    scala.util.Try(JsonMethods.parse(fetchFn(s"$Host.json")) \ "dataset").toOption.map {
       case JArray(ds) =>
-        ds.collectFirst(Function.unlift { d =>
+        ds.flatMap { d =>
           val ident = (d \ "identifier").extractOrElse[String]("")
-          if (ident == id || ident.endsWith("/" + id))
-            (d \ "distribution") match {
-              case JArray(dist :: _) =>
-                Option((dist \ "accessURL").extractOrElse[String]("")).filter(_.nonEmpty)
-              case _ => None
-            }
-          else None
-        })
-      case _ => None
+          (d \ "distribution") match {
+            case JArray(dist :: _) =>
+              Option((dist \ "accessURL").extractOrElse[String](""))
+                .filter(_.nonEmpty).map(ident -> _)
+            case _ => None
+          }
+        }
+      case _ => Nil
     }
   }
 
+  /** Catalog lookup for [[getDataset]]: match `identifier` exactly or by
+    * trailing path segment (the live catalog publishes identifiers as
+    * `https://api.census.gov/data/id/<id>` URLs). The catalog is fetched
+    * and parsed once per transport, then consulted in-memory.
+    */
+  private[sources] def catalogBasePath(id: String,
+      fetchFn: String => String): Option[String] = {
+    val catalog = Option(catalogCache.get(fetchFn)).getOrElse {
+      val parsed = parseCatalog(fetchFn)
+      parsed.foreach(catalogCache.putIfAbsent(fetchFn, _))
+      parsed.getOrElse(Nil)
+    }
+    catalog.collectFirst {
+      case (ident, base) if ident == id || ident.endsWith("/" + id) => base
+    }
+  }
+
+  /** HTTP GET with explicit connect/request timeouts so a filtered or
+    * offline network fails fast (and [[getDataset]] falls back to its
+    * `$Host/$id` guess promptly) instead of hanging for the OS TCP
+    * timeout.
+    */
   private[sources] def httpGet(url: String): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(60)).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() >= 400)
       throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")

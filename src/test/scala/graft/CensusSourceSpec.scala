@@ -214,6 +214,28 @@ class CensusSourceSpec extends AnyFunSuite {
       .basePath == s"${CensusApi.Host}/NOPE")
   }
 
+  test("CensusApi catalog fetched once per transport; failures not cached (ADVICE r3)") {
+    val catalogJson = """{"dataset": [
+      {"identifier": "https://api.census.gov/data/id/CBP2016", "title": "CBP 2016",
+       "distribution": [{"accessURL": "https://api.census.gov/data/2016/cbp"}]}]}"""
+    var fetched = 0
+    val transport: String => String = { _ => fetched += 1; catalogJson }
+    assert(CensusApi.getDataset("CBP2016", transport).basePath ==
+      "https://api.census.gov/data/2016/cbp")
+    assert(CensusApi.getDataset("CBP2016", transport).basePath ==
+      "https://api.census.gov/data/2016/cbp")
+    assert(fetched == 1, s"catalog refetched: $fetched fetches for 2 lookups")
+    // a failed fetch falls back but is NOT memoized — the next call retries
+    var calls = 0
+    val flaky: String => String = { _ =>
+      calls += 1
+      if (calls == 1) throw new java.io.IOException("offline") else catalogJson
+    }
+    assert(CensusApi.getDataset("CBP2016", flaky).basePath == s"${CensusApi.Host}/CBP2016")
+    assert(CensusApi.getDataset("CBP2016", flaky).basePath ==
+      "https://api.census.gov/data/2016/cbp")
+  }
+
   test("CensusApi variable search filters by substring") {
     val varsJson = """{"variables": {
         "B01003_001E": {"label": "Estimate!!Total population"},

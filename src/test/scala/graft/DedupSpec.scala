@@ -76,6 +76,25 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("edges lineage executes once and label blocks don't pile up (ADVICE r3)") {
+    // The 6-node chain needs 5 propagation rounds. Before the r4 fix the
+    // edge plan re-executed every round (5× the candidate-generation cost
+    // for q87's MinHash-banded edges) and every round's localCheckpoint
+    // stayed pinned. Count edge-scan executions with an accumulator and
+    // inspect the block manager afterwards.
+    val acc = spark.sparkContext.longAccumulator("edgeScans")
+    val rawEdges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val counted = rawEdges.as[(Long, Long)]
+      .map { e => acc.add(1); e }.toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.keepListToFixpoint((1L to 6L).toDF("doc_id"), counted)
+    assert(out.count() == 6)
+    assert(acc.value == 10L, s"edges scanned ${acc.value} rows — lineage re-executed")
+    // pinned: the final labels round (+ its result above); everything else released
+    assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
+      s"leaked checkpoint blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("already-converged input costs exactly one verification round") {
     val docs = (1L to 3L).toDF("doc_id")
     val out = Dedup.keepListToFixpoint(docs, undirected()).orderBy("doc_id").collect()
