@@ -150,6 +150,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q101: bloom probe is a map-side Filter ahead of the verify join") {
+    val p = planOf("q101_bloom_decontaminate")
+    // the bloom literal rides in a Filter(might_contain) directly over the
+    // gram projection — BEFORE any join/exchange sees the corpus grams
+    assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
+    val probeLine = p.linesIterator.find(_.contains("might_contain")).get
+    assert(probeLine.trim.startsWith("Filter") || probeLine.contains("Filter"),
+      s"bloom probe not a Filter:\n$probeLine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q101 equals q88 exactly (bloom prefilter has no false negatives)") {
+    val a = SparkEntry.queries("q101_bloom_decontaminate")(spark, dir).collect()
+    val b = SparkEntry.queries("q88_decontaminate")(spark, dir).collect()
+    assert(a.sameElements(b), "bloom-decontaminated result diverged from exact q88")
+  }
+
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {
     val p = planOf("q100_embed_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")
