@@ -770,6 +770,71 @@ object PipelineQueries {
       FROM documents d LEFT JOIN cont c USING (doc_id)
       WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""")),
 
+    // ---- model-based quality filtering: the "classifier gate" every
+    // training pipeline runs (fastText/logreg-style). The model is a
+    // weight vector over cheap map-side features; at scale it ships to
+    // tasks as a literal/broadcast (like the IVF centroids) and the whole
+    // gate is one codegen'd projection over the corpus — ZERO shuffles
+    // before the output sort. Determinism: features are int/int divisions
+    // (exact in both engines), weights are binary-exact literals, and the
+    // squash is ALGEBRAIC — z/(1+|z|), not exp-based sigmoid, because
+    // div/abs/add are IEEE-exact in every engine while libm exp() is not
+    // correctly rounded and may differ by an ULP between JVM and C. The
+    // keep decision compares the ROUNDED score so both engines compare
+    // identical decimals. ----
+    Q("q102_model_quality", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val stop = size(filter(ws, w => w.isin("the", "a"))) / size(ws)
+      val lenf = least(size(ws), lit(200)) / lit(200.0)
+      val ttr = size(array_distinct(ws)) / size(ws)
+      val atl = (length(col("text")) - (size(ws) - 1)) / size(ws)
+      val z = lit(-1.0) + lit(2.0) * stop + lit(1.5) * lenf +
+        lit(0.5) * ttr + lit(0.25) * atl
+      docs(s, d).select(col("doc_id"), col("source"),
+          round(z / (lit(1.0) + abs(z)), 6).as("model_score"))
+        .withColumn("is_kept", col("model_score") >= lit(0.25))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (SELECT doc_id, source,
+        len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+          / len(string_split(text, ' ')) AS stop,
+        least(len(string_split(text, ' ')), 200) / 200.0 AS lenf,
+        len(list_distinct(string_split(text, ' ')))
+          / len(string_split(text, ' ')) AS ttr,
+        (length(text) - (len(string_split(text, ' ')) - 1))
+          / len(string_split(text, ' ')) AS atl
+        FROM documents),
+      z AS (SELECT doc_id, source,
+        -1.0 + 2.0 * stop + 1.5 * lenf + 0.5 * ttr + 0.25 * atl AS z FROM f)
+      SELECT doc_id, source, round(z / (1.0 + abs(z)), 6) AS model_score,
+        round(z / (1.0 + abs(z)), 6) >= 0.25 AS is_kept
+      FROM z ORDER BY doc_id""")),
+
+    // ---- partitioned sink + pruned read-back: write the corpus
+    // hive-partitioned by source, then answer a per-source question from
+    // the partitioned copy. At 100 TB this is the difference between
+    // scanning everything and listing two directories: the source
+    // predicate is a PARTITION filter (plan-locked in SinkSpec — zero
+    // data files from other sources are even opened). The write path is
+    // the real sink surface: dynamic partition columns, overwrite mode,
+    // one pass. ----
+    Q("q103_partitioned_sink", (s, d) => {
+      val out = s"/tmp/graft_sink/${java.lang.Integer.toHexString(d.hashCode)}/docs_by_source"
+      if (!new java.io.File(s"$out/_SUCCESS").exists())
+        docs(s, d).write.mode("overwrite").partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .filter(col("source").isin("src3", "src7"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    }, Some("""
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        count(DISTINCT lang) AS n_langs
+      FROM documents WHERE source IN ('src3', 'src7')
+      GROUP BY source ORDER BY source""")),
+
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
     // integers, so scores are bit-identical with no rounding tolerance

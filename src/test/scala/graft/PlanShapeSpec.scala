@@ -167,6 +167,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(a.sameElements(b), "bloom-decontaminated result diverged from exact q88")
   }
 
+  test("q102: model quality gate is one map-side projection (≤1 exchange for the sort)") {
+    val p = planOf("q102_model_quality")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"model gate shuffles the corpus:\n$p")
+    assert(!p.contains("Join"), s"model gate must not join:\n$p")
+  }
+
+  test("q103: source predicate prunes partitions — no row-level source filter") {
+    val p = planOf("q103_partitioned_sink")
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    val pf = p.split("PartitionFilters:")(1).split("\n")(0)
+    assert(pf.contains("source"), s"source not a partition filter:\n$pf")
+    // source is a directory key, not data — the scan must not read it as a column
+    val rs = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(!rs.contains("source"), s"source read as a data column:\n$rs")
+  }
+
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {
     val p = planOf("q100_embed_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")
