@@ -835,6 +835,28 @@ object PipelineQueries {
       FROM documents WHERE source IN ('src3', 'src7')
       GROUP BY source ORDER BY source""")),
 
+    // ---- batch twin of the STREAMING near-dup candidate operator
+    // (graft.streaming.DocsStream.nearDupCandidates — flatMapGroupsWith-
+    // State keyed on (band, bucket), one long of state per bucket). The
+    // streaming and batch forms share the q43 banding kernel and are
+    // parity-locked in StreamingSpec ST9; this entry puts the shared
+    // semantics under the DuckDB hash gate. ----
+    Q("q104_stream_neardup_batch", (s, d) => {
+      graft.streaming.DocsStream.nearDupCandidatesBatch(docs(s, d))
+        .orderBy(col("doc_id"), col("band"))
+    }, Some(s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      reps AS (SELECT band, bkey, min(doc_id) AS dup_of FROM bands GROUP BY 1, 2)
+      SELECT b.doc_id, b.band, r.dup_of
+      FROM bands b JOIN reps r USING (band, bkey)
+      WHERE r.dup_of < b.doc_id
+      ORDER BY doc_id, band""")),
+
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
     // integers, so scores are bit-identical with no rounding tolerance

@@ -139,6 +139,39 @@ class StreamingSpec extends AnyFunSuite {
       batch.filter("s_ts_s IS NOT NULL").count())
   }
 
+  test("streaming minhash near-dup candidates == batch twin across micro-batches (ST9)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    val docs = Tables(spark, dir, "documents")
+    val mid = docs.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    // two files, mtime-ordered by ascending doc_id (the ingest-order
+    // contract) + maxFilesPerTrigger=1 → dedup state must carry across
+    // micro-batches for parity to hold
+    val sd = java.nio.file.Files.createTempDirectory("docs-stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    stage(docs.filter(col("doc_id") <= mid), "a.parquet", 1000000L)
+    stage(docs.filter(col("doc_id") > mid), "b.parquet", 2000000L)
+    val q = DocsStream.nearDupCandidates(DocsStream.readStream(spark, sd.toString))
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 2, s"expected ≥2 micro-batches, got $nBatches")
+    val stream = spark.table("neardup_out")
+    val batch = DocsStream.nearDupCandidatesBatch(docs)
+    assert(batch.count() > 0, "no near-dup candidates in testdata?")
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("stream dedup matches batch dropDuplicates count") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.dedup, "dedup_out", outputMode = "append")
