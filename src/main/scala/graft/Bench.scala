@@ -20,9 +20,14 @@ object Bench {
     // (SparkEntry.benchQueries), min of THREE runs each — the first run
     // pays whole-stage-codegen compilation, and min-of-3 narrows the
     // ±30% machine variance that made round-over-round deltas ambiguous
-    val results: Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
+    // parameterized locally (driver always uses the defaults): RUNS for
+    // quicker/sturdier local iterations, QUERIES to time a subset
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").toSet)
+    val results: Seq[(String, Double)] = SparkEntry.benchQueries
+      .filter(n => subset.forall(_.contains(n))).map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue

@@ -109,6 +109,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pe.getMessage.toUpperCase.contains("SYNTAX"), pe.getMessage)
   }
 
+  test("injected parser: near-miss graft syntax falls through to the vanilla parser") {
+    // anything that isn't EXACTLY a graft statement must delegate — the
+    // custom syntax adds zero blast radius to normal SQL, including its
+    // own near-misses
+    // each near-miss must surface a VANILLA error (parse error, or — for
+    // "DESCRIBE GRAFT QUERY", which is legal stock SQL describing column
+    // QUERY of table GRAFT — an unresolved-table error), never the graft
+    // path's "unknown graft query" message
+    Seq("SHOW GRAFT", "DESCRIBE GRAFT QUERY", "SHOW GRAFT QUERIES LIKE 'x'",
+        "SHOW GRAFTQUERIES").foreach { s =>
+      val e = intercept[Exception] { spark.sql(s).collect() }
+      assert(!e.getMessage.contains("graft query"),
+        s"'$s' hit the graft path instead of delegating: ${e.getMessage.take(120)}")
+      assert(e.getMessage.toUpperCase.contains("SYNTAX") ||
+        e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        s"'$s' raised an unexpected error: ${e.getMessage.take(120)}")
+    }
+    // case-insensitive + trailing semicolon still hit the graft path
+    assert(spark.sql("show graft queries;").count() > 100)
+  }
+
   test("frame_samples table-valued function resolves in SQL") {
     val idx = spark.sql("SELECT frame_idx FROM frame_samples(30, 4) ORDER BY frame_idx")
       .collect().map(_.getInt(0)).toSeq
