@@ -857,6 +857,43 @@ object PipelineQueries {
       WHERE r.dup_of < b.doc_id
       ORDER BY doc_id, band""")),
 
+    // ---- incremental ingest dedup: is each NEW document's fingerprint
+    // already in the historical corpus? The scale-correct direction is
+    // to bloom the SMALL side (the new batch) and prune the BIG side
+    // (the 100 TB history) map-side with it — the same asymmetry Spark's
+    // runtime row filters exploit. History rows whose fingerprint can't
+    // be in the new batch never leave their scan task; only the
+    // might-contain survivors reach the exact join that flags true
+    // collisions (bloom false positives are filtered there, so the
+    // result is exact and the oracle is bloom-free). The fingerprint is
+    // the first-4-token prefix (boilerplate-header dedup) rather than
+    // the full text so the collision path actually fires on the
+    // testdata — full-text fingerprints have zero cross-batch dups at
+    // these SFs and would leave the verify join untested. ----
+    Q("q105_incremental_dedup", (s, d) => {
+      import graft.functions.BloomFunctions
+      val fp = docs(s, d).select(col("doc_id"),
+        md5(lower(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))).as("fp"))
+      val newB = fp.filter(col("doc_id") % 5 === 4)
+      val hist = fp.filter(col("doc_id") % 5 =!= 4)
+      val bloom = BloomFunctions.trainBloom(
+        newB, TextOps.hash32(col("fp")), expectedItems = 1L << 16, numBits = 1L << 20)
+      val histHits = hist
+        .filter(BloomFunctions.mightContain(bloom, TextOps.hash32(col("fp"))))
+        .select(col("fp")).distinct()
+      newB.join(histHits.withColumn("seen", lit(1)), Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"), col("seen").isNull.as("is_first_seen"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (SELECT doc_id,
+                        md5(lower(array_to_string(
+                          (string_split(text, ' '))[1:4], ' '))) AS fp,
+                        doc_id % 5 = 4 AS is_new FROM documents),
+      hist AS (SELECT DISTINCT fp FROM f WHERE NOT is_new)
+      SELECT f.doc_id, f.fp, h.fp IS NULL AS is_first_seen
+      FROM f LEFT JOIN hist h ON f.fp = h.fp
+      WHERE f.is_new ORDER BY f.doc_id""")),
+
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
     // integers, so scores are bit-identical with no rounding tolerance

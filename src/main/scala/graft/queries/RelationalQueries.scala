@@ -731,6 +731,28 @@ object RelationalQueries {
              OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
           AS near_spend
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- q106: two-phase SALTED aggregation through the gate. The
+    // returnflag aggregate funnels the whole fact table into 3 reducer
+    // keys — the canonical hot-key shape at 100 TB. Skew.saltedSum
+    // spreads each key over 16 deterministic salts (first shuffle:
+    // (key, salt), 48 cells), combines partials, then re-aggregates the
+    // 48-row partial set on the key alone. Exact decimal sums keep the
+    // two-phase total bit-identical to the one-phase oracle. Plan-locked
+    // in PlanShapeSpec (two exchanges, partial aggregation in both). ----
+    Q("q106_salted_hot_agg", (s, d) => {
+      graft.operators.Skew.saltedSum(
+          T(s, d, "lineitem"),
+          keys = Seq("l_returnflag"),
+          value = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 2)),
+          valueName = "sum_qty", salts = 16,
+          discriminators = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_returnflag"),
+          col("sum_qty").cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      SELECT l_returnflag, ${duckSum("l_quantity", 2)} AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -185,6 +185,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!rs.contains("source"), s"source read as a data column:\n$rs")
   }
 
+  test("q105: history side is bloom-pruned map-side before any join") {
+    val p = planOf("q105_incremental_dedup")
+    assert(p.contains("might_contain"), s"bloom prune missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q106: salted aggregation is two-phase — (key,salt) exchange then key exchange") {
+    val p = planOf("q106_salted_hot_agg")
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(l => l.contains("l_returnflag") && l.contains("__salt")),
+      s"no (key, salt) exchange:\n$p")
+    assert(exchanges.exists(l => l.contains("l_returnflag") && !l.contains("__salt")),
+      s"no final key exchange:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {
     val p = planOf("q100_embed_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")
