@@ -39,6 +39,14 @@ object PipelineQueries {
   private val duckShingles =
     "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]"
 
+  /** Character-bigram profiles for q107 (top bigrams of each language's
+    * orthography; shared by the Spark and DuckDB sides).
+    */
+  private val BigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "un", "ge"),
+    "fr" -> Seq("es", "le", "de", "re", "en", "on", "nt", "ou"))
+
   /** MinHash signature frame (Spark side), shared by q42/q43. */
   private def minhashSig(s: SparkSession, d: String, nHashes: Int): DataFrame = {
     val ws = TextOps.tokens(col("text"))
@@ -768,7 +776,7 @@ object PipelineQueries {
                WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev))
       SELECT d.doc_id, d.source, c.doc_id IS NULL AS is_clean
       FROM documents d LEFT JOIN cont c USING (doc_id)
-      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""")),
+      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id"""), bench = true),
 
     // ---- model-based quality filtering: the "classifier gate" every
     // training pipeline runs (fastText/logreg-style). The model is a
@@ -893,6 +901,44 @@ object PipelineQueries {
       SELECT f.doc_id, f.fp, h.fp IS NULL AS is_first_seen
       FROM f LEFT JOIN hist h ON f.fp = h.fp
       WHERE f.is_new ORDER BY f.doc_id""")),
+
+    // ---- character-bigram language ID: the third rung of the lang-id
+    // ladder (q50 single-marker, q77 stopword profiles) — character
+    // n-gram profiles work on text where word segmentation is unreliable
+    // and need no tokenizer. Same scale/determinism recipe as q77: pure
+    // map-side array expressions, int/int hit ratios (exact doubles both
+    // engines), argmax with a fixed tie-break order. ----
+    Q("q107_bigram_langid", (s, d) => {
+      val bigrams = transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))
+      def score(profile: Seq[String]) =
+        size(filter(bigrams, b => b.isin(profile: _*))) / size(bigrams)
+      val sEn = score(BigramProfiles("en"))
+      val sDe = score(BigramProfiles("de"))
+      val sFr = score(BigramProfiles("fr"))
+      docs(s, d).filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"),
+          when(sEn >= sDe && sEn >= sFr, "en")
+            .when(sDe >= sFr, "de").otherwise("fr").as("predicted"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      def duckProfile(lang: String) =
+        BigramProfiles(lang).map(b => s"'$b'").mkString(", ")
+      s"""
+      WITH b AS (SELECT doc_id, lang,
+          [substr(text, i, 2) for i in generate_series(1, length(text) - 1)] AS bg
+        FROM documents WHERE length(text) >= 2),
+      sc AS (SELECT doc_id, lang,
+        len(list_filter(bg, x -> x IN (${duckProfile("en")}))) / len(bg) AS s_en,
+        len(list_filter(bg, x -> x IN (${duckProfile("de")}))) / len(bg) AS s_de,
+        len(list_filter(bg, x -> x IN (${duckProfile("fr")}))) / len(bg) AS s_fr
+        FROM b)
+      SELECT doc_id, lang, s_en, s_de, s_fr,
+        CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted
+      FROM sc ORDER BY doc_id"""
+    }),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
