@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Product quantization (PQ): the memory-compression half of a
+  * large-scale ANN index (IVF-PQ). Each `dim`-dim embedding is split
+  * into [[M]] subvectors of [[SubDim]] dims; a per-subspace codebook of
+  * [[K]] centroids is trained (deterministic Lloyd, same recipe as
+  * [[Ivf]]); a vector is then stored as [[M]] small codes — here 64
+  * floats (256 B) become 8 codes (8 B at 4 bits/code), a 32× reduction,
+  * which is what lets a 100 TB corpus's index live in RAM.
+  *
+  * Scale shape mirrors [[Ivf]]: trained codebooks are M·K·SubDim doubles
+  * (tiny) collected to the driver once and shipped as task literals —
+  * encoding is ONE map-side projection over the corpus (zero joins /
+  * shuffles), and asymmetric-distance (ADC) search scores each stored
+  * code against the query's subvectors through the same literal table,
+  * again map-side. Lloyd's shuffle moves only (m, cid, pos) partial sums
+  * — M·K·SubDim groups, independent of corpus size.
+  *
+  * Cross-engine determinism (the DuckDB oracle replays training +
+  * encoding + search bit-for-bit):
+  *  - seeds are the subvector slices of `vec_id < K` (no RNG);
+  *  - assignment ranks by squared L2 ROUNDED to 6 places, ties → lowest
+  *    code id (struct-ordered `array_min`);
+  *  - centroid means use the [[graft.queries.Det]] exact-decimal recipe;
+  *  - an emptied code keeps its previous centroid (codebooks never
+  *    shrink);
+  *  - ADC sums the per-subspace rounded distances in fixed m=0..M-1
+  *    order (double addition is order-dependent — the oracle writes the
+  *    same explicit chain).
+  */
+object Pq {
+
+  val M = 8       // subspaces
+  val SubDim = 8  // dims per subspace (M * SubDim = embedding dim)
+  val K = 16      // codes per subspace
+
+  /** codebooks(m) = K centroids (cid 0..K-1, in order) of subspace m. */
+  type Codebooks = Seq[Seq[Seq[Double]]]
+
+  /** Sequential-fold squared L2 distance (same accumulation order as the
+    * oracle's `list_sum` comprehension).
+    */
+  def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Subvector m of an embedding column (1-based slice). */
+  def sub(embedding: Column, m: Int): Column =
+    slice(embedding, m * SubDim + 1, SubDim)
+
+  private def litVec(cv: Seq[Double]): Column = array(cv.map(lit): _*)
+
+  /** Code of subvector `sv` in subspace m: argmin rounded-d2 over the
+    * literal codebook, ties → lowest cid. Pure map-side expression.
+    */
+  def code(sv: Column, book: Seq[Seq[Double]]): Column =
+    array_min(array(book.zipWithIndex.map { case (cv, cid) =>
+      struct(round(d2(sv, litVec(cv)), 6).as("d2"), lit(cid.toLong).as("cid"))
+    }: _*)).getField("cid")
+
+  /** All M codes of an embedding as columns `c0..c{M-1}`. */
+  def encode(e: DataFrame, books: Codebooks): DataFrame =
+    e.select(col("vec_id") +:
+      (0 until M).map(m => code(sub(col("embedding"), m), books(m)).as(s"c$m")): _*)
+
+  /** Long-form (vec_id, m, sv) view used by training. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"), sub(col("embedding"), m).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** Per-(m, cid) exact-decimal element-wise means of the assigned
+    * subvectors ([[Ivf.clusterMeans]] recipe).
+    */
+  private def clusterMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cid"), posexplode(col("sv")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg((sum(round(col("col").cast(DoubleType), 6).cast(DecimalType(24, 6)))
+        .cast(DoubleType) / count(lit(1))).as("mean"))
+      .groupBy(col("m"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("m"), col("cid"),
+        transform(col("pm"), x => x.getField("mean")).as("cv"))
+
+  /** Deterministic codebook training: seeds = subvector slices of
+    * `vec_id < K`, then `rounds` unrolled Lloyd iterations; an emptied
+    * code keeps its previous centroid.
+    */
+  def train(e: DataFrame, rounds: Int): Codebooks = {
+    val seeds = subvectors(e.filter(col("vec_id") < K))
+      .select(col("m"), col("vec_id").cast("long").as("cid"),
+        col("sv").cast("array<double>").as("cv"))
+    var books: Codebooks = collectBooks(seeds)
+    for (_ <- 1 to rounds) {
+      val litBooks = books
+      val assigned = subvectors(e).select(col("vec_id"), col("m"), col("sv"),
+        // element_at over the literal per-sub codebooks, indexed by m
+        element_at(array((0 until M).map(m =>
+          code(col("sv"), litBooks(m))): _*), col("m") + 1).as("cid"))
+      val means = collectBooksMap(clusterMeans(assigned))
+      books = books.zipWithIndex.map { case (book, m) =>
+        book.zipWithIndex.map { case (cv, cid) => means.getOrElse((m, cid.toLong), cv) }
+      }
+    }
+    books
+  }
+
+  private def collectBooks(cents: DataFrame): Codebooks = {
+    val m = collectBooksMap(cents)
+    (0 until M).map(s => (0 until K).map(c => m((s, c.toLong))).toSeq).toSeq
+  }
+
+  private def collectBooksMap(cents: DataFrame): Map[(Int, Long), Seq[Double]] =
+    cents.select(col("m").cast("int"), col("cid").cast("long"),
+        col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+
+  /** ADC approximate squared distance of a raw stored embedding to the
+    * query vector `qv`: per-subspace rounded d2 between the query's
+    * subvector and the centroid of the stored code, summed in fixed
+    * m-order. One map-side expression (codes are recomputed inline —
+    * storing them first, q108, gives the same values by construction).
+    */
+  def adc(embedding: Column, qv: Column, books: Codebooks): Column =
+    (0 until M).map { m =>
+      val cvOfCode = element_at(
+        array(books(m).map(litVec): _*),
+        (code(sub(embedding, m), books(m)) + 1).cast("int"))
+      round(d2(sub(qv, m), cvOfCode), 6)
+    }.reduce(_ + _)
+}

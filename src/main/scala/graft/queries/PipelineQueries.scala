@@ -112,6 +112,44 @@ object PipelineQueries {
   private def duckIvfFinal(rounds: Int) = s"a${rounds + 1}"
   private def duckIvfCents(rounds: Int) = s"c$rounds"
 
+  /** DuckDB rendering of Pq.d2 (rounded sequential-fold squared L2 over
+    * 8-dim subvectors).
+    */
+  private def duckD2(a: String, b: String): String =
+    s"""round(list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)
+         for i in generate_series(1, 8)]), 6)"""
+
+  /** DuckDB replay of Pq.train(rounds=1) + Pq.encode: subvector slices,
+    * seed codebooks (`vec_id < 16`), one Lloyd round with exact-decimal
+    * means (emptied codes keep their seed), then final code assignment.
+    * Ends with CTEs `c1` (trained codebooks) and `codes` (vec_id, m, cid).
+    */
+  private def duckPqCtes: String = s"""
+      sv AS (SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS sv
+             FROM embeddings e CROSS JOIN generate_series(0, 7) g(m)),
+      c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
+      a1s AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
+              FROM sv s JOIN c0 c ON c.m = s.m),
+      a1 AS (SELECT vec_id, m, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, cid) AS rn
+               FROM a1s) t WHERE rn = 1),
+      c1 AS (SELECT p.m, p.cid, coalesce(mm.cv, p.cv) AS cv
+             FROM c0 p LEFT JOIN (
+               SELECT m, cid, list(mean ORDER BY pos) AS cv FROM (
+                 SELECT a.m, a.cid, g.i AS pos,
+                   ${Det.duckAvg("round(s.sv[g.i]::DOUBLE, 6)", 6)} AS mean
+                 FROM a1 a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m
+                 CROSS JOIN generate_series(1, 8) g(i)
+                 GROUP BY a.m, a.cid, g.i) t
+               GROUP BY m, cid) mm ON mm.m = p.m AND mm.cid = p.cid),
+      cs AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
+             FROM sv s JOIN c1 c ON c.m = s.m),
+      codes AS (SELECT vec_id, m, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                               ORDER BY d2, cid) AS rn
+                  FROM cs) t WHERE rn = 1)"""
+
   private def duckSigCte(nHashes: Int): String = {
     val mh = (0 until nHashes)
       .map(j => s"list_min([${duckHash(j, "x")} for x in sh]) AS mh$j").mkString(",\n        ")
@@ -939,6 +977,70 @@ object PipelineQueries {
              WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted
       FROM sc ORDER BY doc_id"""
     }),
+
+    // ---- product quantization, part 1: codebook training + encoding.
+    // 64 floats (256 B) → 8 codes (8 B at 4 bits/code), the 32×
+    // compression that lets a 100 TB corpus's ANN index live in RAM.
+    // Training collects M·K·SubDim doubles (tiny) to the driver, like
+    // the IVF centroids; encoding is then ONE map-side projection over
+    // the corpus — zero joins, zero shuffles (plan-locked). The oracle
+    // replays training bit-for-bit (deterministic seeds, rounded-d2
+    // argmin with cid tie-break, exact-decimal Lloyd means). ----
+    Q("q108_pq_encode", (s, d) => {
+      val books = graft.operators.Pq.train(embs(s, d), rounds = 1)
+      graft.operators.Pq.encode(embs(s, d), books).orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH $duckPqCtes
+      SELECT vec_id,
+        max(CASE WHEN m = 0 THEN cid END) AS c0,
+        max(CASE WHEN m = 1 THEN cid END) AS c1,
+        max(CASE WHEN m = 2 THEN cid END) AS c2,
+        max(CASE WHEN m = 3 THEN cid END) AS c3,
+        max(CASE WHEN m = 4 THEN cid END) AS c4,
+        max(CASE WHEN m = 5 THEN cid END) AS c5,
+        max(CASE WHEN m = 6 THEN cid END) AS c6,
+        max(CASE WHEN m = 7 THEN cid END) AS c7
+      FROM codes GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- product quantization, part 2: asymmetric-distance (ADC)
+    // search. The query stays a RAW vector; every stored vector is
+    // scored through its codes' centroids only — at scale the codes are
+    // 8 bytes hot in RAM and the original embeddings are never touched.
+    // Per-subspace distances are rounded then summed in fixed m-order
+    // (double addition is order-dependent; the oracle writes the same
+    // explicit chain). Map-side except the 1-row query broadcast and
+    // the top-k. ----
+    Q("q109_pq_search", (s, d) => {
+      import graft.operators.Pq
+      val books = Pq.train(embs(s, d), rounds = 1)
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Pq.adc(col("embedding"), col("qv"), books).as("approx_d2"))
+        .orderBy(col("approx_d2"), col("vec_id")).limit(10)
+    }, Some(s"""
+      WITH $duckPqCtes,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      qsv AS (SELECT g.m, q.qv[g.m*8+1 : g.m*8+8] AS sv
+              FROM q CROSS JOIN generate_series(0, 7) g(m)),
+      pd AS (SELECT cd.vec_id, cd.m, ${duckD2("qs.sv", "c.cv")} AS pd
+             FROM codes cd
+             JOIN c1 c ON c.m = cd.m AND c.cid = cd.cid
+             JOIN qsv qs ON qs.m = cd.m
+             WHERE cd.vec_id <> 0),
+      adc AS (SELECT vec_id,
+                max(CASE WHEN m = 0 THEN pd END) +
+                max(CASE WHEN m = 1 THEN pd END) +
+                max(CASE WHEN m = 2 THEN pd END) +
+                max(CASE WHEN m = 3 THEN pd END) +
+                max(CASE WHEN m = 4 THEN pd END) +
+                max(CASE WHEN m = 5 THEN pd END) +
+                max(CASE WHEN m = 6 THEN pd END) +
+                max(CASE WHEN m = 7 THEN pd END) AS approx_d2
+              FROM pd GROUP BY vec_id)
+      SELECT vec_id, approx_d2 FROM adc
+      ORDER BY approx_d2, vec_id LIMIT 10""")),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact

@@ -202,6 +202,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
   }
 
+  test("q109: PQ ADC search is map-side — 1-row query broadcast, top-k without global sort") {
+    val p = planOf("q109_pq_search")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"ADC search shuffles the corpus:\n$p")
+  }
+
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {
     val p = planOf("q100_embed_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pq
+
+/** [[graft.operators.Pq]]: product-quantization training, encoding, and
+  * ADC search. Cross-engine exactness is the q108/q109 oracle's job;
+  * this spec pins the operator-level invariants and the quality floor.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def embs = graft.queries.Tables(spark, dir, "embeddings")
+
+  private lazy val books = Pq.train(embs, rounds = 1)
+
+  test("trained codebooks keep full shape: M subspaces × K codes × SubDim dims") {
+    assert(books.length == Pq.M)
+    books.foreach { book =>
+      assert(book.length == Pq.K)
+      book.foreach(cv => assert(cv.length == Pq.SubDim))
+    }
+  }
+
+  test("codes are in [0, K) and every vector encodes") {
+    val n = embs.count()
+    val enc = Pq.encode(embs, books)
+    assert(enc.count() == n)
+    val cols = (0 until Pq.M).map(m => col(s"c$m"))
+    val bad = enc.filter(cols.map(c => c < 0 || c >= Pq.K).reduce(_ || _)).count()
+    assert(bad == 0, s"$bad rows with out-of-range codes")
+    // the codebook is actually used: more than one distinct code per subspace
+    (0 until Pq.M).foreach { m =>
+      val distinct = enc.select(col(s"c$m")).distinct().count()
+      assert(distinct > 1, s"subspace $m collapsed to one code")
+    }
+  }
+
+  test("encoding is one map-side projection (no exchange but the output sort)") {
+    val p = Pq.encode(embs, books).orderBy("vec_id")
+      .queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"encode shuffles the corpus:\n$p")
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+  }
+
+  test("ADC approximation quality floor (uniform-random data is PQ's worst case)") {
+    // The testdata embeddings are uniform random, where pairwise
+    // distances CONCENTRATE — the adversarial regime for quantization
+    // (real embedding manifolds cluster and quantize far better). So the
+    // floor asserted here is the distance-approximation error and a
+    // shortlist property, not strict top-k recall: both are fully
+    // deterministic on this data (training has no RNG), measured once
+    // and pinned.
+    val e = embs
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Pq.adc(col("embedding"), col("qv"), books).as("ad"),
+        round(Pq.d2(col("embedding"), col("qv")), 6).as("ex"))
+      .collect()
+    val relErr = scored.map(r => math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2))
+    assert(relErr.sum / relErr.length < 0.35,
+      f"mean ADC relative error ${relErr.sum / relErr.length}%.3f — codebooks degraded")
+    // shortlist-then-rerank (how a real IVF-PQ search uses ADC): the ADC
+    // top-10 shortlist intersects the exact top-50 neighborhood
+    val adcTop = scored.sortBy(r => (r.getDouble(1), r.getLong(0)))
+      .take(10).map(_.getLong(0)).toSet
+    val exact50 = scored.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      .take(50).map(_.getLong(0)).toSet
+    assert((adcTop & exact50).size >= 5,
+      s"ADC shortlist misses the exact neighborhood: ${(adcTop & exact50).size}/10 in top-50")
+  }
+}
