@@ -151,6 +151,17 @@ object EventsStream {
       .toDF("user_id", "milestone")
   }
 
+  /** Idempotent `foreachBatch` parquet sink: each micro-batch OVERWRITES
+    * its own epoch directory, so a replayed batch (failure between sink
+    * write and checkpoint commit — the at-least-once window every
+    * foreachBatch sink must survive) lands on the same path with the
+    * same rows instead of appending duplicates. This is the standard
+    * exactly-once-by-idempotence recipe; the alternative (transactional
+    * sinks) needs a target that can commit atomically with the epoch id.
+    */
+  def idempotentParquetSink(outDir: String)(df: DataFrame, epochId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+
   /** Run a streaming transform to completion against a static directory via
     * the memory sink (synchronous; for tests and parity checks).
     */
