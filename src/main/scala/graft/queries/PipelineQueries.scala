@@ -125,30 +125,30 @@ object PipelineQueries {
     * Ends with CTEs `c1` (trained codebooks) and `codes` (vec_id, m, cid).
     */
   private def duckPqCtes: String = s"""
-      sv AS (SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS sv
+      pq_sv AS (SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS sv
              FROM embeddings e CROSS JOIN generate_series(0, 7) g(m)),
-      c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
-      a1s AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
-              FROM sv s JOIN c0 c ON c.m = s.m),
-      a1 AS (SELECT vec_id, m, cid FROM (
+      pq_c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM pq_sv WHERE vec_id < 16),
+      pq_a1s AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
+              FROM pq_sv s JOIN pq_c0 c ON c.m = s.m),
+      pq_a1 AS (SELECT vec_id, m, cid FROM (
                SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                             ORDER BY d2, cid) AS rn
-               FROM a1s) t WHERE rn = 1),
-      c1 AS (SELECT p.m, p.cid, coalesce(mm.cv, p.cv) AS cv
-             FROM c0 p LEFT JOIN (
+               FROM pq_a1s) t WHERE rn = 1),
+      pq_c1 AS (SELECT p.m, p.cid, coalesce(mm.cv, p.cv) AS cv
+             FROM pq_c0 p LEFT JOIN (
                SELECT m, cid, list(mean ORDER BY pos) AS cv FROM (
                  SELECT a.m, a.cid, g.i AS pos,
                    ${Det.duckAvg("round(s.sv[g.i]::DOUBLE, 6)", 6)} AS mean
-                 FROM a1 a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m
+                 FROM pq_a1 a JOIN pq_sv s ON s.vec_id = a.vec_id AND s.m = a.m
                  CROSS JOIN generate_series(1, 8) g(i)
                  GROUP BY a.m, a.cid, g.i) t
                GROUP BY m, cid) mm ON mm.m = p.m AND mm.cid = p.cid),
-      cs AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
-             FROM sv s JOIN c1 c ON c.m = s.m),
-      codes AS (SELECT vec_id, m, cid FROM (
+      pq_cs AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
+             FROM pq_sv s JOIN pq_c1 c ON c.m = s.m),
+      pq_codes AS (SELECT vec_id, m, cid FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                                ORDER BY d2, cid) AS rn
-                  FROM cs) t WHERE rn = 1)"""
+                  FROM pq_cs) t WHERE rn = 1)"""
 
   private def duckSigCte(nHashes: Int): String = {
     val mh = (0 until nHashes)
@@ -1000,7 +1000,7 @@ object PipelineQueries {
         max(CASE WHEN m = 5 THEN cid END) AS c5,
         max(CASE WHEN m = 6 THEN cid END) AS c6,
         max(CASE WHEN m = 7 THEN cid END) AS c7
-      FROM codes GROUP BY vec_id ORDER BY vec_id""")),
+      FROM pq_codes GROUP BY vec_id ORDER BY vec_id""")),
 
     // ---- product quantization, part 2: asymmetric-distance (ADC)
     // search. The query stays a RAW vector; every stored vector is
@@ -1025,10 +1025,63 @@ object PipelineQueries {
       qsv AS (SELECT g.m, q.qv[g.m*8+1 : g.m*8+8] AS sv
               FROM q CROSS JOIN generate_series(0, 7) g(m)),
       pd AS (SELECT cd.vec_id, cd.m, ${duckD2("qs.sv", "c.cv")} AS pd
-             FROM codes cd
-             JOIN c1 c ON c.m = cd.m AND c.cid = cd.cid
+             FROM pq_codes cd
+             JOIN pq_c1 c ON c.m = cd.m AND c.cid = cd.cid
              JOIN qsv qs ON qs.m = cd.m
              WHERE cd.vec_id <> 0),
+      adc AS (SELECT vec_id,
+                max(CASE WHEN m = 0 THEN pd END) +
+                max(CASE WHEN m = 1 THEN pd END) +
+                max(CASE WHEN m = 2 THEN pd END) +
+                max(CASE WHEN m = 3 THEN pd END) +
+                max(CASE WHEN m = 4 THEN pd END) +
+                max(CASE WHEN m = 5 THEN pd END) +
+                max(CASE WHEN m = 6 THEN pd END) +
+                max(CASE WHEN m = 7 THEN pd END) AS approx_d2
+              FROM pd GROUP BY vec_id)
+      SELECT vec_id, approx_d2 FROM adc
+      ORDER BY approx_d2, vec_id LIMIT 10""")),
+
+    // ---- the full IVF-PQ search: IVF restricts WHICH vectors are
+    // scored (the query's top-2 cells — at 100 TB that's pruning the
+    // candidate set to ~nprobe/k of the corpus before any distance
+    // work), PQ-ADC decides HOW each survivor is scored (8 hot bytes
+    // per vector, never the raw floats). Both models are task literals,
+    // the cell restriction is a 2-row broadcast join, and the top-k is
+    // TakeOrdered — zero corpus shuffles end-to-end. ----
+    Q("q110_ivfpq_search", (s, d) => {
+      import graft.operators.{Ivf, Pq}
+      val e = embs(s, d)
+      val cents = Ivf.train(e, 8, 2)
+      val books = Pq.train(e, rounds = 1)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cells = Ivf.probeCells(q, cents, 2)
+        .select(col("qid"), col("qv"), col("cid").as("qcid"))
+      Ivf.assign(e, cents)
+        .join(broadcast(cells),
+          col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+        .select(col("vec_id"),
+          Pq.adc(col("embedding"), col("qv"), books).as("approx_d2"))
+        .orderBy(col("approx_d2"), col("vec_id")).limit(10)
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      $duckPqCtes,
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 1),
+      qc_sc AS (SELECT q.qid, q.qv, c.cid, ${duckCos("q.qv", "c.cv")} AS cos
+                FROM q, ${duckIvfCents(2)} c),
+      qc AS (SELECT qid, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM qc_sc) t WHERE rn <= 2),
+      cand AS (SELECT a.vec_id FROM ${duckIvfFinal(2)} a
+               JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid),
+      qsv AS (SELECT g.m, q.qv[g.m*8+1 : g.m*8+8] AS sv
+              FROM q CROSS JOIN generate_series(0, 7) g(m)),
+      pd AS (SELECT cd.vec_id, cd.m, ${duckD2("qs.sv", "c.cv")} AS pd
+             FROM pq_codes cd
+             JOIN pq_c1 c ON c.m = cd.m AND c.cid = cd.cid
+             JOIN qsv qs ON qs.m = cd.m
+             WHERE cd.vec_id IN (SELECT vec_id FROM cand)),
       adc AS (SELECT vec_id,
                 max(CASE WHEN m = 0 THEN pd END) +
                 max(CASE WHEN m = 1 THEN pd END) +

@@ -210,6 +210,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles == 0, s"ADC search shuffles the corpus:\n$p")
   }
 
+  test("q110: IVF-PQ search — cell restriction broadcast, ADC map-side, zero corpus shuffles") {
+    val p = planOf("q110_ivfpq_search")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell restriction must broadcast:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"IVF-PQ search shuffles the corpus:\n$p")
+  }
+
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {
     val p = planOf("q100_embed_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")
