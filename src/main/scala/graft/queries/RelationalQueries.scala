@@ -753,6 +753,50 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }, Some(s"""
       SELECT l_returnflag, ${duckSum("l_quantity", 2)} AS sum_qty
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q111: FULL OUTER join — per-day order activity vs ship
+    // activity; shipping lags orders, so both null sides occur. Scale
+    // shape: both inputs pre-aggregate to day grain (partial agg before
+    // their exchanges), the join shuffles only the tiny day tables. ----
+    Q("q111_full_outer", (s, d) => {
+      val o = T(s, d, "orders").groupBy(col("o_orderdate").as("od"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = T(s, d, "lineitem").groupBy(col("l_shipdate").as("sd"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, col("od") === col("sd"), "full_outer")
+        .select(coalesce(col("od"), col("sd")).as("d"),
+          col("n_orders"), col("n_ships"))
+        .orderBy(col("d"))
+    }, Some("""
+      WITH o AS (SELECT o_orderdate AS od, count(*) AS n_orders
+                 FROM orders GROUP BY 1),
+      l AS (SELECT l_shipdate AS sd, count(*) AS n_ships
+            FROM lineitem GROUP BY 1)
+      SELECT coalesce(od, sd) AS d, n_orders, n_ships
+      FROM o FULL OUTER JOIN l ON od = sd ORDER BY d""")),
+
+    // ---- q112: UNPIVOT (melt) — wide per-flag metric columns to long
+    // (metric, value) rows, the inverse of q29_pivot. Unpivot is a
+    // zero-shuffle expression expansion over the 3-row aggregate. ----
+    Q("q112_unpivot", (s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"),
+          dsum(col("l_discount"), 2).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }, Some(s"""
+      WITH w AS (SELECT l_returnflag,
+          ${duckSum("l_quantity", 2)} AS sum_qty,
+          ${duckSum("l_extendedprice", 2)} AS sum_price,
+          ${duckSum("l_discount", 2)} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        UNPIVOT w ON sum_qty, sum_price, sum_disc
+        INTO NAME metric VALUE value)
+      ORDER BY l_returnflag, metric"""))
   )
 }
