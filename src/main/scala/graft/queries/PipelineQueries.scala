@@ -112,6 +112,35 @@ object PipelineQueries {
   private def duckIvfFinal(rounds: Int) = s"a${rounds + 1}"
   private def duckIvfCents(rounds: Int) = s"c$rounds"
 
+  /** DuckDB replay of Bpe.train: unrolled merge rounds. Round r counts
+    * adjacent pairs of bpe_s(r-1), takes the top (count desc, pair asc)
+    * as bpe_m{r}, and rewrites the corpus into bpe_s{r} via the same
+    * leftmost-non-overlapping padded replace as the Spark side.
+    */
+  private def duckBpeCtes(rounds: Int): String = {
+    val head = s"""
+      bpe_w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      bpe_s0 AS (SELECT ' ' || array_to_string(
+                   [word[i] for i in generate_series(1, length(word))], ' ')
+                 || ' ' AS syms
+                 FROM bpe_w WHERE length(word) > 0)"""
+    val steps = (1 to rounds).map { r =>
+      s"""
+      bpe_p$r AS (SELECT unnest([ts[i] || ' ' || ts[i+1]
+                    for i in generate_series(1, len(ts) - 1)]) AS pair
+                  FROM (SELECT string_split(trim(syms), ' ') AS ts
+                        FROM bpe_s${r - 1}) t WHERE len(ts) >= 2),
+      bpe_m$r AS (SELECT pair, replace(pair, ' ', '') AS merged,
+                    count(*) AS n
+                  FROM bpe_p$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+      bpe_s$r AS (SELECT replace(syms,
+                    ' ' || (SELECT pair FROM bpe_m$r) || ' ',
+                    ' ' || (SELECT merged FROM bpe_m$r) || ' ') AS syms
+                  FROM bpe_s${r - 1})"""
+    }
+    (head +: steps).mkString(",")
+  }
+
   /** DuckDB rendering of Pq.d2 (rounded sequential-fold squared L2 over
     * 8-dim subvectors).
     */
@@ -1041,6 +1070,64 @@ object PipelineQueries {
               FROM pd GROUP BY vec_id)
       SELECT vec_id, approx_d2 FROM adc
       ORDER BY approx_d2, vec_id LIMIT 10""")),
+
+    // ---- REAL BPE training (q78's regex splitter is the pre-tokenizer;
+    // this learns the vocabulary): each round is one corpus aggregation
+    // of adjacent symbol pairs (map-side partial counts, only (pair, n)
+    // partials shuffle) and one driver-collected top pair — the merge
+    // table is model state, like the IVF centroids and PQ codebooks.
+    // Deterministic: top pair breaks ties (count desc, pair asc); the
+    // padded leftmost-non-overlapping replace behaves identically in
+    // both engines. ----
+    Q("q113_bpe_train", (s, d) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.train(docs(s, d), rounds = 4)
+      merges.zipWithIndex
+        .map { case (m, i) => (i + 1, m.pair, m.merged, m.count) }
+        .toDF("round", "pair", "merged", "n")
+        .orderBy(col("round"))
+    }, Some(s"""
+      WITH ${duckBpeCtes(4)}
+      SELECT * FROM (
+        SELECT 1 AS round, pair, merged, n FROM bpe_m1 UNION ALL
+        SELECT 2, pair, merged, n FROM bpe_m2 UNION ALL
+        SELECT 3, pair, merged, n FROM bpe_m3 UNION ALL
+        SELECT 4, pair, merged, n FROM bpe_m4)
+      ORDER BY round""")),
+
+    // ---- apply the trained merges: per-doc BPE token accounting. The
+    // merge table rides into tasks as replace literals, so ENCODING is
+    // pure map-side — the training cost amortizes over every later scan
+    // of the 100 TB corpus. ----
+    Q("q114_bpe_encode", (s, d) => {
+      import graft.operators.Bpe
+      val merges = Bpe.train(docs(s, d), rounds = 4)
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val tokCounts = transform(words, w =>
+        size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long"))
+      docs(s, d).select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          aggregate(tokCounts, lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${duckBpeCtes(4)},
+      mt AS (SELECT m1.pair AS p1, m1.merged AS g1, m2.pair AS p2, m2.merged AS g2,
+                    m3.pair AS p3, m3.merged AS g3, m4.pair AS p4, m4.merged AS g4
+             FROM bpe_m1 m1, bpe_m2 m2, bpe_m3 m3, bpe_m4 m4)
+      SELECT doc_id,
+        CAST(len([w for w in string_split(text, ' ') if length(w) > 0]) AS BIGINT)
+          AS n_words,
+        CAST(coalesce(list_sum(
+          [len(string_split(trim(replace(replace(replace(replace(
+             ' ' || array_to_string([w[i] for i in generate_series(1, length(w))], ' ') || ' ',
+             ' ' || p1 || ' ', ' ' || g1 || ' '),
+             ' ' || p2 || ' ', ' ' || g2 || ' '),
+             ' ' || p3 || ' ', ' ' || g3 || ' '),
+             ' ' || p4 || ' ', ' ' || g4 || ' ')),
+           ' '))
+           for w in string_split(text, ' ') if length(w) > 0]), 0) AS BIGINT)
+          AS n_bpe_tokens
+      FROM documents CROSS JOIN mt ORDER BY doc_id""")),
 
     // ---- the full IVF-PQ search: IVF restricts WHICH vectors are
     // scored (the query's top-2 cells — at 100 TB that's pruning the

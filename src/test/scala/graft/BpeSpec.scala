@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** [[graft.operators.Bpe]]: merge training and application semantics.
+  * Cross-engine exactness is q113/q114's oracle; this pins the local
+  * invariants — especially the leftmost-non-overlapping application
+  * order that BOTH engines implement identically.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.queries.Tables(spark, dir, "documents")
+
+  test("charSyms pads and spaces; pairs are adjacent and total on 1-char words") {
+    val out = Seq("abc", "x", "").toDF("w")
+      .select(Bpe.charSyms(col("w")).as("s"), Bpe.pairs(Bpe.charSyms(col("w"))).as("p"))
+      .collect()
+    assert(out(0).getString(0) == " a b c ")
+    assert(out(0).getSeq[String](1) == Seq("a b", "b c"))
+    assert(out(1).getSeq[String](1) == Nil)
+    assert(out(2).getSeq[String](1) == Nil)
+  }
+
+  test("applyMerges is leftmost non-overlapping (the documented order, both engines)") {
+    // " a b a b a b ": occurrences 1 and 2 share the middle space, so a
+    // single pass merges the 1st and 3rd — NOT the 2nd. This is what
+    // Java String.replace and DuckDB replace both do; the oracle parity
+    // of q113/q114 rests on it.
+    val m = Seq(Bpe.Merge("a b", "ab", 0L))
+    val got = Seq("ababab").toDF("w")
+      .select(Bpe.applyMerges(Bpe.charSyms(col("w")), m))
+      .collect().head.getString(0)
+    assert(got == " ab a b ab ", s"got '$got'")
+  }
+
+  test("training is deterministic and merges are well-formed") {
+    val a = Bpe.train(docs, rounds = 3)
+    val b = Bpe.train(docs, rounds = 3)
+    assert(a == b, "training not deterministic")
+    assert(a.length == 3 && a.distinct.length == 3)
+    a.foreach { m =>
+      assert(m.merged == m.pair.replace(" ", "") && m.count > 0)
+      assert(m.pair.split(" ").length == 2, s"pair '${m.pair}' not binary")
+    }
+  }
+
+  test("encoding compresses: BPE tokens strictly fewer than characters") {
+    val merges = Bpe.train(docs, rounds = 4)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val totals = docs.select(
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("chars"),
+        aggregate(transform(words, w =>
+            size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long")),
+          lit(0L), (a, x) => a + x).as("toks"))
+      .agg(sum(col("chars")).as("chars"), sum(col("toks")).as("toks"))
+      .collect().head
+    assert(totals.getLong(1) < totals.getLong(0),
+      s"no compression: ${totals.getLong(1)} tokens vs ${totals.getLong(0)} chars")
+  }
+}
