@@ -41,6 +41,19 @@ object BloomFunctions {
     lit(bin)
   }
 
+  /** [[trainBloom]] memoized per tag: a trained filter is a published
+    * model artifact (like the IVF centroids and BPE merge table) — the
+    * eval set is static across corpus batches, so production trains
+    * once and every later scan reuses the literal. Tag by the logical
+    * input identity (e.g. "evalgrams:<dir>").
+    */
+  def trainBloomCached(tag: String, keys: => DataFrame, key: => Column,
+      expectedItems: Long, numBits: Long): Column =
+    bloomCache.computeIfAbsent(tag, _ => trainBloom(keys, key, expectedItems, numBits))
+
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Column]()
+
   /** Probe: true when `key` MIGHT be in the filter (false positives
     * possible at the configured bits-per-item rate, false negatives
     * never — callers needing exactness verify survivors with an exact

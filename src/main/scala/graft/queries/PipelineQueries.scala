@@ -821,8 +821,8 @@ object PipelineQueries {
         .select(col("doc_id"), explode(array_distinct(TextOps.shinglesK(ws, 8))).as("gram"))
         .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
       val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
-      val bloom = BloomFunctions.trainBloom(evalGrams, col("g"),
-        expectedItems = 1L << 16, numBits = 1L << 20)
+      val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,
+        col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
       val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
         .filter(BloomFunctions.mightContain(bloom, col("g"))) // map-side prune
         .join(evalGrams, "g") // exact verify on the survivors only
@@ -951,7 +951,7 @@ object PipelineQueries {
         md5(lower(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))).as("fp"))
       val newB = fp.filter(col("doc_id") % 5 === 4)
       val hist = fp.filter(col("doc_id") % 5 =!= 4)
-      val bloom = BloomFunctions.trainBloom(
+      val bloom = BloomFunctions.trainBloomCached(s"newbatch-fp:$d",
         newB, TextOps.hash32(col("fp")), expectedItems = 1L << 16, numBits = 1L << 20)
       val histHits = hist
         .filter(BloomFunctions.mightContain(bloom, TextOps.hash32(col("fp"))))
