@@ -123,6 +123,18 @@ object Pq {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
       .toMap
 
+  /** Residual of a vector w.r.t. its IVF cell centroid (cids must be
+    * the dense 0..k-1 of [[Ivf]]'s deterministic seeds): the FAISS
+    * IVF-PQ shape — quantizing residuals concentrates the codebooks on
+    * within-cell variation, and the subtraction is exact IEEE in both
+    * engines so the q115 oracle replays it bit-for-bit.
+    */
+  def residual(embedding: Column, cid: Column, cents: Ivf.Centroids): Column = {
+    val cvArr = array(cents.map { case (_, cv) => litVec(cv) }: _*)
+    zip_with(embedding, element_at(cvArr, (cid + 1).cast("int")),
+      (x, c) => x.cast(DoubleType) - c)
+  }
+
   /** ADC approximate squared distance of a raw stored embedding to the
     * query vector `qv`: per-subspace rounded d2 between the query's
     * subvector and the centroid of the stored code, summed in fixed

@@ -153,9 +153,14 @@ object PipelineQueries {
     * means (emptied codes keep their seed), then final code assignment.
     * Ends with CTEs `c1` (trained codebooks) and `codes` (vec_id, m, cid).
     */
-  private def duckPqCtes: String = s"""
+  private def duckPqCtes: String = duckPqCtesOver("embeddings")
+
+  /** [[duckPqCtes]] over an arbitrary (vec_id, embedding) relation —
+    * q115 trains the codebooks on IVF residuals instead of raw vectors.
+    */
+  private def duckPqCtesOver(src: String): String = s"""
       pq_sv AS (SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS sv
-             FROM embeddings e CROSS JOIN generate_series(0, 7) g(m)),
+             FROM $src e CROSS JOIN generate_series(0, 7) g(m)),
       pq_c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM pq_sv WHERE vec_id < 16),
       pq_a1s AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
               FROM pq_sv s JOIN pq_c0 c ON c.m = s.m),
@@ -1058,6 +1063,70 @@ object PipelineQueries {
              JOIN pq_c1 c ON c.m = cd.m AND c.cid = cd.cid
              JOIN qsv qs ON qs.m = cd.m
              WHERE cd.vec_id <> 0),
+      adc AS (SELECT vec_id,
+                max(CASE WHEN m = 0 THEN pd END) +
+                max(CASE WHEN m = 1 THEN pd END) +
+                max(CASE WHEN m = 2 THEN pd END) +
+                max(CASE WHEN m = 3 THEN pd END) +
+                max(CASE WHEN m = 4 THEN pd END) +
+                max(CASE WHEN m = 5 THEN pd END) +
+                max(CASE WHEN m = 6 THEN pd END) +
+                max(CASE WHEN m = 7 THEN pd END) AS approx_d2
+              FROM pd GROUP BY vec_id)
+      SELECT vec_id, approx_d2 FROM adc
+      ORDER BY approx_d2, vec_id LIMIT 10""")),
+
+    // ---- residual IVF-PQ (the FAISS shape): codebooks are trained on
+    // x − centroid(cell(x)) instead of raw vectors, concentrating the
+    // 16 codes per subspace on WITHIN-cell variation. The query is
+    // residualized against each probed cell before ADC. Still zero
+    // corpus shuffles: cell assignment, residual, and codes are one
+    // literal-driven map-side chain; the probed cells broadcast. ----
+    Q("q115_ivfpq_residual", (s, d) => {
+      import graft.operators.{Ivf, Pq}
+      val e = embs(s, d)
+      val cents = Ivf.train(e, 8, 2)
+      val res = Ivf.assign(e, cents)
+        .select(col("vec_id"),
+          Pq.residual(col("embedding"), col("cid"), cents).as("embedding"),
+          col("cid"))
+      val books = Pq.train(res.select(col("vec_id"), col("embedding")), rounds = 1)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cells = Ivf.probeCells(q, cents, 2)
+        .select(col("qid"), col("qv"), col("cid").as("qcid"))
+      res.join(broadcast(cells),
+          col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+        .select(col("vec_id"),
+          Pq.adc(col("embedding"),
+            Pq.residual(col("qv"), col("qcid"), cents), books).as("approx_d2"))
+        .orderBy(col("approx_d2"), col("vec_id")).limit(10)
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      res AS (SELECT a.vec_id,
+                [a.embedding[i]::DOUBLE - c.cv[i]
+                 for i in generate_series(1, 64)] AS embedding,
+                a.cid
+              FROM ${duckIvfFinal(2)} a
+              JOIN ${duckIvfCents(2)} c ON c.cid = a.cid),
+      ${duckPqCtesOver("res")},
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 1),
+      qc_sc AS (SELECT q.qid, q.qv, c.cid, ${duckCos("q.qv", "c.cv")} AS cos
+                FROM q, ${duckIvfCents(2)} c),
+      qc AS (SELECT qid, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM qc_sc) t WHERE rn <= 2),
+      qrs AS (SELECT qc.cid AS qcid, g.m,
+                [ (qc.qv[g.m*8 + i]::DOUBLE - c.cv[g.m*8 + i])
+                  for i in generate_series(1, 8) ] AS sv
+              FROM qc JOIN ${duckIvfCents(2)} c ON c.cid = qc.cid
+              CROSS JOIN generate_series(0, 7) g(m)),
+      pd AS (SELECT r.vec_id, cd.m, ${duckD2("qs.sv", "bc.cv")} AS pd
+             FROM pq_codes cd
+             JOIN res r ON r.vec_id = cd.vec_id
+             JOIN qrs qs ON qs.m = cd.m AND qs.qcid = r.cid
+             JOIN pq_c1 bc ON bc.m = cd.m AND bc.cid = cd.cid
+             WHERE cd.vec_id <> 1),
       adc AS (SELECT vec_id,
                 max(CASE WHEN m = 0 THEN pd END) +
                 max(CASE WHEN m = 1 THEN pd END) +

@@ -219,6 +219,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles == 0, s"IVF-PQ search shuffles the corpus:\n$p")
   }
 
+  test("q115: residual IVF-PQ keeps the zero-shuffle search shape") {
+    val p = planOf("q115_ivfpq_residual")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell restriction must broadcast:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"residual IVF-PQ search shuffles the corpus:\n$p")
+  }
+
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {
     val p = planOf("q100_embed_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"banded eval set must broadcast:\n$p")
