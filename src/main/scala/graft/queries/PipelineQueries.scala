@@ -1140,6 +1140,24 @@ object PipelineQueries {
       SELECT vec_id, approx_d2 FROM adc
       ORDER BY approx_d2, vec_id LIMIT 10""")),
 
+    // ---- PQ index statistics: per-(subspace, code) occupancy — the
+    // balance metric an ANN index at scale is monitored by (a skewed
+    // subspace means its codebook wastes codes and ADC loses contrast).
+    // One map-side encode + one (m, code) aggregation of 8·16 cells. ----
+    Q("q116_pq_stats", (s, d) => {
+      import graft.operators.Pq
+      val books = Pq.train(embs(s, d), rounds = 1)
+      val enc = Pq.encode(embs(s, d), books)
+      val long = enc.select(col("vec_id"), explode(array((0 until Pq.M).map(m =>
+          struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("x"))
+        .select(col("x.m").as("m"), col("x.code").as("code"))
+      long.groupBy(col("m"), col("code")).agg(count(lit(1)).as("n"))
+        .orderBy(col("m"), col("code"))
+    }, Some(s"""
+      WITH $duckPqCtes
+      SELECT m, cid AS code, count(*) AS n
+      FROM pq_codes GROUP BY m, cid ORDER BY m, code""")),
+
     // ---- REAL BPE training (q78's regex splitter is the pre-tokenizer;
     // this learns the vocabulary): each round is one corpus aggregation
     // of adjacent symbol pairs (map-side partial counts, only (pair, n)

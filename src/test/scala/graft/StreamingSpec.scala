@@ -188,6 +188,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("trained-model encode runs on a stream unchanged (BPE token counts, stream == batch)") {
+    // Model-state operators (BPE merges, PQ codebooks, bloom filters)
+    // apply as literal-driven map-side expressions, so they run on
+    // streams BY CONSTRUCTION — no separate streaming implementation.
+    // Proven here for BPE: train on batch, encode a document stream.
+    import org.apache.spark.sql.functions.{col, split, trim, length, size, filter => afilter, transform => atransform, aggregate => aagg, lit}
+    import graft.operators.Bpe
+    import graft.streaming.DocsStream
+    val docs = Tables(spark, dir, "documents")
+    val merges = Bpe.train(docs, rounds = 2)
+    def encode(df: org.apache.spark.sql.DataFrame) = {
+      val words = afilter(split(col("text"), " "), w => length(w) > 0)
+      df.select(col("doc_id"),
+        aagg(atransform(words, w =>
+            size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+    }
+    val sd = java.nio.file.Files.createTempDirectory("docs-enc-stream")
+    val tmp = java.nio.file.Files.createTempDirectory("docs-enc-stage")
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, sd.resolve("docs.parquet"))
+    val q = encode(DocsStream.readStream(spark, sd.toString))
+      .writeStream.format("memory").queryName("bpe_enc_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(sortedRows(spark.table("bpe_enc_out")) == sortedRows(encode(docs)))
+  }
+
   test("stream dedup matches batch dropDuplicates count") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.dedup, "dedup_out", outputMode = "append")
