@@ -1140,6 +1140,38 @@ object PipelineQueries {
       SELECT vec_id, approx_d2 FROM adc
       ORDER BY approx_d2, vec_id LIMIT 10""")),
 
+    // ---- temperature-weighted mixture planning: per-source sampling
+    // rates ∝ n_tokens^τ with τ = 0.5 — the standard up-weighting of
+    // small domains when composing a training mixture (q91 applies
+    // per-source rates; this COMPUTES them from a token budget). τ=0.5
+    // is deliberate: sqrt is an IEEE correctly-rounded primitive (libm
+    // pow is not), so both engines produce bit-identical weights; the
+    // weight total uses the exact-decimal sum of 6-dec-rounded weights
+    // (Det recipe), making every rate and token target hash-exact. ----
+    Q("q117_temperature_mixture", (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val ws = TextOps.tokens(col("text"))
+      val perSource = docs(s, d).groupBy(col("source"))
+        .agg(sum(size(ws).cast("long")).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          round(sqrt(col("n_tokens")), 6).as("w"))
+      val tot = perSource
+        .agg(sum(col("w").cast(DecimalType(24, 6))).cast(DoubleType).as("tw"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("w"),
+          round(col("w") / col("tw"), 6).as("mix_rate"),
+          round(lit(1e6) * (col("w") / col("tw")), 0).cast("long").as("target_tokens"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH t AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT source, n_tokens, round(sqrt(n_tokens), 6) AS w FROM t),
+      tot AS (SELECT ${Det.duckSum("w", 6)} AS tw FROM w)
+      SELECT source, n_tokens, w, round(w / tw, 6) AS mix_rate,
+        CAST(round(1e6 * (w / tw), 0) AS BIGINT) AS target_tokens
+      FROM w, tot ORDER BY source""")),
+
     // ---- PQ index statistics: per-(subspace, code) occupancy — the
     // balance metric an ANN index at scale is monitored by (a skewed
     // subspace means its codebook wastes codes and ADC loses contrast).
