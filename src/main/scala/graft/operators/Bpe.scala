@@ -1,15 +1,19 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer training + application — the real merge
   * loop (q78's regex splitter is the *pre*-tokenizer; this learns the
-  * vocabulary). Each training round is ONE corpus aggregation: adjacent
-  * symbol pairs are counted with map-side partial aggregation, the top
-  * pair (count desc, pair asc — deterministic tie-break) is collected to
-  * the driver, and the merge table grows by one. Applying merges is a
-  * chain of literal `replace` calls — pure map-side expressions, so
+  * vocabulary). Training is ONE corpus aggregation total: a single pass
+  * builds the (word, count) frequency table — vocabulary-sized, not
+  * corpus-sized — and every merge round then counts symbol pairs over
+  * that weighted table on the driver. A 32k-merge vocabulary therefore
+  * costs one corpus scan plus 32k passes over the vocabulary, not 32k
+  * corpus scans (the SentencePiece/HF-tokenizers shape). Applying merges
+  * is a chain of literal `replace` calls — pure map-side expressions, so
   * encoding a 100 TB corpus with a trained table is zero-shuffle.
   *
   * Symbol sequences are space-separated and space-PADDED (" a b c "),
@@ -19,7 +23,11 @@ import org.apache.spark.sql.functions._
   * DuckDB `replace`), which is the documented application order:
   * consecutive overlapping occurrences ("a b a b" sharing the middle
   * space) merge one per pass, identically in both engines — parity by
-  * construction, which is what the q113/q114 oracles hash-check.
+  * construction, which is what the q113/q114 oracles hash-check. The
+  * driver-side merge loop reproduces EXACTLY those padded-replace
+  * semantics (see [[applyMergeToks]]), so the learned table is
+  * bit-identical to the per-round-corpus-scan formulation the oracle
+  * unrolls.
   */
 object Bpe {
 
@@ -47,32 +55,93 @@ object Bpe {
       replace(s, lit(s" ${m.pair} "), lit(s" ${m.merged} "))
     }
 
-  /** Padded per-word symbol column for a corpus of text: one row per
-    * word. The word explode is map-side; training aggregations shuffle
-    * only (pair, count) partials.
+  /** THE one corpus pass of training: (word, occurrence count), collected
+    * to the driver. Vocabulary-sized — the distinct-word table of even a
+    * web-scale corpus is orders of magnitude smaller than the corpus, and
+    * `minCount` prunes the long singleton tail when it is not (the
+    * standard tokenizer-trainer guard; the default 1 keeps exact oracle
+    * parity).
     */
-  def wordSyms(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def wordFreq(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 1L): Seq[(String, Long)] =
     docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .select(charSyms(col("word")).as("syms"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
 
-  /** Train `rounds` merges. Each round: count pairs under all merges so
-    * far, collect the top (count desc, pair asc) — one job per round,
-    * one driver-side row each.
+  /** Word → symbol tokens, matching `split(word, "")` / DuckDB's
+    * per-character slice: one symbol per code point.
     */
-  def train(docs: DataFrame, rounds: Int, textCol: String = "text"): Seq[Merge] = {
-    val ws = wordSyms(docs, textCol)
+  private def symsOf(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One leftmost-non-overlapping merge pass over a token sequence —
+    * the exact semantics of `replace(" a b ", " ab ")` on the padded
+    * string: a match consumes BOTH flanking spaces, so the token right
+    * after a merge can never begin the next match (its leading space is
+    * gone). [a,b,a,b] merges once → [ab, a, b], not twice.
+    */
+  private[graft] def applyMergeToks(toks: Array[String], a: String,
+      b: String, merged: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += merged
+        if (i + 2 < toks.length) { out += toks(i + 2); i += 3 } else i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Driver-side merge loop over the weighted vocabulary: each round
+    * counts adjacent pairs (weighted by word count), takes the top
+    * (count desc, pair asc — binary string order, same tie-break in
+    * Spark, DuckDB, and here), and rewrites the vocabulary in place.
+    * Pure function of `freq` — no Spark jobs.
+    */
+  def trainFromFreq(freq: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
+    var table: Array[(Array[String], Long)] =
+      freq.map { case (w, n) => (symsOf(w), n) }.toArray
     var merges = Seq.empty[Merge]
     for (_ <- 1 to rounds) {
-      val top = ws.select(explode(pairs(applyMerges(col("syms"), merges))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(1)
-        .collect()
-      if (top.nonEmpty) {
-        val pair = top(0).getString(0)
-        merges = merges :+ Merge(pair, pair.replace(" ", ""), top(0).getLong(1))
+      val counts = mutable.HashMap.empty[String, Long]
+      table.foreach { case (toks, n) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          val p = toks(i) + " " + toks(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        // total order (count desc, pair asc) → deterministic regardless
+        // of hash-map iteration order
+        val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+        val Array(a, b) = pair.split(" ", 2)
+        val fused = pair.replace(" ", "")
+        table = table.map { case (toks, cnt) =>
+          (applyMergeToks(toks, a, b, fused), cnt)
+        }
+        merges = merges :+ Merge(pair, fused, n)
       }
     }
     merges
   }
+
+  /** Train `rounds` merges: one corpus aggregation ([[wordFreq]]), then
+    * the driver-side weighted merge loop — corpus scan count is
+    * independent of `rounds`.
+    */
+  def train(docs: DataFrame, rounds: Int, textCol: String = "text"): Seq[Merge] =
+    trainFromFreq(wordFreq(docs, textCol), rounds)
 }

@@ -38,6 +38,45 @@ class BpeSpec extends AnyFunSuite {
     assert(got == " ab a b ab ", s"got '$got'")
   }
 
+  test("driver merge pass mirrors padded replace: merge consumes the trailing space") {
+    // same cases the expression-side test pins: [a,b,a,b,a,b] → [ab,a,b,ab]
+    // (middle occurrence shares a space), [a,b,a,b] → [ab,a,b]
+    def run(toks: String*) =
+      Bpe.applyMergeToks(toks.toArray, "a", "b", "ab").toSeq
+    assert(run("a", "b", "a", "b", "a", "b") == Seq("ab", "a", "b", "ab"))
+    assert(run("a", "b", "a", "b") == Seq("ab", "a", "b"))
+    assert(run("a", "a", "a") == Seq("a", "a", "a"))
+    assert(run("x", "a", "b", "y") == Seq("x", "ab", "y"))
+  }
+
+  test("training scans the corpus a constant number of times, independent of rounds") {
+    // the scale contract: one wordFreq aggregation total; merge rounds run
+    // driver-side over the vocabulary-sized table. A per-merge corpus
+    // rescan would make 32k-merge vocabularies cost 32k corpus passes.
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+    }
+    def jobsFor(rounds: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs = 0
+        Bpe.train(docs, rounds)
+        // listener delivery is async: poll until the count is stable
+        var last = -1
+        var waited = 0
+        while (last != jobs && waited < 5000) {
+          last = jobs; Thread.sleep(200); waited += 200
+        }
+        jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j2 = jobsFor(2)
+    val j6 = jobsFor(6)
+    assert(j2 == j6, s"corpus work grows with rounds: $j2 jobs @2 vs $j6 @6")
+  }
+
   test("training is deterministic and merges are well-formed") {
     val a = Bpe.train(docs, rounds = 3)
     val b = Bpe.train(docs, rounds = 3)
