@@ -41,15 +41,19 @@ object BloomFunctions {
     lit(bin)
   }
 
-  /** [[trainBloom]] memoized per tag: a trained filter is a published
-    * model artifact (like the IVF centroids and BPE merge table) — the
-    * eval set is static across corpus batches, so production trains
-    * once and every later scan reuses the literal. Tag by the logical
-    * input identity (e.g. "evalgrams:<dir>").
+  /** [[trainBloom]] memoized per (tag, parameters): a trained filter is
+    * a published model artifact (like the IVF centroids and BPE merge
+    * table) — the eval set is static across corpus batches, so
+    * production trains once and every later scan reuses the literal.
+    * The tag MUST uniquely identify an immutable key set (e.g.
+    * "evalgrams:<dir>" over a directory that is never rewritten in this
+    * process); the filter parameters are folded into the cache key here,
+    * so the same tag at different sizes never serves a stale filter.
     */
   def trainBloomCached(tag: String, keys: => DataFrame, key: => Column,
       expectedItems: Long, numBits: Long): Column =
-    bloomCache.computeIfAbsent(tag, _ => trainBloom(keys, key, expectedItems, numBits))
+    bloomCache.computeIfAbsent(s"$tag|items=$expectedItems|bits=$numBits",
+      _ => trainBloom(keys, key, expectedItems, numBits))
 
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Column]()

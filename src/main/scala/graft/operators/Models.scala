@@ -1,0 +1,42 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Process-wide registry of trained model artifacts — IVF centroids, PQ
+  * codebooks, BPE merge tables, materialized index frames. Training is a
+  * BUILD step whose product is reused by every query that follows (the
+  * production shape: an index is built once, then served), so one
+  * `Verify`/`Bench` run must train each (input, hyperparameters)
+  * combination exactly once, not once per query.
+  *
+  * Keys MUST encode both the input identity (the dataset directory —
+  * immutable for the life of a process) and every hyperparameter, so two
+  * configurations never alias (the lesson from the bloom cache:
+  * a tag without its parameters silently serves the wrong filter).
+  * Entries live for the life of the JVM, like
+  * `BloomFunctions.trainBloomCached`; artifacts are driver-side literals
+  * of bounded size (k·dim centroids, M·K·SubDim codebooks, the merge
+  * table), so the cache cannot grow past #models × #datasets.
+  */
+object Models {
+
+  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  private val trains = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** The artifact under `key`, training it on first use. `train` runs at
+    * most once per key per process (ConcurrentHashMap.computeIfAbsent is
+    * atomic per key).
+    */
+  def cached[T <: AnyRef](key: String)(train: => T): T =
+    cache.computeIfAbsent(key, k => {
+      trains.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
+      train
+    }).asInstanceOf[T]
+
+  /** How many times `key`'s trainer has actually run (spec probe: N
+    * queries sharing one model must leave this at 1).
+    */
+  def timesTrained(key: String): Long =
+    Option(trains.get(key)).map(_.get()).getOrElse(0L)
+}

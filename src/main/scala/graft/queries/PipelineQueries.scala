@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{Bpe, Ivf, Models, Pq, TextOps}
 
 /** LLM-training-data pipeline operators (north star [EXT]): deduplication
   * (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
@@ -21,6 +21,28 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
   private def embs(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  // Trained-model artifacts shared across queries ([[Models]]): one
+  // Verify/Bench process trains each (dataset, hyperparameters) model
+  // exactly once — q108/q109/q110/q116 share one PQ codebook set the way
+  // q88/q101 already share one bloom filter. Keys carry every
+  // hyperparameter so configurations never alias.
+  private[graft] def ivfCents(s: SparkSession, d: String): Ivf.Centroids =
+    Models.cached(s"ivf:$d:k=8,rounds=2")(Ivf.train(embs(s, d), 8, 2))
+  private[graft] def pqBooks(s: SparkSession, d: String): Pq.Codebooks =
+    Models.cached(s"pq:$d:rounds=1")(Pq.train(embs(s, d), rounds = 1))
+  private[graft] def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    Models.cached(s"bpe:$d:rounds=4")(Bpe.train(docs(s, d), rounds = 4))
+  /** q115's codebooks: trained on IVF-cell residuals (the FAISS IVF-PQ
+    * shape), so they depend on the trained coarse quantizer too.
+    */
+  private[graft] def pqResidualBooks(s: SparkSession, d: String): Pq.Codebooks =
+    Models.cached(s"pqres:$d:k=8,rounds=2,pqrounds=1") {
+      val cents = ivfCents(s, d)
+      val res = Ivf.assign(embs(s, d), cents).select(col("vec_id"),
+        Pq.residual(col("embedding"), col("cid"), cents).as("embedding"))
+      Pq.train(res, rounds = 1)
+    }
 
   // DuckDB rendering of the md5 hash helpers (must mirror TextOps exactly)
   private def duckHash(seed: Int, expr: String): String =
@@ -1021,8 +1043,8 @@ object PipelineQueries {
     // replays training bit-for-bit (deterministic seeds, rounded-d2
     // argmin with cid tie-break, exact-decimal Lloyd means). ----
     Q("q108_pq_encode", (s, d) => {
-      val books = graft.operators.Pq.train(embs(s, d), rounds = 1)
-      graft.operators.Pq.encode(embs(s, d), books).orderBy(col("vec_id"))
+      val books = pqBooks(s, d)
+      Pq.encode(embs(s, d), books).orderBy(col("vec_id"))
     }, Some(s"""
       WITH $duckPqCtes
       SELECT vec_id,
@@ -1045,8 +1067,7 @@ object PipelineQueries {
     // explicit chain). Map-side except the 1-row query broadcast and
     // the top-k. ----
     Q("q109_pq_search", (s, d) => {
-      import graft.operators.Pq
-      val books = Pq.train(embs(s, d), rounds = 1)
+      val books = pqBooks(s, d)
       val e = embs(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -1083,14 +1104,13 @@ object PipelineQueries {
     // corpus shuffles: cell assignment, residual, and codes are one
     // literal-driven map-side chain; the probed cells broadcast. ----
     Q("q115_ivfpq_residual", (s, d) => {
-      import graft.operators.{Ivf, Pq}
       val e = embs(s, d)
-      val cents = Ivf.train(e, 8, 2)
+      val cents = ivfCents(s, d)
       val res = Ivf.assign(e, cents)
         .select(col("vec_id"),
           Pq.residual(col("embedding"), col("cid"), cents).as("embedding"),
           col("cid"))
-      val books = Pq.train(res.select(col("vec_id"), col("embedding")), rounds = 1)
+      val books = pqResidualBooks(s, d)
       val q = e.filter(col("vec_id") === 1)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val cells = Ivf.probeCells(q, cents, 2)
@@ -1177,8 +1197,7 @@ object PipelineQueries {
     // subspace means its codebook wastes codes and ADC loses contrast).
     // One map-side encode + one (m, code) aggregation of 8·16 cells. ----
     Q("q116_pq_stats", (s, d) => {
-      import graft.operators.Pq
-      val books = Pq.train(embs(s, d), rounds = 1)
+      val books = pqBooks(s, d)
       val enc = Pq.encode(embs(s, d), books)
       val long = enc.select(col("vec_id"), explode(array((0 until Pq.M).map(m =>
           struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("x"))
@@ -1200,7 +1219,7 @@ object PipelineQueries {
     // both engines. ----
     Q("q113_bpe_train", (s, d) => {
       import s.implicits._
-      val merges = graft.operators.Bpe.train(docs(s, d), rounds = 4)
+      val merges = bpeMerges(s, d)
       merges.zipWithIndex
         .map { case (m, i) => (i + 1, m.pair, m.merged, m.count) }
         .toDF("round", "pair", "merged", "n")
@@ -1219,8 +1238,7 @@ object PipelineQueries {
     // pure map-side — the training cost amortizes over every later scan
     // of the 100 TB corpus. ----
     Q("q114_bpe_encode", (s, d) => {
-      import graft.operators.Bpe
-      val merges = Bpe.train(docs(s, d), rounds = 4)
+      val merges = bpeMerges(s, d)
       val words = filter(split(col("text"), " "), w => length(w) > 0)
       val tokCounts = transform(words, w =>
         size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long"))
@@ -1256,10 +1274,9 @@ object PipelineQueries {
     // the cell restriction is a 2-row broadcast join, and the top-k is
     // TakeOrdered — zero corpus shuffles end-to-end. ----
     Q("q110_ivfpq_search", (s, d) => {
-      import graft.operators.{Ivf, Pq}
       val e = embs(s, d)
-      val cents = Ivf.train(e, 8, 2)
-      val books = Pq.train(e, rounds = 1)
+      val cents = ivfCents(s, d)
+      val books = pqBooks(s, d)
       val q = e.filter(col("vec_id") === 1)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val cells = Ivf.probeCells(q, cents, 2)
@@ -1477,7 +1494,7 @@ object PipelineQueries {
     // assignment (q67's plan) + one window per cell. ----
     Q("q96_cell_diverse", (s, d) => {
       val e = embs(s, d)
-      val assigned = graft.operators.Ivf.assign(e, graft.operators.Ivf.train(e, 8, 2))
+      val assigned = Ivf.assign(e, ivfCents(s, d))
       val w = Window.partitionBy(col("cid")).orderBy(col("cos").asc, col("vec_id"))
       assigned.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
@@ -1632,7 +1649,7 @@ object PipelineQueries {
     // partial sums; search probes the query's top-2 cells (q68). ----
     Q("q67_ivf_assign", (s, d) => {
       val e = embs(s, d)
-      graft.operators.Ivf.assign(e, graft.operators.Ivf.train(e, 8, 2))
+      Ivf.assign(e, ivfCents(s, d))
         .select(col("vec_id"), col("cid").as("centroid"), col("cos").as("cosine"))
         .orderBy(col("vec_id"))
     }, Some(s"""
@@ -1643,11 +1660,11 @@ object PipelineQueries {
     // ---- IVF multi-probe search: rank within the query's top-2 cells ----
     Q("q68_ivf_search", (s, d) => {
       val e = embs(s, d)
-      val cents = graft.operators.Ivf.train(e, 8, 2)
-      val assigned = graft.operators.Ivf.assign(e, cents)
+      val cents = ivfCents(s, d)
+      val assigned = Ivf.assign(e, cents)
       val q = e.filter(col("vec_id") === 1)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cells = graft.operators.Ivf.probeCells(q, cents, 2)
+      val cells = Ivf.probeCells(q, cents, 2)
         .select(col("qid"), col("qv"), col("cid").as("qcid"))
       assigned.join(broadcast(cells),
           col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
