@@ -138,8 +138,11 @@ object Pq {
   /** ADC approximate squared distance of a raw stored embedding to the
     * query vector `qv`: per-subspace rounded d2 between the query's
     * subvector and the centroid of the stored code, summed in fixed
-    * m-order. One map-side expression (codes are recomputed inline —
-    * storing them first, q108, gives the same values by construction).
+    * m-order. Recomputes codes from the raw float column inline, so it
+    * reads the UNCOMPRESSED corpus — a diagnostic/spec tool (PqSpec's
+    * approximation-floor test), NOT the search path. Searches scan the
+    * stored 8-byte codes via [[adcLut]]+[[adcFromCodes]], which this is
+    * value-identical to by construction.
     */
   def adc(embedding: Column, qv: Column, books: Codebooks): Column =
     (0 until M).map { m =>
@@ -147,5 +150,60 @@ object Pq {
         array(books(m).map(litVec): _*),
         (code(sub(embedding, m), books(m)) + 1).cast("int"))
       round(d2(sub(qv, m), cvOfCode), 6)
+    }.reduce(_ + _)
+
+  // ---- the real ANN search path: score STORED codes against a ----
+  // ---- query-side lookup table — the corpus floats never load  ----
+
+  /** Driver-side twin of [[d2]], bit-exact: same sequential fold, same
+    * IEEE ops in the same order ((x−y)·(x−y) accumulated left-to-right).
+    */
+  def d2Host(a: Seq[Double], b: Seq[Double]): Double = {
+    require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val df = a(i) - b(i); acc += df * df; i += 1 }
+    acc
+  }
+
+  /** Driver-side twin of Spark's `round(x, 6)` on DoubleType: identical
+    * code path (scala BigDecimal of the double's decimal rendering,
+    * HALF_UP), NaN/∞ passed through — so LUT entries are bit-identical
+    * to what the expression-side `round(d2(...), 6)` produces.
+    */
+  def round6Host(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver-side twin of [[residual]] for the query vector: exact IEEE
+    * subtraction, same as the expression side's `x.cast(double) − c`.
+    */
+  def residualHost(q: Seq[Double], cent: Seq[Double]): Seq[Double] = {
+    require(q.length == cent.length, s"dim mismatch ${q.length} vs ${cent.length}")
+    q.indices.map(i => q(i) - cent(i))
+  }
+
+  /** The query's ADC lookup table: lut(m)(c) = rounded d2 between the
+    * query's subvector m and codebook centroid c — M·K doubles, computed
+    * once per query on the driver and shipped as task literals. This is
+    * the object that makes PQ search scan the INDEX instead of the
+    * corpus: all per-vector distance work collapses to M array lookups
+    * over the stored codes.
+    */
+  def adcLut(q: Seq[Double], books: Codebooks): Seq[Seq[Double]] =
+    (0 until M).map { m =>
+      val qs = q.slice(m * SubDim, (m + 1) * SubDim)
+      books(m).map(cv => round6Host(d2Host(qs, cv)))
+    }
+
+  /** ADC distance from STORED code columns: per-subspace literal-array
+    * lookup of the query's precomputed distance, summed in the same
+    * fixed m-order as [[adc]] (double addition is order-dependent; the
+    * oracle writes the same chain). Zero touches of the embedding
+    * column — the scan reads M small codes per vector.
+    */
+  def adcFromCodes(code: Int => Column, lut: Seq[Seq[Double]]): Column =
+    lut.zipWithIndex.map { case (l, m) =>
+      element_at(array(l.map(lit): _*), (code(m) + 1).cast("int"))
     }.reduce(_ + _)
 }

@@ -44,6 +44,59 @@ object PipelineQueries {
       Pq.train(res, rounds = 1)
     }
 
+  /** Materialized IVF-PQ index: (vec_id, c0..c7) parquet, hive-
+    * partitioned by IVF cell — the posting-list layout of a real ANN
+    * index. Searches scan 8 codes per vector (the 32×-compressed index,
+    * never the raw floats) and restrict to probed cells by DIRECTORY
+    * (partition pruning), so at 100 TB a 2-of-8-cell probe opens ~1/4 of
+    * the index files and none of the corpus. Built once per process
+    * with overwrite (never serves a stale index for a rewritten
+    * dataset dir); `residual=true` stores codes of the cell-residual
+    * vectors under the residual-trained codebooks (q115's FAISS shape).
+    */
+  private[graft] def ivfPqIndex(s: SparkSession, d: String,
+      residual: Boolean = false): DataFrame = {
+    val kind = if (residual) "ivfpq-res" else "ivfpq"
+    val path = Models.cached(s"index:$kind:$d:k=8,rounds=2,pqrounds=1") {
+      val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = s"/tmp/graft_index/$dirMd5/$kind"
+      val cents = ivfCents(s, d)
+      val books = if (residual) pqResidualBooks(s, d) else pqBooks(s, d)
+      val assigned = Ivf.assign(embs(s, d), cents)
+      val vec = if (residual)
+        Pq.residual(col("embedding"), col("cid"), cents) else col("embedding")
+      assigned
+        .select(Seq(col("vec_id"), col("cid")) ++
+          (0 until Pq.M).map(m => Pq.code(Pq.sub(vec, m), books(m)).as(s"c$m")): _*)
+        .write.mode("overwrite").partitionBy("cid").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+  }
+
+  /** The query vector, collected once (1 row — the ANN-query contract:
+    * a search receives its query as a literal, not as a table).
+    */
+  private def queryVec(s: SparkSession, d: String, qid: Long): Seq[Double] =
+    Models.cached(s"qvec:$d:$qid") {
+      embs(s, d).filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toIndexedSeq
+    }
+
+  /** The query's top-`nprobe` IVF cells (bounded collect of
+    * [[Ivf.probeCells]] — nprobe rows, model-artifact sized).
+    */
+  private def probedCells(s: SparkSession, d: String, qid: Long,
+      nprobe: Int): Seq[Long] =
+    Models.cached(s"probe:$d:qid=$qid,k=8,rounds=2,nprobe=$nprobe") {
+      val q = embs(s, d).filter(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ivf.probeCells(q, ivfCents(s, d), nprobe)
+        .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    }
+
   // DuckDB rendering of the md5 hash helpers (must mirror TextOps exactly)
   private def duckHash(seed: Int, expr: String): String =
     s"CAST(concat('0x', substr(md5('$seed|' || ($expr)), 1, 8)) AS BIGINT)"
@@ -1059,20 +1112,19 @@ object PipelineQueries {
       FROM pq_codes GROUP BY vec_id ORDER BY vec_id""")),
 
     // ---- product quantization, part 2: asymmetric-distance (ADC)
-    // search. The query stays a RAW vector; every stored vector is
-    // scored through its codes' centroids only — at scale the codes are
-    // 8 bytes hot in RAM and the original embeddings are never touched.
-    // Per-subspace distances are rounded then summed in fixed m-order
-    // (double addition is order-dependent; the oracle writes the same
-    // explicit chain). Map-side except the 1-row query broadcast and
-    // the top-k. ----
+    // search over the STORED index. The query's M·K distance table
+    // (Pq.adcLut — 128 doubles, bit-exact twin of the expression-side
+    // math) ships as task literals; every stored vector is scored with
+    // M array lookups over its 8 stored codes. The scan reads the
+    // 32×-compressed index only — the plan never references the
+    // embedding column (PlanShapeSpec locks this), which is the whole
+    // point of PQ at 100 TB: the raw corpus stays cold. Pure map-side
+    // projection + TakeOrdered; zero joins, zero shuffles. ----
     Q("q109_pq_search", (s, d) => {
-      val books = pqBooks(s, d)
-      val e = embs(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val lut = Pq.adcLut(queryVec(s, d, qid = 0), pqBooks(s, d))
+      ivfPqIndex(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          Pq.adc(col("embedding"), col("qv"), books).as("approx_d2"))
+          Pq.adcFromCodes(m => col(s"c$m"), lut).as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id")).limit(10)
     }, Some(s"""
       WITH $duckPqCtes,
@@ -1100,26 +1152,28 @@ object PipelineQueries {
     // ---- residual IVF-PQ (the FAISS shape): codebooks are trained on
     // x − centroid(cell(x)) instead of raw vectors, concentrating the
     // 16 codes per subspace on WITHIN-cell variation. The query is
-    // residualized against each probed cell before ADC. Still zero
-    // corpus shuffles: cell assignment, residual, and codes are one
-    // literal-driven map-side chain; the probed cells broadcast. ----
+    // residualized against each probed cell ON THE DRIVER (exact IEEE
+    // subtraction, Pq.residualHost) and gets one ADC LUT per cell; the
+    // search scans the residual-code index with a per-cell literal
+    // dispatch (when cid=…), restricted to the probed cells by
+    // PARTITION PRUNING. The embedding column never appears in the
+    // plan; zero joins, zero shuffles. ----
     Q("q115_ivfpq_residual", (s, d) => {
-      val e = embs(s, d)
-      val cents = ivfCents(s, d)
-      val res = Ivf.assign(e, cents)
-        .select(col("vec_id"),
-          Pq.residual(col("embedding"), col("cid"), cents).as("embedding"),
-          col("cid"))
+      val cents = ivfCents(s, d).toMap
       val books = pqResidualBooks(s, d)
-      val q = e.filter(col("vec_id") === 1)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cells = Ivf.probeCells(q, cents, 2)
-        .select(col("qid"), col("qv"), col("cid").as("qcid"))
-      res.join(broadcast(cells),
-          col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
-        .select(col("vec_id"),
-          Pq.adc(col("embedding"),
-            Pq.residual(col("qv"), col("qcid"), cents), books).as("approx_d2"))
+      val qv = queryVec(s, d, qid = 1)
+      val cells = probedCells(s, d, qid = 1, nprobe = 2)
+      val scoreByCell = cells.map { c =>
+        c -> Pq.adcFromCodes(m => col(s"c$m"),
+          Pq.adcLut(Pq.residualHost(qv, cents(c)), books))
+      }
+      val dist = scoreByCell.tail.foldLeft(
+        when(col("cid") === lit(scoreByCell.head._1), scoreByCell.head._2)) {
+        case (acc, (c, expr)) => acc.when(col("cid") === lit(c), expr)
+      }
+      ivfPqIndex(s, d, residual = true)
+        .filter(col("cid").isin(cells: _*) && col("vec_id") =!= 1)
+        .select(col("vec_id"), dist.as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id")).limit(10)
     }, Some(s"""
       WITH ${duckIvfCtes(8, 2, 64)},
@@ -1267,25 +1321,20 @@ object PipelineQueries {
       FROM documents CROSS JOIN mt ORDER BY doc_id""")),
 
     // ---- the full IVF-PQ search: IVF restricts WHICH vectors are
-    // scored (the query's top-2 cells — at 100 TB that's pruning the
-    // candidate set to ~nprobe/k of the corpus before any distance
-    // work), PQ-ADC decides HOW each survivor is scored (8 hot bytes
-    // per vector, never the raw floats). Both models are task literals,
-    // the cell restriction is a 2-row broadcast join, and the top-k is
-    // TakeOrdered — zero corpus shuffles end-to-end. ----
+    // scored (the query's top-2 cells — partition PRUNING on the
+    // cid-partitioned index, so at 100 TB a 2-of-8 probe opens ~1/4 of
+    // the index directories and none of the corpus), PQ-ADC decides HOW
+    // each survivor is scored (M lookups into the query's literal LUT
+    // over the 8 stored bytes — never the raw floats; the plan contains
+    // no embedding reference, locked). Zero joins, zero shuffles,
+    // top-k via TakeOrdered. ----
     Q("q110_ivfpq_search", (s, d) => {
-      val e = embs(s, d)
-      val cents = ivfCents(s, d)
-      val books = pqBooks(s, d)
-      val q = e.filter(col("vec_id") === 1)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cells = Ivf.probeCells(q, cents, 2)
-        .select(col("qid"), col("qv"), col("cid").as("qcid"))
-      Ivf.assign(e, cents)
-        .join(broadcast(cells),
-          col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      val lut = Pq.adcLut(queryVec(s, d, qid = 1), pqBooks(s, d))
+      val cells = probedCells(s, d, qid = 1, nprobe = 2)
+      ivfPqIndex(s, d)
+        .filter(col("cid").isin(cells: _*) && col("vec_id") =!= 1)
         .select(col("vec_id"),
-          Pq.adc(col("embedding"), col("qv"), books).as("approx_d2"))
+          Pq.adcFromCodes(m => col(s"c$m"), lut).as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id")).limit(10)
     }, Some(s"""
       WITH ${duckIvfCtes(8, 2, 64)},

@@ -202,30 +202,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
   }
 
-  test("q109: PQ ADC search is map-side — 1-row query broadcast, top-k without global sort") {
-    val p = planOf("q109_pq_search")
+  // q109/q110/q115: the PQ search contract — the plan scans the STORED
+  // 8-byte-code index and never references the raw embedding column.
+  // That is the claim PQ exists to make true ("the corpus stays cold");
+  // a regression to inline code-recomputation would re-read 256 B of
+  // floats per vector and these fail.
+  private def assertCodesOnlySearch(q: String): String = {
+    val p = planOf(q)
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
     val shuffles = p.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles == 0, s"ADC search shuffles the corpus:\n$p")
+    assert(shuffles == 0, s"search shuffles the corpus:\n$p")
+    assert(!p.contains("Join"), s"search must be a pure scan+project:\n$p")
+    assert(!p.contains("embedding"),
+      s"search plan references the raw embedding column — index not used:\n$p")
+    p
   }
 
-  test("q110: IVF-PQ search — cell restriction broadcast, ADC map-side, zero corpus shuffles") {
-    val p = planOf("q110_ivfpq_search")
-    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"cell restriction must broadcast:\n$p")
-    val shuffles = p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles == 0, s"IVF-PQ search shuffles the corpus:\n$p")
+  test("q109: PQ ADC search scans stored codes only (no embedding, no join, no shuffle)") {
+    assertCodesOnlySearch("q109_pq_search")
   }
 
-  test("q115: residual IVF-PQ keeps the zero-shuffle search shape") {
-    val p = planOf("q115_ivfpq_residual")
-    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"cell restriction must broadcast:\n$p")
-    val shuffles = p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles == 0, s"residual IVF-PQ search shuffles the corpus:\n$p")
+  test("q110: IVF-PQ search — probed cells via partition pruning, codes-only ADC") {
+    val p = assertCodesOnlySearch("q110_ivfpq_search")
+    // the IVF restriction is directory-level: cid is a partition filter
+    // on the index, not a row filter (and not a data column)
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    val pf = p.split("PartitionFilters:")(1).split("\n")(0)
+    assert(pf.contains("cid"), s"cell restriction not pruned by partition:\n$pf")
+  }
+
+  test("q115: residual IVF-PQ keeps the codes-only pruned search shape") {
+    val p = assertCodesOnlySearch("q115_ivfpq_residual")
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    val pf = p.split("PartitionFilters:")(1).split("\n")(0)
+    assert(pf.contains("cid"), s"cell restriction not pruned by partition:\n$pf")
   }
 
   test("q100: semantic decontamination probes banded eval vectors via broadcast") {

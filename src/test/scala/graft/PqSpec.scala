@@ -47,6 +47,24 @@ class PqSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"encode must not join:\n$p")
   }
 
+  test("LUT search over stored codes equals inline ADC bit-for-bit") {
+    // the search path (driver-computed LUT + element_at over stored
+    // codes) must produce the exact doubles of the diagnostic inline
+    // path — this is what lets q109/q110 switch to the index with the
+    // oracle unchanged
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val lut = Pq.adcLut(qv, books)
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val inline = embs.crossJoin(broadcast(q))
+      .select(col("vec_id"), Pq.adc(col("embedding"), col("qv"), books).as("a"))
+    val stored = Pq.encode(embs, books)
+      .select(col("vec_id"), Pq.adcFromCodes(m => col(s"c$m"), lut).as("b"))
+    val diverged = inline.join(stored, "vec_id").filter(col("a") =!= col("b")).count()
+    assert(diverged == 0, s"$diverged vectors diverged between stored-code and inline ADC")
+  }
+
   test("ADC approximation quality floor (uniform-random data is PQ's worst case)") {
     // The testdata embeddings are uniform random, where pairwise
     // distances CONCENTRATE — the adversarial regime for quantization
