@@ -34,11 +34,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Pq {
 
+  // Default shape for the 64-dim testdata corpus. Training takes the
+  // shape as parameters (a 128-dim corpus or 8-bit codes are config,
+  // not an edit here); everything downstream of training derives the
+  // shape from the codebooks themselves.
   val M = 8       // subspaces
   val SubDim = 8  // dims per subspace (M * SubDim = embedding dim)
   val K = 16      // codes per subspace
 
-  /** codebooks(m) = K centroids (cid 0..K-1, in order) of subspace m. */
+  /** codebooks(m) = K centroids (cid 0..K-1, in order) of subspace m.
+    * The nesting IS the trained shape: `books.length` = M,
+    * `books(m).length` = K, `books(m)(c).length` = SubDim.
+    */
   type Codebooks = Seq[Seq[Seq[Double]]]
 
   /** Sequential-fold squared L2 distance (same accumulation order as the
@@ -51,8 +58,8 @@ object Pq {
       lit(0.0), (acc, v) => acc + v)
 
   /** Subvector m of an embedding column (1-based slice). */
-  def sub(embedding: Column, m: Int): Column =
-    slice(embedding, m * SubDim + 1, SubDim)
+  def sub(embedding: Column, m: Int, subDim: Int = SubDim): Column =
+    slice(embedding, m * subDim + 1, subDim)
 
   private def litVec(cv: Seq[Double]): Column = array(cv.map(lit): _*)
 
@@ -64,15 +71,22 @@ object Pq {
       struct(round(d2(sv, litVec(cv)), 6).as("d2"), lit(cid.toLong).as("cid"))
     }: _*)).getField("cid")
 
+  /** The M code columns `c0..c{M-1}` of a vector column, shape-derived
+    * from the trained codebooks.
+    */
+  def codeCols(vec: Column, books: Codebooks): Seq[Column] = {
+    val subDim = books.head.head.length
+    books.indices.map(m => code(sub(vec, m, subDim), books(m)).as(s"c$m"))
+  }
+
   /** All M codes of an embedding as columns `c0..c{M-1}`. */
   def encode(e: DataFrame, books: Codebooks): DataFrame =
-    e.select(col("vec_id") +:
-      (0 until M).map(m => code(sub(col("embedding"), m), books(m)).as(s"c$m")): _*)
+    e.select(col("vec_id") +: codeCols(col("embedding"), books): _*)
 
   /** Long-form (vec_id, m, sv) view used by training. */
-  private def subvectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), explode(array((0 until M).map(m =>
-        struct(lit(m).as("m"), sub(col("embedding"), m).as("sv"))): _*)).as("x"))
+  private def subvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until m).map(mm =>
+        struct(lit(mm).as("m"), sub(col("embedding"), mm, subDim).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
 
   /** Per-(m, cid) exact-decimal element-wise means of the assigned
@@ -89,31 +103,38 @@ object Pq {
         transform(col("pm"), x => x.getField("mean")).as("cv"))
 
   /** Deterministic codebook training: seeds = subvector slices of
-    * `vec_id < K`, then `rounds` unrolled Lloyd iterations; an emptied
-    * code keeps its previous centroid.
+    * `vec_id < k`, then `rounds` unrolled Lloyd iterations; an emptied
+    * code keeps its previous centroid. Shape defaults fit the 64-dim
+    * testdata; pass (m, subDim, k) for other corpora — `m * subDim`
+    * must equal the embedding dimension.
     */
-  def train(e: DataFrame, rounds: Int): Codebooks = {
-    val seeds = subvectors(e.filter(col("vec_id") < K))
+  def train(e: DataFrame, rounds: Int, m: Int = M, subDim: Int = SubDim,
+      k: Int = K): Codebooks = {
+    val seeds = subvectors(e.filter(col("vec_id") < k), m, subDim)
       .select(col("m"), col("vec_id").cast("long").as("cid"),
         col("sv").cast("array<double>").as("cv"))
-    var books: Codebooks = collectBooks(seeds)
+    var books: Codebooks = collectBooks(seeds, m, k)
     for (_ <- 1 to rounds) {
       val litBooks = books
-      val assigned = subvectors(e).select(col("vec_id"), col("m"), col("sv"),
+      val assigned = subvectors(e, m, subDim).select(col("vec_id"), col("m"), col("sv"),
         // element_at over the literal per-sub codebooks, indexed by m
-        element_at(array((0 until M).map(m =>
-          code(col("sv"), litBooks(m))): _*), col("m") + 1).as("cid"))
+        element_at(array((0 until m).map(mm =>
+          code(col("sv"), litBooks(mm))): _*), col("m") + 1).as("cid"))
       val means = collectBooksMap(clusterMeans(assigned))
-      books = books.zipWithIndex.map { case (book, m) =>
-        book.zipWithIndex.map { case (cv, cid) => means.getOrElse((m, cid.toLong), cv) }
+      books = books.zipWithIndex.map { case (book, mm) =>
+        book.zipWithIndex.map { case (cv, cid) => means.getOrElse((mm, cid.toLong), cv) }
       }
     }
     books
   }
 
-  private def collectBooks(cents: DataFrame): Codebooks = {
-    val m = collectBooksMap(cents)
-    (0 until M).map(s => (0 until K).map(c => m((s, c.toLong))).toSeq).toSeq
+  private def collectBooks(cents: DataFrame, m: Int, k: Int): Codebooks = {
+    val mp = collectBooksMap(cents)
+    require(mp.size == m * k,
+      s"PQ seeding requires DENSE vec_ids 0..${k - 1} in the embeddings " +
+        s"table (the documented deterministic-seed contract): got ${mp.size} " +
+        s"of ${m * k} seed subvectors — renumber ids or lower k")
+    (0 until m).map(s => (0 until k).map(c => mp((s, c.toLong))).toSeq).toSeq
   }
 
   private def collectBooksMap(cents: DataFrame): Map[(Int, Long), Seq[Double]] =
@@ -144,13 +165,15 @@ object Pq {
     * stored 8-byte codes via [[adcLut]]+[[adcFromCodes]], which this is
     * value-identical to by construction.
     */
-  def adc(embedding: Column, qv: Column, books: Codebooks): Column =
-    (0 until M).map { m =>
+  def adc(embedding: Column, qv: Column, books: Codebooks): Column = {
+    val subDim = books.head.head.length
+    books.indices.map { m =>
       val cvOfCode = element_at(
         array(books(m).map(litVec): _*),
-        (code(sub(embedding, m), books(m)) + 1).cast("int"))
-      round(d2(sub(qv, m), cvOfCode), 6)
+        (code(sub(embedding, m, subDim), books(m)) + 1).cast("int"))
+      round(d2(sub(qv, m, subDim), cvOfCode), 6)
     }.reduce(_ + _)
+  }
 
   // ---- the real ANN search path: score STORED codes against a ----
   // ---- query-side lookup table — the corpus floats never load  ----
@@ -190,11 +213,15 @@ object Pq {
     * corpus: all per-vector distance work collapses to M array lookups
     * over the stored codes.
     */
-  def adcLut(q: Seq[Double], books: Codebooks): Seq[Seq[Double]] =
-    (0 until M).map { m =>
-      val qs = q.slice(m * SubDim, (m + 1) * SubDim)
+  def adcLut(q: Seq[Double], books: Codebooks): Seq[Seq[Double]] = {
+    val subDim = books.head.head.length
+    require(q.length == books.length * subDim,
+      s"query dim ${q.length} != M·SubDim ${books.length * subDim}")
+    books.indices.map { m =>
+      val qs = q.slice(m * subDim, (m + 1) * subDim)
       books(m).map(cv => round6Host(d2Host(qs, cv)))
     }
+  }
 
   /** ADC distance from STORED code columns: per-subspace literal-array
     * lookup of the query's precomputed distance, summed in the same

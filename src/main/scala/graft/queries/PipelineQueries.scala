@@ -67,8 +67,7 @@ object PipelineQueries {
       val vec = if (residual)
         Pq.residual(col("embedding"), col("cid"), cents) else col("embedding")
       assigned
-        .select(Seq(col("vec_id"), col("cid")) ++
-          (0 until Pq.M).map(m => Pq.code(Pq.sub(vec, m), books(m)).as(s"c$m")): _*)
+        .select(Seq(col("vec_id"), col("cid")) ++ Pq.codeCols(vec, books): _*)
         .write.mode("overwrite").partitionBy("cid").parquet(p)
       p
     }
@@ -1253,7 +1252,7 @@ object PipelineQueries {
     Q("q116_pq_stats", (s, d) => {
       val books = pqBooks(s, d)
       val enc = Pq.encode(embs(s, d), books)
-      val long = enc.select(col("vec_id"), explode(array((0 until Pq.M).map(m =>
+      val long = enc.select(col("vec_id"), explode(array(books.indices.map(m =>
           struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("x"))
         .select(col("x.m").as("m"), col("x.code").as("code"))
       long.groupBy(col("m"), col("code")).agg(count(lit(1)).as("n"))

@@ -47,6 +47,30 @@ class PqSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"encode must not join:\n$p")
   }
 
+  test("shape is a training parameter: m=4, subDim=16, k=8 over the same 64-dim corpus") {
+    val b = Pq.train(embs, rounds = 1, m = 4, subDim = 16, k = 8)
+    assert(b.length == 4)
+    b.foreach { book =>
+      assert(book.length == 8)
+      book.foreach(cv => assert(cv.length == 16))
+    }
+    val enc = Pq.encode(embs, b)
+    assert(enc.columns.toSeq == ("vec_id" +: (0 until 4).map(m => s"c$m")))
+    val cols = (0 until 4).map(m => col(s"c$m"))
+    assert(enc.filter(cols.map(c => c < 0 || c >= 8).reduce(_ || _)).count() == 0)
+    // the LUT path derives the same shape from the codebooks
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    assert(Pq.adcLut(qv, b).map(_.length) == Seq.fill(4)(8))
+  }
+
+  test("sparse vec_ids fail seeding with the dense-id contract named") {
+    val sparse = embs.filter(col("vec_id") >= 100)
+    val err = intercept[IllegalArgumentException](Pq.train(sparse, rounds = 1))
+    assert(err.getMessage.contains("DENSE vec_ids"), err.getMessage)
+  }
+
   test("LUT search over stored codes equals inline ADC bit-for-bit") {
     // the search path (driver-computed LUT + element_at over stored
     // codes) must produce the exact doubles of the diagnostic inline
