@@ -29,20 +29,33 @@ import org.apache.spark.sql.functions._
   * and the driver dies long before the data does. The previous round's
   * blocks are unpersisted as soon as the next round is materialized, so
   * peak storage is TWO 2-column label tables plus the edges, not
-  * `maxRounds` of them. On a cluster prefer `RDD.checkpoint()` to a
-  * reliable store so executor loss can't silently restart the chain.
-  * Rounds needed = the longest propagation path in any component (chains
-  * of near-dups), bounded by `maxRounds` as a runaway guard.
+  * `maxRounds` of them. By default rounds pin via `localCheckpoint`
+  * (executor blocks — fine for local mode); on a cluster pass
+  * `checkpointDir` (HDFS/object store) to switch to RELIABLE
+  * `RDD.checkpoint()` so executor loss can't silently restart the
+  * chain. Rounds needed = the longest propagation path in any component
+  * (chains of near-dups), bounded by `maxRounds` as a runaway guard.
   */
 object Dedup {
 
-  /** Pin a small/intermediate frame: materialize it to local-checkpoint
-    * blocks and hand back both the block-backed frame and the RDD whose
-    * blocks can be `unpersist`ed once the frame is no longer needed.
+  /** Pin a small/intermediate frame: materialize it to checkpoint
+    * storage and hand back both the checkpoint-backed frame and the RDD
+    * whose blocks can be `unpersist`ed once the frame is no longer
+    * needed. `checkpointDir = Some(dir)` uses a reliable checkpoint
+    * (cached first so the materializing job doesn't compute the lineage
+    * twice — once for the count, once for the checkpoint write).
     */
-  private def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
+  private def pin(df: DataFrame,
+      checkpointDir: Option[String]): (DataFrame, RDD[Row]) = {
     val rdd = df.rdd
-    rdd.localCheckpoint()
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      case None => rdd.localCheckpoint()
+    }
     rdd.count() // eager: materialize before anything downstream replans
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
@@ -50,15 +63,21 @@ object Dedup {
   /** @param docs  one row per document; `idCol` must be its unique id
     * @param edges verified near-dup pairs in BOTH directions, columns
     *              `src`, `dst` (same type as `idCol`)
+    * @param checkpointDir when set, every round checkpoints RELIABLY to
+    *              this directory (HDFS/object store on a cluster) instead
+    *              of to executor-local blocks, so losing an executor
+    *              cannot silently restart the propagation chain
     * @return docs' ids with `rep` = min id of the connected component and
     *         `is_kept` = (id == rep). The result reads from the final
-    *         round's pinned blocks — consume (write/collect) before the
-    *         SparkContext that produced it goes away.
+    *         round's pinned storage — with the default local checkpoint,
+    *         consume (write/collect) before the SparkContext that
+    *         produced it goes away.
     */
   def keepListToFixpoint(docs: DataFrame, edges: DataFrame, idCol: String = "doc_id",
-      maxRounds: Int = 50): DataFrame = {
-    val (e, eRdd) = pin(edges.select(col("src"), col("dst")))
-    var (labels, labelsRdd) = pin(docs.select(col(idCol), col(idCol).as("rep")))
+      maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val (e, eRdd) = pin(edges.select(col("src"), col("dst")), checkpointDir)
+    var (labels, labelsRdd) = pin(docs.select(col(idCol), col(idCol).as("rep")),
+      checkpointDir)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -69,7 +88,8 @@ object Dedup {
       val (stepped, steppedRdd) = pin(
         labels.join(nbr, labels(idCol) === nbr("src"), "left")
           .select(col(idCol), col("rep").as("prev"),
-            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep")))
+            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep")),
+        checkpointDir)
       changed = stepped.filter(col("rep") =!= col("prev")).count()
       labelsRdd.unpersist(blocking = false) // prior round no longer referenced
       labels = stepped.select(col(idCol), col("rep"))
@@ -77,6 +97,9 @@ object Dedup {
       round += 1
     }
     eRdd.unpersist(blocking = false)
+    // non-convergence aborts: release the final round's blocks too, or
+    // they stay pinned in the block manager for the life of the session
+    if (changed != 0) labelsRdd.unpersist(blocking = false)
     require(changed == 0,
       s"keepListToFixpoint did not converge in $maxRounds rounds — " +
         "either raise maxRounds or check the edge set for corruption " +

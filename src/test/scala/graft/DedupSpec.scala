@@ -70,10 +70,30 @@ class DedupSpec extends AnyFunSuite {
   test("maxRounds guard trips instead of silently returning a non-fixpoint") {
     val docs = (1L to 4L).toDF("doc_id")
     val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val before = spark.sparkContext.getPersistentRDDs.size
     val e = intercept[IllegalArgumentException] {
       Dedup.keepListToFixpoint(docs, edges, maxRounds = 1)
     }
     assert(e.getMessage.contains("did not converge"))
+    // the abort path must release the final round's blocks too (ADVICE
+    // r4): nothing may stay pinned for the life of the session
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"non-convergence leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("reliable checkpointDir gives the cluster-safe variant, same fixpoint") {
+    // on a cluster localCheckpoint dies with its executor; the optional
+    // checkpoint dir switches every round to RDD.checkpoint() against a
+    // reliable store. Same chain as the headline test, same answer.
+    val dir = java.nio.file.Files.createTempDirectory("dedup-ckpt").toString
+    val docs = (1L to 8L).toDF("doc_id")
+    val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val out = Dedup.keepListToFixpoint(docs, edges, checkpointDir = Some(dir))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 1L, 1L, 1L, 7L, 8L))
+    // rounds really checkpointed to the reliable store
+    val written = new java.io.File(dir).listFiles()
+    assert(written != null && written.nonEmpty, s"no checkpoint data under $dir")
   }
 
   test("edges lineage executes once and label blocks don't pile up (ADVICE r3)") {
