@@ -1011,6 +1011,38 @@ object PipelineQueries {
       WHERE r.dup_of < b.doc_id
       ORDER BY doc_id, band""")),
 
+    // ---- the streaming near-dup path extended through VERIFICATION
+    // (q104 stops at bucket collisions): candidates exact-Jaccard-
+    // checked at ≥ 0.5 against their bucket representative, the q72
+    // kernel. Streaming keeps one long of state per (band, bucket) —
+    // shingles ride through as passenger columns; the rep lookup is a
+    // stream-static equi-join against the corpus table. This is the
+    // batch twin (parity-locked in StreamingSpec ST11) under the hash
+    // gate. ----
+    Q("q118_stream_neardup_verified", (s, d) => {
+      graft.streaming.DocsStream.nearDupVerifiedBatch(docs(s, d), docs(s, d))
+        .orderBy(col("doc_id"), col("band"))
+    }, Some(s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      reps AS (SELECT band, bkey, min(doc_id) AS dup_of FROM bands GROUP BY 1, 2),
+      cand AS (SELECT b.doc_id, b.band, r.dup_of
+               FROM bands b JOIN reps r USING (band, bkey)
+               WHERE r.dup_of < b.doc_id),
+      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
+      ver AS (SELECT c.doc_id, c.band, c.dup_of,
+                len(list_distinct(list_intersect(x.sh, y.sh)))
+                  / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+              FROM cand c
+              JOIN shset x ON x.doc_id = c.doc_id
+              JOIN shset y ON y.doc_id = c.dup_of)
+      SELECT doc_id, band, dup_of, jaccard FROM ver
+      WHERE jaccard >= 0.5 ORDER BY doc_id, band""")),
+
     // ---- incremental ingest dedup: is each NEW document's fingerprint
     // already in the historical corpus? The scale-correct direction is
     // to bloom the SMALL side (the new batch) and prune the BIG side

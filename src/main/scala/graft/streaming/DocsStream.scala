@@ -37,16 +37,46 @@ object DocsStream {
     spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
 
-  /** q43's 4×2-hash banding, map-side: (doc_id, band, bkey). */
-  def bandKeys(docs: DataFrame): DataFrame = {
+  /** q43's 4×2-hash banding plus the doc's distinct shingle set (the
+    * q72 verification kernel's input): (doc_id, band, bkey, shset).
+    * All map-side.
+    */
+  private def banded(docs: DataFrame): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     val sh = TextOps.shingles3(ws)
     val mh = (0 until 8).map(j => TextOps.minhash(j, sh))
     val bands = (0 until 4).map(b => struct(lit(b).as("band"),
       concat_ws("_", mh(2 * b), mh(2 * b + 1)).as("bkey")))
     docs.filter(size(ws) >= 3)
-      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("doc_id"), array_distinct(sh).as("shset"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"), col("shset"))
+  }
+
+  /** q43's 4×2-hash banding, map-side: (doc_id, band, bkey). */
+  def bandKeys(docs: DataFrame): DataFrame =
+    banded(docs).select(col("doc_id"), col("band"), col("bkey"))
+
+  /** The q72 exact-Jaccard verification, shared by the streaming and
+    * batch candidate paths: each (doc_id, band, dup_of, shset) candidate
+    * is checked against its bucket representative's shingle set at
+    * Jaccard ≥ 0.5. The representative lookup is an equi-join on the
+    * rep id against `history` (the corpus table a production deployment
+    * keeps anyway) — per micro-batch that is a hash join whose stream
+    * side is only the candidate set; the Jaccard itself is a map-side
+    * array expression.
+    */
+  private def verifyAgainstReps(cand: DataFrame, history: DataFrame): DataFrame = {
+    val hw = TextOps.tokens(col("text"))
+    val reps = history.filter(size(hw) >= 3)
+      .select(col("doc_id").as("dup_of"),
+        array_distinct(TextOps.shingles3(hw)).as("rep_sh"))
+    cand.join(reps, "dup_of")
+      .select(col("doc_id"), col("band"), col("dup_of"),
+        (size(array_intersect(col("shset"), col("rep_sh"))) /
+          size(array_union(col("shset"), col("rep_sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
   }
 
   /** Streaming candidate emission: each doc whose (band, bucket) has an
@@ -89,5 +119,50 @@ object DocsStream {
     bk.join(reps, Seq("band", "bkey"))
       .filter(col("dup_of") < col("doc_id"))
       .select(col("doc_id"), col("band"), col("dup_of"))
+  }
+
+  /** [[nearDupCandidates]] extended through VERIFICATION: candidates are
+    * exact-Jaccard-checked (≥ 0.5) against their bucket representative,
+    * so the stream emits confirmed near-dups, not just bucket
+    * collisions. The doc's shingle set rides THROUGH the state handler
+    * as a passenger column — per-(band, bucket) state stays ONE long;
+    * the representative's shingles come from the `history` corpus table
+    * via a stream-static equi-join (candidates-sized per micro-batch).
+    */
+  def nearDupVerified(stream: DataFrame, history: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cand = banded(stream)
+      .select(col("band"), col("bkey"), col("doc_id"), col("shset"))
+      .as[(Int, String, Long, Seq[String])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Int, Long, Seq[String])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          // same emission semantics as nearDupCandidates; the shingle
+          // set is carried on each emitted row, never stored
+          val arr = rows.toArray.sortBy(_._3)
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = Array.newBuilder[(Long, Int, Long, Seq[String])]
+          arr.foreach { r =>
+            if (minSeen < r._3) out += ((r._3, band, minSeen, r._4))
+            else if (r._3 < minSeen) minSeen = r._3
+          }
+          state.update(minSeen)
+          out.result().iterator
+      }
+      .toDF("doc_id", "band", "dup_of", "shset")
+    verifyAgainstReps(cand, history)
+  }
+
+  /** Batch twin of [[nearDupVerified]] — the q118 oracle surface. */
+  def nearDupVerifiedBatch(docs: DataFrame, history: DataFrame): DataFrame = {
+    val b = banded(docs)
+    val reps = b.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("dup_of"))
+    val cand = b.join(reps, Seq("band", "bkey"))
+      .filter(col("dup_of") < col("doc_id"))
+      .select(col("doc_id"), col("band"), col("dup_of"), col("shset"))
+    verifyAgainstReps(cand, history)
   }
 }

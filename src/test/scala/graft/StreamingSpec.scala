@@ -188,6 +188,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("streaming VERIFIED near-dups == batch twin across micro-batches (ST11)") {
+    // q118's streaming side: candidates verified at exact Jaccard ≥ 0.5
+    // against the bucket representative. Same two-file staging as ST9 so
+    // state must carry across micro-batches for parity to hold.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    val docsB = Tables(spark, dir, "documents")
+    val mid = docsB.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    val sd = java.nio.file.Files.createTempDirectory("docs-stream-ver")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-stage-ver")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    stage(docsB.filter(col("doc_id") <= mid), "a.parquet", 1000000L)
+    stage(docsB.filter(col("doc_id") > mid), "b.parquet", 2000000L)
+    val q = DocsStream.nearDupVerified(DocsStream.readStream(spark, sd.toString), docsB)
+      .writeStream.format("memory").queryName("neardup_ver_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 2, s"expected ≥2 micro-batches, got $nBatches")
+    val stream = spark.table("neardup_ver_out")
+    val batch = DocsStream.nearDupVerifiedBatch(docsB, docsB)
+    assert(batch.count() > 0, "no verified near-dups in testdata?")
+    // verification must actually reject some candidates, or this locks
+    // nothing beyond ST9
+    assert(batch.count() < DocsStream.nearDupCandidatesBatch(docsB).count(),
+      "Jaccard verification rejected nothing — kernel untested")
+    assert(sortedRows(stream) == sortedRows(batch))
+  }
+
   test("trained-model encode runs on a stream unchanged (BPE token counts, stream == batch)") {
     // Model-state operators (BPE merges, PQ codebooks, bloom filters)
     // apply as literal-driven map-side expressions, so they run on
