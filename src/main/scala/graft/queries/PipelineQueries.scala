@@ -973,9 +973,17 @@ object PipelineQueries {
     // the real sink surface: dynamic partition columns, overwrite mode,
     // one pass. ----
     Q("q103_partitioned_sink", (s, d) => {
-      val out = s"/tmp/graft_sink/${java.lang.Integer.toHexString(d.hashCode)}/docs_by_source"
-      if (!new java.io.File(s"$out/_SUCCESS").exists())
-        docs(s, d).write.mode("overwrite").partitionBy("source").parquet(out)
+      // sink path keyed on a collision-resistant digest of the FULL input
+      // path; written (overwrite) once per process via Models — a
+      // regenerated dataset dir gets a fresh write on the next process
+      // instead of silently serving a stale _SUCCESS-gated sink
+      val out = Models.cached(s"sink:q103:$d") {
+        val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val p = s"/tmp/graft_sink/$dirMd5/docs_by_source"
+        docs(s, d).write.mode("overwrite").partitionBy("source").parquet(p)
+        p
+      }
       s.read.parquet(out)
         .filter(col("source").isin("src3", "src7"))
         .groupBy(col("source"))
@@ -1260,12 +1268,15 @@ object PipelineQueries {
         .agg(sum(size(ws).cast("long")).as("n_tokens"))
         .select(col("source"), col("n_tokens"),
           round(sqrt(col("n_tokens")), 6).as("w"))
-      val tot = perSource
-        .agg(sum(col("w").cast(DecimalType(24, 6))).cast(DoubleType).as("tw"))
-      perSource.crossJoin(broadcast(tot))
+      // the weight total is a window over the SAME aggregate (one pass —
+      // a second .agg would recompute perSource); the unpartitioned
+      // window is fine here because the frame is source-cardinality
+      val tw = sum(col("w").cast(DecimalType(24, 6)))
+        .over(Window.partitionBy()).cast(DoubleType)
+      perSource
         .select(col("source"), col("n_tokens"), col("w"),
-          round(col("w") / col("tw"), 6).as("mix_rate"),
-          round(lit(1e6) * (col("w") / col("tw")), 0).cast("long").as("target_tokens"))
+          round(col("w") / tw, 6).as("mix_rate"),
+          round(lit(1e6) * (col("w") / tw), 0).cast("long").as("target_tokens"))
         .orderBy(col("source"))
     }, Some(s"""
       WITH t AS (SELECT source,

@@ -119,7 +119,7 @@ object CensusApi {
     * `$Host/$id` only when the catalog has no match (or is unreachable),
     * so offline behavior is unchanged.
     */
-  def getDataset(id: String, fetchFn: String => String = httpGet): Dataset = {
+  def getDataset(id: String, fetchFn: String => String = defaultFetch): Dataset = {
     val base = id match {
       case "POPESTpop2015" => s"$Host/2015/pep/population"
       case "ACSSF5Y2015" => s"$Host/2015/acs/acs5"
@@ -128,14 +128,24 @@ object CensusApi {
     Dataset(id, base, fetchFn)
   }
 
-  /** Parsed catalogs memoized per fetch function (identity-keyed, so each
-    * injected test transport sees its own cache and the default
-    * [[httpGet]] fetches the live catalog at most once per process).
-    * Failed fetches are NOT cached — a transient outage doesn't poison
-    * later lookups.
+  /** The default transport as a SINGLETON function value: identity-keyed
+    * caching below is only sound if every default-argument call shares
+    * one function object — eta-expanding `httpGet` at each call site
+    * would mint a fresh lambda per call and defeat the memoization.
+    */
+  private val defaultFetch: String => String = httpGet
+
+  /** Parsed catalogs memoized per fetch function (identity-keyed: the
+    * default [[defaultFetch]] is a singleton, so the live catalog is
+    * fetched at most once per process; each injected test transport sees
+    * its own entry). Failed fetches are NOT cached — a transient outage
+    * doesn't poison later lookups. Bounded: once `MaxCachedCatalogs`
+    * distinct transports are cached, further ones parse uncached, so a
+    * caller minting lambdas per call can't grow the map without bound.
     */
   private val catalogCache =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[(String, String)]]()
+  private val MaxCachedCatalogs = 32
 
   /** identifier → first `distribution.accessURL`, in catalog order. */
   private def parseCatalog(fetchFn: String => String): Option[Seq[(String, String)]] = {
@@ -164,7 +174,8 @@ object CensusApi {
       fetchFn: String => String): Option[String] = {
     val catalog = Option(catalogCache.get(fetchFn)).getOrElse {
       val parsed = parseCatalog(fetchFn)
-      parsed.foreach(catalogCache.putIfAbsent(fetchFn, _))
+      if (catalogCache.size < MaxCachedCatalogs)
+        parsed.foreach(catalogCache.putIfAbsent(fetchFn, _))
       parsed.getOrElse(Nil)
     }
     catalog.collectFirst {
