@@ -846,7 +846,7 @@ object PipelineQueries {
         UNION
         SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
       SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
-      FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+      FROM reach GROUP BY doc_id ORDER BY doc_id"""), bench = true),
 
     // ---- test-set decontamination: drop training docs that share any
     // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —
@@ -1360,7 +1360,7 @@ object PipelineQueries {
            ' '))
            for w in string_split(text, ' ') if length(w) > 0]), 0) AS BIGINT)
           AS n_bpe_tokens
-      FROM documents CROSS JOIN mt ORDER BY doc_id""")),
+      FROM documents CROSS JOIN mt ORDER BY doc_id"""), bench = true),
 
     // ---- the full IVF-PQ search: IVF restricts WHICH vectors are
     // scored (the query's top-2 cells — partition PRUNING on the
@@ -1407,7 +1407,66 @@ object PipelineQueries {
                 max(CASE WHEN m = 7 THEN pd END) AS approx_d2
               FROM pd GROUP BY vec_id)
       SELECT vec_id, approx_d2 FROM adc
-      ORDER BY approx_d2, vec_id LIMIT 10""")),
+      ORDER BY approx_d2, vec_id LIMIT 10"""), bench = true),
+
+    // ---- two-stage IVF-PQ search with exact re-ranking — the full
+    // production ANN query shape. Stage 1 shortlists top-50 by ADC over
+    // the stored code index (q110's codes-only, partition-pruned scan;
+    // the shortlist is a bounded query artifact like the probed cells).
+    // Stage 2 fetches ONLY the shortlist's raw vectors — the 50 ids are
+    // a literal IN pushed into the parquet scan (point lookups at
+    // 100 TB, not a corpus read; plan-locked) — and re-ranks by EXACT
+    // distance, so quantization error affects shortlist membership
+    // only, never the reported distances. ----
+    Q("q119_ivfpq_rerank", (s, d) => {
+      val qv = queryVec(s, d, qid = 1)
+      val lut = Pq.adcLut(qv, pqBooks(s, d))
+      val cells = probedCells(s, d, qid = 1, nprobe = 2)
+      val shortlist = ivfPqIndex(s, d)
+        .filter(col("cid").isin(cells: _*) && col("vec_id") =!= 1)
+        .select(col("vec_id"),
+          Pq.adcFromCodes(m => col(s"c$m"), lut).as("approx_d2"))
+        .orderBy(col("approx_d2"), col("vec_id")).limit(50)
+        .collect().map(_.getLong(0)).toSeq
+      val qvLit = array(qv.map(lit): _*)
+      embs(s, d).filter(col("vec_id").isin(shortlist: _*))
+        .select(col("vec_id"), round(Pq.d2(col("embedding"), qvLit), 6).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      $duckPqCtes,
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 1),
+      qc_sc AS (SELECT q.qid, q.qv, c.cid, ${duckCos("q.qv", "c.cv")} AS cos
+                FROM q, ${duckIvfCents(2)} c),
+      qc AS (SELECT qid, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM qc_sc) t WHERE rn <= 2),
+      cand AS (SELECT a.vec_id FROM ${duckIvfFinal(2)} a
+               JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid),
+      qsv AS (SELECT g.m, q.qv[g.m*8+1 : g.m*8+8] AS sv
+              FROM q CROSS JOIN generate_series(0, 7) g(m)),
+      pd AS (SELECT cd.vec_id, cd.m, ${duckD2("qs.sv", "c.cv")} AS pd
+             FROM pq_codes cd
+             JOIN pq_c1 c ON c.m = cd.m AND c.cid = cd.cid
+             JOIN qsv qs ON qs.m = cd.m
+             WHERE cd.vec_id IN (SELECT vec_id FROM cand)),
+      adc AS (SELECT vec_id,
+                max(CASE WHEN m = 0 THEN pd END) +
+                max(CASE WHEN m = 1 THEN pd END) +
+                max(CASE WHEN m = 2 THEN pd END) +
+                max(CASE WHEN m = 3 THEN pd END) +
+                max(CASE WHEN m = 4 THEN pd END) +
+                max(CASE WHEN m = 5 THEN pd END) +
+                max(CASE WHEN m = 6 THEN pd END) +
+                max(CASE WHEN m = 7 THEN pd END) AS approx_d2
+              FROM pd GROUP BY vec_id),
+      short AS (SELECT vec_id FROM adc ORDER BY approx_d2, vec_id LIMIT 50)
+      SELECT e.vec_id,
+        round(list_sum([(e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+                        * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+                        for i in generate_series(1, 64)]), 6) AS d2
+      FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+      ORDER BY d2, vec_id LIMIT 10""")),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact

@@ -232,6 +232,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pf.contains("cid"), s"cell restriction not pruned by partition:\n$pf")
   }
 
+  test("q119: exact re-rank reads ONLY the shortlist — ids pushed into the scan") {
+    // stage 1 (ADC shortlist) runs eagerly at build; the returned plan is
+    // stage 2, which must be a point-lookup scan of the 50 shortlisted
+    // vectors (In-filter pushed to parquet), not a corpus read or a join
+    val p = planOf("q119_ivfpq_rerank")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("Join"), s"re-rank must not join:\n$p")
+    assert(p.contains("PushedFilters:"), s"no pushdown:\n$p")
+    val pushed = p.split("PushedFilters:")(1).split("\n")(0)
+    assert(pushed.contains("In(vec_id") || pushed.contains("In(`vec_id`"),
+      s"shortlist ids not pushed into the scan:\n$pushed")
+  }
+
   test("q115: residual IVF-PQ keeps the codes-only pruned search shape") {
     val p = assertCodesOnlySearch("q115_ivfpq_residual")
     assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
