@@ -825,7 +825,7 @@ object PipelineQueries {
       ${prop("l1", "l2")},
       ${prop("l2", "l3")}
       SELECT doc_id, rep, doc_id = rep AS is_kept FROM l3 ORDER BY doc_id"""
-    }),
+    }, bench = true),
 
     // ---- the same keep-list at FIXPOINT (VERDICT r2 #10): q72's 3
     // unrolled rounds are the fixed-depth oracle form; this runs
@@ -846,7 +846,7 @@ object PipelineQueries {
         UNION
         SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
       SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
-      FROM reach GROUP BY doc_id ORDER BY doc_id"""), bench = true),
+      FROM reach GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- test-set decontamination: drop training docs that share any
     // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —
