@@ -13,12 +13,20 @@ import graft.queries.Tables
   * the training has to pay for itself on real retrieval, not just produce
   * different centroids.
   */
-class IvfSpec extends AnyFunSuite {
+class IvfSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
   private val nQueries = 20
 
   private lazy val e = Tables(spark, dir, "embeddings").cache()
+
+  // the cache is plan-keyed, so leaving it would silently substitute an
+  // InMemoryRelation into every later suite's embeddings scan and break
+  // their pushdown/pruning plan locks (PlanShapeSpec q119)
+  override def afterAll(): Unit = {
+    e.unpersist(blocking = false)
+    super.afterAll()
+  }
 
   private def queries: DataFrame =
     e.filter(col("vec_id") < nQueries)

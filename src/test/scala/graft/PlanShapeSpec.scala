@@ -235,7 +235,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q119: exact re-rank reads ONLY the shortlist — ids pushed into the scan") {
     // stage 1 (ADC shortlist) runs eagerly at build; the returned plan is
     // stage 2, which must be a point-lookup scan of the 50 shortlisted
-    // vectors (In-filter pushed to parquet), not a corpus read or a join
+    // vectors (In-filter pushed to parquet), not a corpus read or a join.
+    // Clear plan-keyed caches first: a leaked .cache() of the embeddings
+    // table from an earlier suite would silently swap the parquet scan
+    // for an InMemoryRelation and void the pushdown this test locks.
+    spark.catalog.clearCache()
     val p = planOf("q119_ivfpq_rerank")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
     assert(!p.contains("Join"), s"re-rank must not join:\n$p")
