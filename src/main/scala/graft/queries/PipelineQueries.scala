@@ -1468,6 +1468,74 @@ object PipelineQueries {
       FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
       ORDER BY d2, vec_id LIMIT 10""")),
 
+    // ---- BATCHED IVF-PQ search: a query SET amortizes ONE scan of the
+    // code index — the training-pipeline shape (dedup/retrieve a whole
+    // incoming batch against the corpus index), where per-query scans
+    // would multiply the read cost N×. Every query's LUT and probe set
+    // are driver-side literals; the scan is pruned to the UNION of
+    // probed cells; each row is scored for exactly the queries probing
+    // its cell (null otherwise, filtered); top-10 per query is one
+    // window exchange on qid. Zero joins, no embedding reference. ----
+    Q("q120_ivfpq_batch_search", (s, d) => {
+      val books = pqBooks(s, d)
+      val qids = Seq(0L, 1L, 2L, 3L)
+      val perQ = qids.map { q =>
+        (q, Pq.adcLut(queryVec(s, d, q), books), probedCells(s, d, q, nprobe = 2))
+      }
+      val allCells = perQ.flatMap(_._3).distinct
+      val scored = ivfPqIndex(s, d)
+        .filter(col("cid").isin(allCells: _*))
+        .select(col("vec_id"), col("cid"),
+          explode(array(perQ.map { case (q, lut, cells) =>
+            struct(lit(q).as("qid"),
+              when(col("cid").isin(cells: _*) && col("vec_id") =!= q,
+                Pq.adcFromCodes(m => col(s"c$m"), lut)).as("approx_d2"))
+          }: _*)).as("x"))
+        .select(col("x.qid").as("qid"), col("vec_id"),
+          col("x.approx_d2").as("approx_d2"))
+        .filter(col("approx_d2").isNotNull)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("approx_d2"), col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("approx_d2"))
+        .orderBy(col("qid"), col("rnk"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      $duckPqCtes,
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id IN (0, 1, 2, 3)),
+      qc_sc AS (SELECT q.qid, q.qv, c.cid, ${duckCos("q.qv", "c.cv")} AS cos
+                FROM q, ${duckIvfCents(2)} c),
+      qc AS (SELECT qid, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM qc_sc) t WHERE rn <= 2),
+      cand AS (SELECT qc.qid, a.vec_id FROM ${duckIvfFinal(2)} a
+               JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.qid),
+      qsv AS (SELECT q.qid, g.m, q.qv[g.m*8+1 : g.m*8+8] AS sv
+              FROM q CROSS JOIN generate_series(0, 7) g(m)),
+      pd AS (SELECT ca.qid, cd.vec_id, cd.m, ${duckD2("qs.sv", "c.cv")} AS pd
+             FROM pq_codes cd
+             JOIN cand ca ON ca.vec_id = cd.vec_id
+             JOIN qsv qs ON qs.m = cd.m AND qs.qid = ca.qid
+             JOIN pq_c1 c ON c.m = cd.m AND c.cid = cd.cid),
+      adc AS (SELECT qid, vec_id,
+                max(CASE WHEN m = 0 THEN pd END) +
+                max(CASE WHEN m = 1 THEN pd END) +
+                max(CASE WHEN m = 2 THEN pd END) +
+                max(CASE WHEN m = 3 THEN pd END) +
+                max(CASE WHEN m = 4 THEN pd END) +
+                max(CASE WHEN m = 5 THEN pd END) +
+                max(CASE WHEN m = 6 THEN pd END) +
+                max(CASE WHEN m = 7 THEN pd END) AS approx_d2
+              FROM pd GROUP BY qid, vec_id),
+      r AS (SELECT qid, vec_id, approx_d2,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY approx_d2, vec_id) AS rnk
+            FROM adc)
+      SELECT qid, rnk, vec_id, approx_d2 FROM r
+      WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
     // integers, so scores are bit-identical with no rounding tolerance

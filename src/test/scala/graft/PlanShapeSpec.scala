@@ -249,6 +249,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shortlist ids not pushed into the scan:\n$pushed")
   }
 
+  test("q120: batched search — N queries share ONE pruned codes-only scan") {
+    val p = planOf("q120_ivfpq_batch_search")
+    assert(!p.contains("Join"), s"batch search must not join:\n$p")
+    assert(!p.contains("embedding"),
+      s"batch search plan references the raw embedding column:\n$p")
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    val pf = p.split("PartitionFilters:")(1).split("\n")(0)
+    assert(pf.contains("cid"), s"probed-cell union not pruned by partition:\n$pf")
+    // exactly one scan: the per-query fan-out is an explode over literal
+    // LUT structs, not N passes over the index
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one index scan, got $scans:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 2, s"only the per-query window + output sort may shuffle:\n$p")
+  }
+
   test("q115: residual IVF-PQ keeps the codes-only pruned search shape") {
     val p = assertCodesOnlySearch("q115_ivfpq_residual")
     assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
