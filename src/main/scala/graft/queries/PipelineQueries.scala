@@ -60,7 +60,11 @@ object PipelineQueries {
     val path = Models.cached(s"index:$kind:$d:k=8,rounds=2,pqrounds=1") {
       val dirMd5 = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val p = s"/tmp/graft_index/$dirMd5/$kind"
+      // index storage root: local tmp by default; a cluster deployment
+      // points this at HDFS/object storage
+      val root = s.conf.getOption("spark.graft.index.root")
+        .getOrElse("/tmp/graft_index")
+      val p = s"$root/$dirMd5/$kind"
       val cents = ivfCents(s, d)
       val books = if (residual) pqResidualBooks(s, d) else pqBooks(s, d)
       val assigned = Ivf.assign(embs(s, d), cents)
@@ -1535,6 +1539,42 @@ object PipelineQueries {
             FROM adc)
       SELECT qid, rnk, vec_id, approx_d2 FROM r
       WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
+    // ---- incremental index maintenance: a NEW ingest batch (vec_id ≥
+    // 400, the ingest-order suffix) is encoded with the FROZEN
+    // codebooks trained on the history prefix — the production index
+    // lifecycle (train once, append forever; periodic retrain is a
+    // separate offline job). Encoding the batch is one map-side
+    // projection with the history books as task literals: no retrain,
+    // no shuffle, no history read. The q105 bloom path is the same
+    // story for dedup; this is it for the ANN index. ----
+    Q("q121_index_append", (s, d) => {
+      val histBooks = Models.cached(s"pq:$d:hist400,rounds=1")(
+        Pq.train(embs(s, d).filter(col("vec_id") < 400), rounds = 1))
+      Pq.encode(embs(s, d).filter(col("vec_id") >= 400), histBooks)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH hist AS (SELECT * FROM embeddings WHERE vec_id < 400),
+      ${duckPqCtesOver("hist")},
+      newsv AS (SELECT e.vec_id, g.m, e.embedding[g.m*8+1 : g.m*8+8] AS sv
+                FROM embeddings e CROSS JOIN generate_series(0, 7) g(m)
+                WHERE e.vec_id >= 400),
+      newsc AS (SELECT s.vec_id, s.m, c.cid, ${duckD2("s.sv", "c.cv")} AS d2
+                FROM newsv s JOIN pq_c1 c ON c.m = s.m),
+      newcodes AS (SELECT vec_id, m, cid FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                                ORDER BY d2, cid) AS rn
+                   FROM newsc) t WHERE rn = 1)
+      SELECT vec_id,
+        max(CASE WHEN m = 0 THEN cid END) AS c0,
+        max(CASE WHEN m = 1 THEN cid END) AS c1,
+        max(CASE WHEN m = 2 THEN cid END) AS c2,
+        max(CASE WHEN m = 3 THEN cid END) AS c3,
+        max(CASE WHEN m = 4 THEN cid END) AS c4,
+        max(CASE WHEN m = 5 THEN cid END) AS c5,
+        max(CASE WHEN m = 6 THEN cid END) AS c6,
+        max(CASE WHEN m = 7 THEN cid END) AS c7
+      FROM newcodes GROUP BY vec_id ORDER BY vec_id""")),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact

@@ -266,6 +266,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"only the per-query window + output sort may shuffle:\n$p")
   }
 
+  test("q121: incremental encode — batch filter pushed, no retrain work in the plan") {
+    // frozen codebooks are task literals, so appending a batch to the
+    // index is scan(new rows only) → project: one exchange (the output
+    // sort), no join, and the new-batch predicate reaches the scan
+    val p = planOf("q121_index_append")
+    assert(!p.contains("Join"), s"incremental encode must not join:\n$p")
+    assert(p.contains("PushedFilters:"), s"no pushdown:\n$p")
+    val pushed = p.split("PushedFilters:")(1).split("\n")(0)
+    assert(pushed.contains("vec_id"), s"new-batch filter not pushed:\n$pushed")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"append encode shuffles more than the output sort:\n$p")
+  }
+
   test("q115: residual IVF-PQ keeps the codes-only pruned search shape") {
     val p = assertCodesOnlySearch("q115_ivfpq_residual")
     assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
