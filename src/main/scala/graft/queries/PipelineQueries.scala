@@ -274,19 +274,32 @@ object PipelineQueries {
     * candidates (q43's 4×2 bands over an 8-hash signature) verified at
     * exact Jaccard ≥ 0.5, emitted in both directions as (src, dst).
     */
-  private def verifiedEdges(s: SparkSession, d: String): DataFrame = {
-    val ws = TextOps.tokens(col("text"))
-    val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+  /** Distinct banded candidate pairs (doc_a < doc_b) from q43's 4×2
+    * MinHash banding — the shared candidate kernel of the Jaccard
+    * (q72/q87) and containment (q122) verifiers.
+    */
+  private def bandedCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d, 8)
     val bands = (0 until 4).map(b => struct(lit(b).as("band"),
       concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
     val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = exploded.as("x").join(exploded.as("y"),
+    exploded.as("x").join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+  }
+
+  /** Distinct shingle sets of verification-eligible docs (≥ 3 tokens). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    docs(s, d).filter(size(ws) >= 3)
+      .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+  }
+
+  private def verifiedEdges(s: SparkSession, d: String): DataFrame = {
+    val shs = shingleSets(s, d)
+    val cand = bandedCandidatePairs(s, d)
     val ver = cand
       .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
@@ -1575,6 +1588,44 @@ object PipelineQueries {
         max(CASE WHEN m = 6 THEN cid END) AS c6,
         max(CASE WHEN m = 7 THEN cid END) AS c7
       FROM newcodes GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- near-CONTAINMENT dedup: |A∩B| / min(|A|,|B|) ≥ 0.7 over the
+    // shared banded candidates — catches a doc quoted or boilerplate-
+    // wrapped inside a larger one, which symmetric Jaccard verification
+    // (q72) discards because the union is dominated by the container.
+    // Same scale shape as q72: banded equi-join candidates, bounded
+    // pairwise verify. (Banding recall is Jaccard-driven, so extreme
+    // size ratios need the shingle-inverted-index variant — documented
+    // trade-off, same as production near-dup systems.) ----
+    Q("q122_containment_dedup", (s, d) => {
+      val shs = shingleSets(s, d)
+      bandedCandidatePairs(s, d)
+        .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))) /
+            least(size(col("sh_a")), size(col("sh_b")))).as("containment"))
+        .filter(col("containment") >= 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
+      ct AS (SELECT c.doc_a, c.doc_b,
+               len(list_distinct(list_intersect(x.sh, y.sh)))
+                 / least(len(x.sh), len(y.sh)) AS containment
+             FROM cand c
+             JOIN shset x ON x.doc_id = c.doc_a
+             JOIN shset y ON y.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, containment FROM ct
+      WHERE containment >= 0.7 ORDER BY doc_a, doc_b""")),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact

@@ -139,6 +139,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edge generation must be the banding equi-join:\n$p")
   }
 
+  test("q122: containment dedup candidates stay the banding equi-join") {
+    val p = planOf("q122_containment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment verify must only see banded candidates:\n$p")
+  }
+
   test("q85: SQL margin expansion aggregates with a partial phase") {
     val p = planOf("q85_margin_sql_agg")
     assert(p.contains("partial_sum"), s"no map-side combine under with_m90:\n$p")
