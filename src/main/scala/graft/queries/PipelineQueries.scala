@@ -1589,6 +1589,67 @@ object PipelineQueries {
         max(CASE WHEN m = 7 THEN cid END) AS c7
       FROM newcodes GROUP BY vec_id ORDER BY vec_id""")),
 
+    // ---- SCALAR quantization (SQ8): the 4×-compression tier between
+    // raw floats and PQ's 32× — per-dimension (min, max) scales are the
+    // whole model (128 doubles, driver literals; min/max are EXACT
+    // cross-engine, no summation order involved), encoding is one
+    // map-side projection to byte codes, and the per-vector
+    // reconstruction error is the quality readout an index monitors.
+    // Expression order is pinned identically in both engines
+    // (((x−lo)/(hi−lo))·255; dequant lo + c/255·(hi−lo); sequential
+    // error fold) so every output is hash-exact. ----
+    Q("q123_sq8_quantize", (s, d) => {
+      val scales = Models.cached(s"sq8:$d") {
+        val row = embs(s, d).select(
+          (0 until 64).map(i => min(element_at(col("embedding"), i + 1))) ++
+            (0 until 64).map(i => max(element_at(col("embedding"), i + 1))): _*)
+          .head()
+        val v = (0 until 128).map(j => row.getFloat(j).toDouble)
+        (v.take(64), v.drop(64))
+      }
+      val (lo, hi) = scales
+      val loA = array(lo.map(lit): _*)
+      val hiA = array(hi.map(lit): _*)
+      def at(a: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        element_at(a, i)
+      val codes = transform(sequence(lit(1), lit(64)), i => {
+        val x = at(col("embedding"), i).cast("double")
+        val l = at(loA, i)
+        val h = at(hiA, i)
+        when(h === l, lit(0)).otherwise(
+          round((x - l) / (h - l) * 255, 0).cast("int"))
+      })
+      val withC = embs(s, d).select(col("vec_id"), col("embedding"), codes.as("c"))
+      val dq = transform(sequence(lit(1), lit(64)), i =>
+        at(loA, i) + at(col("c"), i) / 255 * (at(hiA, i) - at(loA, i)))
+      withC.select(col("vec_id"),
+          aggregate(col("c"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_min(col("c")).as("code_min"),
+          array_max(col("c")).as("code_max"),
+          round(Pq.d2(dq, col("embedding")), 6).as("recon_err"))
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH mm AS (SELECT g.i AS i, min(e.embedding[g.i]) AS l,
+                         max(e.embedding[g.i]) AS h
+                  FROM embeddings e CROSS JOIN generate_series(1, 64) g(i)
+                  GROUP BY g.i),
+      sc AS (SELECT list(l ORDER BY i) AS lo, list(h ORDER BY i) AS hi FROM mm),
+      cd AS (SELECT e.vec_id, e.embedding, sc.lo, sc.hi,
+               [CASE WHEN sc.hi[i] = sc.lo[i] THEN 0
+                     ELSE CAST(round((e.embedding[i]::DOUBLE - sc.lo[i])
+                                     / (sc.hi[i] - sc.lo[i]) * 255, 0) AS INT) END
+                for i in generate_series(1, 64)] AS c
+             FROM embeddings e CROSS JOIN sc)
+      SELECT vec_id,
+        CAST(list_sum(c) AS BIGINT) AS code_sum,
+        list_min(c) AS code_min,
+        list_max(c) AS code_max,
+        round(list_sum([
+          (lo[i] + c[i] / 255 * (hi[i] - lo[i]) - embedding[i]::DOUBLE)
+          * (lo[i] + c[i] / 255 * (hi[i] - lo[i]) - embedding[i]::DOUBLE)
+          for i in generate_series(1, 64)]), 6) AS recon_err
+      FROM cd ORDER BY vec_id""")),
+
     // ---- near-CONTAINMENT dedup: |A∩B| / min(|A|,|B|) ≥ 0.7 over the
     // shared banded candidates — catches a doc quoted or boilerplate-
     // wrapped inside a larger one, which symmetric Jaccard verification

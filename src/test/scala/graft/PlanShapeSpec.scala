@@ -139,6 +139,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edge generation must be the banding equi-join:\n$p")
   }
 
+  test("q123: SQ8 quantization is one map-side projection (≤1 exchange for the sort)") {
+    val p = planOf("q123_sq8_quantize")
+    assert(!p.contains("Join"), s"scalar quantization must not join:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"SQ8 encode shuffles the corpus:\n$p")
+  }
+
   test("q122: containment dedup candidates stay the banding equi-join") {
     val p = planOf("q122_containment_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
