@@ -45,9 +45,8 @@ object Dedup {
     * (cached first so the materializing job doesn't compute the lineage
     * twice — once for the count, once for the checkpoint write).
     */
-  private def pin(df: DataFrame,
-      checkpointDir: Option[String]): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
+  private def pinRdd(rdd: RDD[Row], df: DataFrame,
+      checkpointDir: Option[String]): DataFrame = {
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
@@ -57,7 +56,13 @@ object Dedup {
       case None => rdd.localCheckpoint()
     }
     rdd.count() // eager: materialize before anything downstream replans
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
+  private def pin(df: DataFrame,
+      checkpointDir: Option[String]): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    (pinRdd(rdd, df, checkpointDir), rdd)
   }
 
   /** @param docs  one row per document; `idCol` must be its unique id
@@ -85,12 +90,21 @@ object Dedup {
           labels.select(col(idCol).as("nbr_id"), col("rep").as("nrep")),
           col("dst") === col("nbr_id"))
         .groupBy(col("src")).agg(min(col("nrep")).as("minrep"))
-      val (stepped, steppedRdd) = pin(
-        labels.join(nbr, labels(idCol) === nbr("src"), "left")
-          .select(col(idCol), col("rep").as("prev"),
-            least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep")),
-        checkpointDir)
-      changed = stepped.filter(col("rep") =!= col("prev")).count()
+      val steppedDf = labels.join(nbr, labels(idCol) === nbr("src"), "left")
+        .select(col(idCol), col("rep").as("prev"),
+          least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+      // fuse the convergence test into the materializing pass: a separate
+      // `filter(changed).count()` would re-read the full label table once
+      // more per round — at corpus scale that is a whole extra pass. A
+      // retried task can only OVER-count, which never turns "changed"
+      // into "converged", so the fixpoint test stays sound.
+      val chAcc = steppedDf.sparkSession.sparkContext.longAccumulator("dedupChanged")
+      val steppedRdd = steppedDf.rdd.map { r =>
+        if (r.get(1) != r.get(2)) chAcc.add(1)
+        r
+      }
+      val stepped = pinRdd(steppedRdd, steppedDf, checkpointDir)
+      changed = chAcc.value
       labelsRdd.unpersist(blocking = false) // prior round no longer referenced
       labels = stepped.select(col(idCol), col("rep"))
       labelsRdd = steppedRdd
