@@ -144,4 +144,50 @@ object Bpe {
     */
   def train(docs: DataFrame, rounds: Int, textCol: String = "text"): Seq[Merge] =
     trainFromFreq(wordFreq(docs, textCol), rounds)
+
+  /** Host twin of [[applyMerges]]: Java `String.replace` IS the padded
+    * leftmost-non-overlapping semantics the expression chain uses, so
+    * the two paths are equal by construction (spec-locked).
+    */
+  def applyMergesHost(syms: String, merges: Seq[Merge]): String =
+    merges.foldLeft(syms)((s, m) => s.replace(s" ${m.pair} ", s" ${m.merged} "))
+
+  /** Host twin of [[charSyms]]. */
+  def charSymsHost(word: String): String = {
+    val sb = new StringBuilder(" ")
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendAll(Character.toChars(cp)).append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Per-doc (n_words, n_bpe_tokens) accounting at VOCABULARY scale: a
+    * real 32k-merge table cannot ride as 32k chained `replace`
+    * expressions (expression-tree depth and codegen method limits) —
+    * this is the documented `mapPartitions` tier of the operator
+    * ladder: one imperative pass per row with the merge table shipped
+    * once per task in the closure. Still zero-shuffle, still
+    * deterministic, and bit-identical to the expression path on any
+    * table size both can run ([[applyMergesHost]] ≡ [[applyMerges]]).
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var toks = 0L
+          words.foreach { w =>
+            val merged = applyMergesHost(charSymsHost(w), merges)
+            toks += merged.trim.split(" ").length
+          }
+          (id, words.length.toLong, toks)
+        }
+      }.toDF("doc_id", "n_words", "n_bpe_tokens")
+  }
 }

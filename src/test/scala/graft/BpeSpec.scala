@@ -88,6 +88,35 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary-scale encode (mapPartitions) == expression encode, and handles 2000 merges") {
+    // the expression path chains one replace per merge — fine at 4,
+    // infeasible at vocab scale; the host path must agree wherever both
+    // run, then keep working where only it can
+    val merges = Bpe.train(docs, rounds = 4)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val exprSide = docs.select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w =>
+            size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+      .orderBy(col("doc_id")).collect()
+    val hostSide = Bpe.tokenCounts(docs, merges).orderBy(col("doc_id")).collect()
+    assert(exprSide.sameElements(hostSide),
+      "mapPartitions encode diverged from the expression encode")
+    // a table far beyond the 4-merge oracle size: ask for 2000 rounds,
+    // driver-trained over the vocabulary in-memory (scan count still 1).
+    // This tiny synthetic corpus exhausts its pair inventory well before
+    // that — the point is the host path handles whatever table training
+    // produces, where a replace-per-merge expression chain could not.
+    val big = Bpe.trainFromFreq(Bpe.wordFreq(docs), rounds = 2000)
+    assert(big.length > 20, s"corpus only supports ${big.length} merges")
+    val bigToks = Bpe.tokenCounts(docs, big)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+    val smallToks = hostSide.map(_.getLong(2)).sum
+    assert(bigToks < smallToks,
+      s"more merges must compress further: $bigToks !< $smallToks")
+  }
+
   test("encoding compresses: BPE tokens strictly fewer than characters") {
     val merges = Bpe.train(docs, rounds = 4)
     val words = filter(split(col("text"), " "), w => length(w) > 0)
