@@ -1278,6 +1278,55 @@ object PipelineQueries {
     // pow is not), so both engines produce bit-identical weights; the
     // weight total uses the exact-decimal sum of 6-dec-rounded weights
     // (Det recipe), making every rate and token target hash-exact. ----
+    // ---- MATERIALIZE the temperature mixture: q117 plans per-source
+    // token targets; this selects the actual documents — per source, in
+    // a deterministic md5 order (reproducible across engines, runs, and
+    // partitionings), keeping rows while the running token total stays
+    // within its target (a 10k-token demo budget so the cutoff actually
+    // fires at sf0.01). One broadcast of the #sources-row target table and
+    // one window exchange on source. (A pathological single-source
+    // corpus would skew the window; the q95 two-level prefix-sum kernel
+    // is the drop-in for that regime.) ----
+    Q("q124_mixture_materialize", (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val ws = TextOps.tokens(col("text"))
+      val perSource = docs(s, d).groupBy(col("source"))
+        .agg(sum(size(ws).cast("long")).as("n_tokens"))
+        .select(col("source"), round(sqrt(col("n_tokens")), 6).as("w"))
+      val tw = sum(col("w").cast(DecimalType(24, 6)))
+        .over(Window.partitionBy()).cast(DoubleType)
+      val targets = perSource.select(col("source"),
+        round(lit(1e4) * (col("w") / tw), 0).cast("long").as("target_tokens"))
+      val ord = md5(concat(lit("mix|"), col("doc_id").cast("string")))
+      val wnd = Window.partitionBy(col("source")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_tokens"), ord.as("ord"))
+        .join(broadcast(targets), "source")
+        .withColumn("cum", sum(col("n_tokens")).over(wnd))
+        .filter(col("cum") <= col("target_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT source, round(sqrt(n_tokens), 6) AS w FROM t),
+      tot AS (SELECT ${Det.duckSum("w", 6)} AS tw FROM w),
+      tg AS (SELECT source, CAST(round(1e4 * (w / tw), 0) AS BIGINT) AS target_tokens
+             FROM w, tot),
+      o AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              md5('mix|' || CAST(doc_id AS VARCHAR)) AS ord
+            FROM documents),
+      c AS (SELECT o.doc_id, o.source, o.n_tokens, tg.target_tokens,
+              CAST(sum(o.n_tokens) OVER (PARTITION BY o.source ORDER BY o.ord
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM o JOIN tg USING (source))
+      SELECT doc_id, source, n_tokens, cum FROM c
+      WHERE cum <= target_tokens ORDER BY doc_id""")),
+
     Q("q117_temperature_mixture", (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val ws = TextOps.tokens(col("text"))

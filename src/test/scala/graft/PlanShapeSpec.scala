@@ -139,6 +139,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edge generation must be the banding equi-join:\n$p")
   }
 
+  test("q124: mixture materialization — targets broadcast, one window per source") {
+    val p = planOf("q124_mixture_materialize")
+    assert(p.contains("BroadcastHashJoin"), s"target table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q123: SQ8 quantization is one map-side projection (≤1 exchange for the sort)") {
     val p = planOf("q123_sq8_quantize")
     assert(!p.contains("Join"), s"scalar quantization must not join:\n$p")
