@@ -1283,10 +1283,17 @@ object PipelineQueries {
     // a deterministic md5 order (reproducible across engines, runs, and
     // partitionings), keeping rows while the running token total stays
     // within its target (a 10k-token demo budget so the cutoff actually
-    // fires at sf0.01). One broadcast of the #sources-row target table and
-    // one window exchange on source. (A pathological single-source
-    // corpus would skew the window; the q95 two-level prefix-sum kernel
-    // is the drop-in for that regime.) ----
+    // fires at sf0.01). Training mixtures have FEW sources (~10), so a
+    // per-source running sum is the q95 regime: it would funnel
+    // ~corpus/#sources rows through one window task. Instead, the
+    // two-level prefix sum: the md5 ordering key is sub-bucketed by its
+    // own 3-hex-char prefix (4096 sub-buckets per source — the prefix
+    // ordering is by construction consistent with the full-key
+    // ordering), per-(source,bucket) totals get a tiny per-source
+    // cumsum (≤ #sources·4096 rows) broadcast back as offsets, and the
+    // corpus-sized window runs per (source, bucket). The cum values are
+    // identical to the single-window form; only the partitioning
+    // changes. ----
     Q("q124_mixture_materialize", (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val ws = TextOps.tokens(col("text"))
@@ -1298,13 +1305,22 @@ object PipelineQueries {
       val targets = perSource.select(col("source"),
         round(lit(1e4) * (col("w") / tw), 0).cast("long").as("target_tokens"))
       val ord = md5(concat(lit("mix|"), col("doc_id").cast("string")))
-      val wnd = Window.partitionBy(col("source")).orderBy(col("ord"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
+      val base = docs(s, d)
         .select(col("doc_id"), col("source"),
-          size(ws).cast("long").as("n_tokens"), ord.as("ord"))
+          size(ws).cast("long").as("n_tokens"), ord.as("ord"),
+          substring(ord, 1, 3).as("mbkt"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("mbkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("mbkt"))
+        .agg(sum(col("n_tokens")).as("btotal"))
+        .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
+        .select(col("source"), col("mbkt"), col("boffset"))
+      val wIn = Window.partitionBy(col("source"), col("mbkt")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .join(broadcast(offsets), Seq("source", "mbkt"))
         .join(broadcast(targets), "source")
-        .withColumn("cum", sum(col("n_tokens")).over(wnd))
+        .withColumn("cum", col("boffset") + sum(col("n_tokens")).over(wIn))
         .filter(col("cum") <= col("target_tokens"))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
         .orderBy(col("doc_id"))

@@ -139,10 +139,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edge generation must be the banding equi-join:\n$p")
   }
 
-  test("q124: mixture materialization — targets broadcast, one window per source") {
+  test("q124: mixture materialization — offsets/targets broadcast, corpus window sub-bucketed") {
     val p = planOf("q124_mixture_materialize")
-    assert(p.contains("BroadcastHashJoin"), s"target table must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offset/target tables must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // two-level prefix sum: the running sum over the CORPUS (the window
+    // ordered by the full md5 key) must partition by (source, bucket) —
+    // a window partitioned by source alone funnels each source's whole
+    // document set through one task. The only source-partitioned window
+    // allowed is the tiny per-bucket offset cumsum (ordered by mbkt).
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val corpusWindows = specs.filter(s => s.contains("ord#"))
+    assert(corpusWindows.nonEmpty, s"expected a window ordered by ord:\n$p")
+    assert(corpusWindows.forall(s => s.contains("source#") && s.contains("mbkt#")),
+      s"corpus window must partition by (source, mbkt), not source alone:\n$p")
   }
 
   test("q123: SQ8 quantization is one map-side projection (≤1 exchange for the sort)") {
