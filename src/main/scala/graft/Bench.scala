@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average, read at a point in time. */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Number of OTHER running java processes. Concurrent JVMs distort
+    * timings badly on this box (one round's driver artifacts were ~17%
+    * inflated by an overlapping run); recording the count makes a
+    * contaminated bench self-identifying instead of a silent regression.
+    */
+  private def competingJvms(): Int =
+    try {
+      // exclude this JVM and its ancestor chain (the sbt launcher that
+      // forked us is a java process, but not a COMPETING one)
+      var own = Set.empty[Long]
+      var h: java.util.Optional[ProcessHandle] =
+        java.util.Optional.of(ProcessHandle.current())
+      while (h.isPresent) { own += h.get.pid(); h = h.get.parent() }
+      val procs = new java.io.File("/proc").listFiles()
+      if (procs == null) -1
+      else procs.count { f =>
+        f.getName.forall(_.isDigit) && !own.contains(f.getName.toLong) && {
+          try {
+            val cmd = java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline"))
+            // /proc cmdline is NUL-separated
+            new String(cmd, "UTF-8").split('\u0000').headOption
+              .exists(_.endsWith("java"))
+          } catch { case _: Throwable => false }
+        }
+      }
+    } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,6 +58,8 @@ object Bench {
     // quicker/sturdier local iterations, QUERIES to time a subset
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").toSet)
+    val loadStart = loadAvg()
+    val jvmsStart = competingJvms()
     val results: Seq[(String, Double)] = SparkEntry.benchQueries
       .filter(n => subset.forall(_.contains(n))).map { name =>
       val fn = SparkEntry.queries(name)
@@ -39,7 +75,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // environment snapshot rides in the artifact: load average and
+    // competing-JVM count at start and end make a contaminated run
+    // (another Spark JVM sharing the box) self-identifying
+    val env = s""""env":{"load_start":$loadStart,"load_end":${loadAvg()},""" +
+      s""""competing_jvms_start":$jvmsStart,"competing_jvms_end":${competingJvms()}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

@@ -24,12 +24,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Each result is published via temp-dir + atomic rename: a reader
+    // (or a second Verify racing on the same outDir — the failure mode
+    // that zeroed one round's driver artifacts) never observes a
+    // half-written query directory.
+    var ran = 0
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val tmp = Paths.get(outDir, s".tmp_$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val dst = Paths.get(outDir, name)
+        if (Files.exists(dst)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ran += 1
+      } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -48,7 +64,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // temp + atomic rename: a concurrent reader sees the old complete
+    // file or the new complete file, never a truncated one
+    val sqlTmp = Paths.get(outDir, ".oracle_sql.json.tmp")
+    Files.writeString(sqlTmp, json)
+    Files.move(sqlTmp, Paths.get(s"$outDir/oracle_sql.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
+    // an empty or partially-failed run must be LOUD — a zero-query dump
+    // reads as a silently-passed gate otherwise
+    if (ran == 0 || failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED: ran=$ran failed=${failed.reverse.mkString(",")}")
+      sys.exit(1)
+    }
+    println(s"[verify] OK: $ran queries dumped")
   }
 }

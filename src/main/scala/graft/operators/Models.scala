@@ -21,18 +21,33 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object Models {
 
-  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  /** One cache entry: the trainer, deferred behind a lazy val. Training
+    * runs OUTSIDE `computeIfAbsent` — the mapping function only allocates
+    * this holder. That makes `cached` reentrant: a trainer may itself call
+    * `cached` for a dependency (ivfPqIndex → ivfCents), which
+    * ConcurrentHashMap forbids inside a mapping function (recursive-update
+    * IllegalStateException whenever the two keys land in the same bin —
+    * i.e. crash-or-not depended on the dataset-dir string's hash).
+    * `lazy val` still guarantees at-most-once evaluation per key; the
+    * dependency graph is acyclic and every trainer acquires dependencies
+    * in the same order, so holder monitors cannot deadlock.
+    */
+  private final class Holder(train: () => AnyRef) {
+    lazy val value: AnyRef = train()
+  }
+
+  private val cache = new ConcurrentHashMap[String, Holder]()
   private val trains = new ConcurrentHashMap[String, AtomicLong]()
 
   /** The artifact under `key`, training it on first use. `train` runs at
-    * most once per key per process (ConcurrentHashMap.computeIfAbsent is
-    * atomic per key).
+    * most once per key per process, and may itself call `cached` for its
+    * dependencies (see [[Holder]]).
     */
   def cached[T <: AnyRef](key: String)(train: => T): T =
-    cache.computeIfAbsent(key, k => {
-      trains.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
+    cache.computeIfAbsent(key, _ => new Holder(() => {
+      trains.computeIfAbsent(key, _ => new AtomicLong).incrementAndGet()
       train
-    }).asInstanceOf[T]
+    })).value.asInstanceOf[T]
 
   /** How many times `key`'s trainer has actually run (spec probe: N
     * queries sharing one model must leave this at 1).

@@ -1701,8 +1701,8 @@ object PipelineQueries {
       sc AS (SELECT list(l ORDER BY i) AS lo, list(h ORDER BY i) AS hi FROM mm),
       cd AS (SELECT e.vec_id, e.embedding, sc.lo, sc.hi,
                [CASE WHEN sc.hi[i] = sc.lo[i] THEN 0
-                     ELSE CAST(round((e.embedding[i]::DOUBLE - sc.lo[i])
-                                     / (sc.hi[i] - sc.lo[i]) * 255, 0) AS INT) END
+                     ELSE CAST(round((e.embedding[i]::DOUBLE - sc.lo[i]::DOUBLE)
+                                     / (sc.hi[i]::DOUBLE - sc.lo[i]::DOUBLE) * 255, 0) AS INT) END
                 for i in generate_series(1, 64)] AS c
              FROM embeddings e CROSS JOIN sc)
       SELECT vec_id,
@@ -1710,8 +1710,8 @@ object PipelineQueries {
         list_min(c) AS code_min,
         list_max(c) AS code_max,
         round(list_sum([
-          (lo[i] + c[i] / 255 * (hi[i] - lo[i]) - embedding[i]::DOUBLE)
-          * (lo[i] + c[i] / 255 * (hi[i] - lo[i]) - embedding[i]::DOUBLE)
+          (lo[i]::DOUBLE + c[i] / 255 * (hi[i]::DOUBLE - lo[i]::DOUBLE) - embedding[i]::DOUBLE)
+          * (lo[i]::DOUBLE + c[i] / 255 * (hi[i]::DOUBLE - lo[i]::DOUBLE) - embedding[i]::DOUBLE)
           for i in generate_series(1, 64)]), 6) AS recon_err
       FROM cd ORDER BY vec_id""")),
 

@@ -36,6 +36,25 @@ class ModelCacheSpec extends AnyFunSuite {
     assert(Models.timesTrained(s"ivf:$dir:k=8,rounds=2") == 1)
   }
 
+  test("a trainer may depend on another cached artifact, even on hash-colliding keys") {
+    // "Aa" and "BB" have identical String.hashCode, so with equal prefixes
+    // the full keys collide into the same ConcurrentHashMap bin — the exact
+    // condition under which a computeIfAbsent-resident trainer calling
+    // cached() for a dependency threw IllegalStateException("Recursive
+    // update"). The holder design trains outside the map computation, so
+    // nesting must work regardless of where the keys hash.
+    val outer = Models.cached("modelcachespec:nest:Aa") {
+      val dep = Models.cached("modelcachespec:nest:BB")(Seq(41))
+      Seq(dep.head + 1)
+    }
+    assert(outer == Seq(42))
+    assert(Models.timesTrained("modelcachespec:nest:Aa") == 1)
+    assert(Models.timesTrained("modelcachespec:nest:BB") == 1)
+    // and the dependency is served, not retrained, for later consumers
+    assert(Models.cached("modelcachespec:nest:BB")(Seq(0)) == Seq(41))
+    assert(Models.timesTrained("modelcachespec:nest:BB") == 1)
+  }
+
   test("distinct hyperparameters never alias to one artifact") {
     val k1 = Models.cached("modelcachespec:a:p=1")(Seq(1))
     val k2 = Models.cached("modelcachespec:a:p=2")(Seq(2))
