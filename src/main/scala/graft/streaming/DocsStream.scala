@@ -17,9 +17,11 @@ import graft.operators.TextOps
   * Scale shape: the only shuffle per micro-batch is the state-store
   * partitioning on (band, bucket) — high-cardinality keys, same
   * distribution argument as batch banding. State is bounded by bucket
-  * cardinality, not corpus size; a production deployment bounds the
-  * horizon with state TTL (dedup-within-N-days) the same way the
-  * watermarked dedup (ST5) does.
+  * cardinality, not corpus size, and the `ttlMs` option bounds the
+  * horizon (dedup-within-N-days): an idle bucket's state expires via
+  * processing-time timeout and its next doc is re-admitted as the new
+  * representative, so state tracks the horizon's churn, not the
+  * stream's lifetime.
   *
   * Ordering contract: candidates match the batch twin when doc_ids
   * arrive in increasing order (the natural ingest order — ids are
@@ -79,12 +81,24 @@ object DocsStream {
       .filter(col("jaccard") >= 0.5)
   }
 
+  private def timeoutConf(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Streaming candidate emission: each doc whose (band, bucket) has an
     * earlier doc emits (doc_id, band, dup_of = the bucket's minimum).
     * Works on batch frames too, but the batch path should prefer
     * [[nearDupCandidatesBatch]] (a plain aggregation — no state store).
+    *
+    * `ttlMs > 0` bounds the dedup horizon: a (band, bucket) whose state
+    * goes `ttlMs` without new arrivals is dropped at the next trigger
+    * (processing-time timeout), so state size is bounded by the horizon's
+    * bucket churn, not the stream's lifetime. After expiry the bucket's
+    * next doc is RE-ADMITTED as its new representative —
+    * dedup-within-horizon, the production near-dup contract. Inside the
+    * horizon, emission semantics are unchanged (batch parity holds).
     */
-  def nearDupCandidates(docs: DataFrame): DataFrame = {
+  def nearDupCandidates(docs: DataFrame, ttlMs: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     bandKeys(docs)
@@ -92,19 +106,23 @@ object DocsStream {
       .as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, (Long, Int, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlMs)) {
         case ((band, _), rows, state) =>
-          // sort within the batch: emission semantics are "min of all
-          // earlier ids", independent of partition iteration order
-          val ids = rows.map(_._3).toArray.sorted
-          var minSeen = state.getOption.getOrElse(Long.MaxValue)
-          val out = Array.newBuilder[(Long, Int, Long)]
-          ids.foreach { id =>
-            if (minSeen < id) out += ((id, band, minSeen))
-            else if (id < minSeen) minSeen = id
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // sort within the batch: emission semantics are "min of all
+            // earlier ids", independent of partition iteration order
+            val ids = rows.map(_._3).toArray.sorted
+            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out = Array.newBuilder[(Long, Int, Long)]
+            ids.foreach { id =>
+              if (minSeen < id) out += ((id, band, minSeen))
+              else if (id < minSeen) minSeen = id
+            }
+            state.update(minSeen)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
           }
-          state.update(minSeen)
-          out.result().iterator
       }
       .toDF("doc_id", "band", "dup_of")
   }
@@ -129,7 +147,8 @@ object DocsStream {
     * the representative's shingles come from the `history` corpus table
     * via a stream-static equi-join (candidates-sized per micro-batch).
     */
-  def nearDupVerified(stream: DataFrame, history: DataFrame): DataFrame = {
+  def nearDupVerified(stream: DataFrame, history: DataFrame,
+      ttlMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val cand = banded(stream)
@@ -137,19 +156,23 @@ object DocsStream {
       .as[(Int, String, Long, Seq[String])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, (Long, Int, Long, Seq[String])](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlMs)) {
         case ((band, _), rows, state) =>
-          // same emission semantics as nearDupCandidates; the shingle
-          // set is carried on each emitted row, never stored
-          val arr = rows.toArray.sortBy(_._3)
-          var minSeen = state.getOption.getOrElse(Long.MaxValue)
-          val out = Array.newBuilder[(Long, Int, Long, Seq[String])]
-          arr.foreach { r =>
-            if (minSeen < r._3) out += ((r._3, band, minSeen, r._4))
-            else if (r._3 < minSeen) minSeen = r._3
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // same emission semantics as nearDupCandidates; the shingle
+            // set is carried on each emitted row, never stored
+            val arr = rows.toArray.sortBy(_._3)
+            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out = Array.newBuilder[(Long, Int, Long, Seq[String])]
+            arr.foreach { r =>
+              if (minSeen < r._3) out += ((r._3, band, minSeen, r._4))
+              else if (r._3 < minSeen) minSeen = r._3
+            }
+            state.update(minSeen)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
           }
-          state.update(minSeen)
-          out.result().iterator
       }
       .toDF("doc_id", "band", "dup_of", "shset")
     verifyAgainstReps(cand, history)

@@ -261,4 +261,65 @@ class StreamingSpec extends AnyFunSuite {
       EventsStream.dedup, "dedup_out", outputMode = "append")
     assert(stream.count() == batchEvents.dropDuplicates("event_id").count())
   }
+
+  test("near-dup state TTL: an expired bucket re-admits; dedup still holds inside the horizon (ST12)") {
+    // dedup-within-horizon: after ttlMs without arrivals a (band,bucket)'s
+    // state expires (processing-time timeout, fired by the engine's
+    // no-data batches), so the bucket's next doc becomes the NEW
+    // representative instead of a candidate against a long-gone one.
+    // Staging: doc 1 (text T1) → wait past TTL → docs 2 and 4 (both T1,
+    // one micro-batch). Expired horizon: doc 2 emits nothing and becomes
+    // the representative; in-horizon dedup is unchanged: doc 4 dups
+    // against 2 — never against the expired 1.
+    //
+    // NOTE: with ProcessingTimeTimeout the engine schedules no-data
+    // batches indefinitely (FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+    // is always true), so processAllAvailable() would never return —
+    // progress is awaited by polling for each staged batch's distinctive
+    // numInputRows instead, and the trigger is throttled.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.DocsStream
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon"
+    def frame(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sd = java.nio.file.Files.createTempDirectory("docs-ttl")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-ttl-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val ttlMs = 2000L
+    stage(frame(1L -> t1), "a.parquet", 1000000L)
+    val q = DocsStream.nearDupCandidates(
+        DocsStream.readStream(spark, sd.toString), ttlMs)
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .outputMode("append").start()
+    def waitForBatchWithRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!q.recentProgress.exists(_.numInputRows == n)) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for a $n-row micro-batch; progress=" +
+            q.recentProgress.map(_.numInputRows).mkString(","))
+        Thread.sleep(100)
+      }
+    }
+    waitForBatchWithRows(1) // a.parquet (doc 1) processed; state registered
+    Thread.sleep(ttlMs + 2000) // no-data batches fire the timeout in here
+    stage(frame(2L -> t1, 4L -> t1), "c.parquet", 3000000L)
+    waitForBatchWithRows(2) // c.parquet processed — sink committed with it
+    q.stop()
+    val out = spark.table("neardup_ttl_out")
+      .select(col("doc_id"), col("dup_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(4L -> 2L),
+      s"expected re-admitted rep 2 and in-horizon dup 4->2, got $out")
+  }
 }
