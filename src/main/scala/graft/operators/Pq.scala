@@ -83,6 +83,29 @@ object Pq {
   def encode(e: DataFrame, books: Codebooks): DataFrame =
     e.select(col("vec_id") +: codeCols(col("embedding"), books): _*)
 
+  /** All M codes PACKED into one long — 8 bits per code, code m at bits
+    * 8m..8m+7. This is the FAISS per-vector index layout (`M` uint8
+    * words): with M ≤ 8 and K ≤ 256 a vector's whole code fits one
+    * 8-byte value, ~8× less per-row overhead in the stored index than
+    * M separate int columns. Still a pure map-side expression.
+    */
+  def packCodes(vec: Column, books: Codebooks): Column = {
+    require(books.length <= 8,
+      s"packCodes fits M<=8 codes of 8 bits in a long; got M=${books.length}")
+    require(books.head.length <= 256,
+      s"packCodes stores 8-bit codes, needs K<=256; got K=${books.head.length}")
+    val subDim = books.head.head.length
+    books.indices.map { m =>
+      shiftleft(code(sub(vec, m, subDim), books(m)).cast("long"), 8 * m)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Code m of a [[packCodes]]-packed long: unsigned shift + mask —
+    * codegen-friendly integer ops, no array or struct materialization.
+    */
+  def codeAt(packed: Column, m: Int): Column =
+    shiftrightunsigned(packed, 8 * m).bitwiseAND(lit(255L))
+
   /** Long-form (vec_id, m, sv) view used by training. */
   private def subvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
     e.select(col("vec_id"), explode(array((0 until m).map(mm =>

@@ -44,14 +44,19 @@ object PipelineQueries {
       Pq.train(res, rounds = 1)
     }
 
-  /** Materialized IVF-PQ index: (vec_id, c0..c7) parquet, hive-
+  /** Materialized IVF-PQ index: (vec_id, code) parquet, hive-
     * partitioned by IVF cell — the posting-list layout of a real ANN
-    * index. Searches scan 8 codes per vector (the 32×-compressed index,
-    * never the raw floats) and restrict to probed cells by DIRECTORY
-    * (partition pruning), so at 100 TB a 2-of-8-cell probe opens ~1/4 of
-    * the index files and none of the corpus. Built once per process
-    * with overwrite (never serves a stale index for a rewritten
-    * dataset dir); `residual=true` stores codes of the cell-residual
+    * index. `code` is the vector's 8 PQ codes packed into ONE long
+    * ([[Pq.packCodes]], the FAISS uint8-word layout — ~8× less per-row
+    * overhead than 8 int columns); searches unpack by shift/mask
+    * ([[Pq.codeAt]]), never touch the raw floats, and restrict to
+    * probed cells by DIRECTORY (partition pruning), so at 100 TB a
+    * 2-of-8-cell probe opens ~1/4 of the index files and none of the
+    * corpus. Built once per process under a per-process path token
+    * (two concurrent JVMs — e.g. Verify and Bench on one dataset —
+    * each build their own copy rather than overwriting an index the
+    * other is scanning; parquet overwrite is not atomic for concurrent
+    * readers). `residual=true` stores codes of the cell-residual
     * vectors under the residual-trained codebooks (q115's FAISS shape).
     */
   private[graft] def ivfPqIndex(s: SparkSession, d: String,
@@ -64,14 +69,15 @@ object PipelineQueries {
       // points this at HDFS/object storage
       val root = s.conf.getOption("spark.graft.index.root")
         .getOrElse("/tmp/graft_index")
-      val p = s"$root/$dirMd5/$kind"
+      val p = s"$root/$dirMd5-p${ProcessHandle.current().pid()}/$kind"
       val cents = ivfCents(s, d)
       val books = if (residual) pqResidualBooks(s, d) else pqBooks(s, d)
       val assigned = Ivf.assign(embs(s, d), cents)
       val vec = if (residual)
         Pq.residual(col("embedding"), col("cid"), cents) else col("embedding")
       assigned
-        .select(Seq(col("vec_id"), col("cid")) ++ Pq.codeCols(vec, books): _*)
+        .select(col("vec_id"), col("cid"),
+          Pq.packCodes(vec, books).as("code"))
         .write.mode("overwrite").partitionBy("cid").parquet(p)
       p
     }
@@ -1180,7 +1186,7 @@ object PipelineQueries {
       val lut = Pq.adcLut(queryVec(s, d, qid = 0), pqBooks(s, d))
       ivfPqIndex(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          Pq.adcFromCodes(m => col(s"c$m"), lut).as("approx_d2"))
+          Pq.adcFromCodes(m => Pq.codeAt(col("code"), m), lut).as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id")).limit(10)
     }, Some(s"""
       WITH $duckPqCtes,
@@ -1220,7 +1226,7 @@ object PipelineQueries {
       val qv = queryVec(s, d, qid = 1)
       val cells = probedCells(s, d, qid = 1, nprobe = 2)
       val scoreByCell = cells.map { c =>
-        c -> Pq.adcFromCodes(m => col(s"c$m"),
+        c -> Pq.adcFromCodes(m => Pq.codeAt(col("code"), m),
           Pq.adcLut(Pq.residualHost(qv, cents(c)), books))
       }
       val dist = scoreByCell.tail.foldLeft(
@@ -1458,7 +1464,7 @@ object PipelineQueries {
       ivfPqIndex(s, d)
         .filter(col("cid").isin(cells: _*) && col("vec_id") =!= 1)
         .select(col("vec_id"),
-          Pq.adcFromCodes(m => col(s"c$m"), lut).as("approx_d2"))
+          Pq.adcFromCodes(m => Pq.codeAt(col("code"), m), lut).as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id")).limit(10)
     }, Some(s"""
       WITH ${duckIvfCtes(8, 2, 64)},
@@ -1507,7 +1513,7 @@ object PipelineQueries {
       val shortlist = ivfPqIndex(s, d)
         .filter(col("cid").isin(cells: _*) && col("vec_id") =!= 1)
         .select(col("vec_id"),
-          Pq.adcFromCodes(m => col(s"c$m"), lut).as("approx_d2"))
+          Pq.adcFromCodes(m => Pq.codeAt(col("code"), m), lut).as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id")).limit(50)
         .collect().map(_.getLong(0)).toSeq
       val qvLit = array(qv.map(lit): _*)
@@ -1571,7 +1577,7 @@ object PipelineQueries {
           explode(array(perQ.map { case (q, lut, cells) =>
             struct(lit(q).as("qid"),
               when(col("cid").isin(cells: _*) && col("vec_id") =!= q,
-                Pq.adcFromCodes(m => col(s"c$m"), lut)).as("approx_d2"))
+                Pq.adcFromCodes(m => Pq.codeAt(col("code"), m), lut)).as("approx_d2"))
           }: _*)).as("x"))
         .select(col("x.qid").as("qid"), col("vec_id"),
           col("x.approx_d2").as("approx_d2"))

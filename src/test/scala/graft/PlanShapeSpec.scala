@@ -247,6 +247,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"search must be a pure scan+project:\n$p")
     assert(!p.contains("embedding"),
       s"search plan references the raw embedding column — index not used:\n$p")
+    // the stored layout is the PACKED code: one long per vector
+    // (Pq.packCodes), unpacked by shift/mask — not M int columns
+    val readSchema = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(readSchema.contains("code") && !readSchema.contains("c0"),
+      s"index scan must read the packed code column only:\n$readSchema")
     p
   }
 

@@ -38,6 +38,16 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("packed codes round-trip: codeAt(packCodes(v)) == c0..c7 for every vector") {
+    val both = embs.select(col("vec_id") +:
+      (Pq.codeCols(col("embedding"), books) :+
+        Pq.packCodes(col("embedding"), books).as("packed")): _*)
+    val mismatches = (0 until Pq.M).map(m =>
+      both.filter(Pq.codeAt(col("packed"), m) =!= col(s"c$m")).count()).sum
+    assert(mismatches == 0, s"$mismatches packed-code mismatches")
+    assert(both.count() == embs.count())
+  }
+
   test("encoding is one map-side projection (no exchange but the output sort)") {
     val p = Pq.encode(embs, books).orderBy("vec_id")
       .queryExecution.executedPlan.toString
