@@ -60,15 +60,21 @@ object Bpe {
     * web-scale corpus is orders of magnitude smaller than the corpus, and
     * `minCount` prunes the long singleton tail when it is not (the
     * standard tokenizer-trainer guard; the default 1 keeps exact oracle
-    * parity).
+    * parity). For adversarial vocabularies (a corpus of unique strings)
+    * `maxWords` caps the collect at the top-N by count (ties broken by
+    * word, ascending — deterministic), executed as a TakeOrdered, so
+    * driver memory is bounded by N regardless of corpus pathology.
     */
   def wordFreq(docs: DataFrame, textCol: String = "text",
-      minCount: Long = 1L): Seq[(String, Long)] =
-    docs.select(explode(split(col(textCol), " ")).as("word"))
+      minCount: Long = 1L, maxWords: Int = Int.MaxValue): Seq[(String, Long)] = {
+    val agg = docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val capped = if (maxWords == Int.MaxValue) agg
+      else agg.orderBy(col("n").desc, col("word")).limit(maxWords)
+    capped.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+  }
 
   /** Word → symbol tokens, matching `split(word, "")` / DuckDB's
     * per-character slice: one symbol per code point.
@@ -103,11 +109,39 @@ object Bpe {
     out.result()
   }
 
+  /** UTF-8 byte order, unsigned — the collation Spark's UTF8String and
+    * DuckDB both compare strings in. Scala's default String ordering is
+    * UTF-16 code-unit compareTo, which DISAGREES for strings mixing
+    * supplementary characters (4-byte UTF-8, surrogate code units
+    * 0xD800+) with U+E000..U+FFFF (3-byte UTF-8, code units ≥ 0xE000):
+    * byte order puts the latter first, code-unit order the former.
+    * The tie-break below must match the engines, not the JVM.
+    */
+  private[graft] val utf8Order: Ordering[String] =
+    new Ordering[String] {
+      def compare(x: String, y: String): Int = {
+        val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+
   /** Driver-side merge loop over the weighted vocabulary: each round
     * counts adjacent pairs (weighted by word count), takes the top
-    * (count desc, pair asc — binary string order, same tie-break in
-    * Spark, DuckDB, and here), and rewrites the vocabulary in place.
-    * Pure function of `freq` — no Spark jobs.
+    * (count desc, pair asc — UTF-8 byte order via [[utf8Order]], the
+    * same tie-break Spark's orderBy and DuckDB apply), and rewrites the
+    * vocabulary in place. Pure function of `freq` — no Spark jobs.
+    * Driver memory bound: the symbol table is O(Σ word lengths) of the
+    * (minCount/maxWords-pruned) vocabulary and is rewritten in place,
+    * so cost is vocab-size × rounds work and vocab-size space —
+    * independent of corpus size.
     */
   def trainFromFreq(freq: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
     var table: Array[(Array[String], Long)] =
@@ -124,9 +158,10 @@ object Bpe {
         }
       }
       if (counts.nonEmpty) {
-        // total order (count desc, pair asc) → deterministic regardless
-        // of hash-map iteration order
-        val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+        // total order (count desc, pair asc in UTF-8 bytes) →
+        // deterministic regardless of hash-map iteration order
+        val (pair, n) = counts.minBy { case (p, c) => (-c, p) }(
+          Ordering.Tuple2(Ordering.Long, utf8Order))
         val Array(a, b) = pair.split(" ", 2)
         val fused = pair.replace(" ", "")
         table = table.map { case (toks, cnt) =>

@@ -77,6 +77,42 @@ class BpeSpec extends AnyFunSuite {
     assert(j2 == j6, s"corpus work grows with rounds: $j2 jobs @2 vs $j6 @6")
   }
 
+  test("minCount prunes the singleton tail before the merge loop") {
+    // "lo lo lo hi hi rare": minCount=2 drops the singleton "rare", so
+    // no merge can come from its pairs; the pinned table proves the
+    // guard feeds training, not just the collect. With minCount=1 the
+    // same corpus trains "r a"-capable rounds on the full vocab.
+    val docs = Seq("lo lo lo hi hi rare").toDF("text")
+    val pruned = Bpe.wordFreq(docs, minCount = 2L)
+    assert(pruned.toSet == Set("lo" -> 3L, "hi" -> 2L), s"got $pruned")
+    val merges = Bpe.trainFromFreq(pruned, rounds = 2)
+    // round 1: pairs {l o: 3, h i: 2} → "l o"; round 2: only "h i" left
+    assert(merges.map(m => (m.pair, m.merged, m.count)) ==
+      Seq(("l o", "lo", 3L), ("h i", "hi", 2L)), s"got $merges")
+    val full = Bpe.wordFreq(docs, minCount = 1L)
+    assert(full.toSet == Set("lo" -> 3L, "hi" -> 2L, "rare" -> 1L))
+  }
+
+  test("maxWords caps the driver collect at top-N by count, deterministically") {
+    val docs = Seq("aa aa aa bb bb cc").toDF("text")
+    val top2 = Bpe.wordFreq(docs, maxWords = 2)
+    assert(top2 == Seq("aa" -> 3L, "bb" -> 2L), s"got $top2")
+  }
+
+  test("pair tie-break is UTF-8 byte order (engine collation), not UTF-16 code units") {
+    // U+E000 (3-byte UTF-8, ee 80 80) vs U+10000 (4-byte, f0 90 80 80):
+    // byte order ranks U+E000 first; Java's String compareTo ranks the
+    // surrogate-encoded U+10000 (0xD800...) first. Two tied pairs built
+    // from these must resolve the way Spark's orderBy and DuckDB would.
+    val e = "\uE000"
+    val s = new String(Character.toChars(0x10000))
+    assert(Bpe.utf8Order.compare(e, s) < 0, "UTF-8 byte order violated")
+    assert(e.compareTo(s) > 0, "premise: UTF-16 order disagrees")
+    val merges = Bpe.trainFromFreq(Seq(e + e -> 1L, s + s -> 1L), rounds = 1)
+    assert(merges.head.pair == s"$e $e",
+      s"tie must resolve by UTF-8 bytes, got '${merges.head.pair}'")
+  }
+
   test("training is deterministic and merges are well-formed") {
     val a = Bpe.train(docs, rounds = 3)
     val b = Bpe.train(docs, rounds = 3)
