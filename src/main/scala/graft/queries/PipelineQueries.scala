@@ -1556,6 +1556,58 @@ object PipelineQueries {
       FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
       ORDER BY d2, vec_id LIMIT 10""")),
 
+    // ---- ANN quality readout: recall@10 of the quantized (ADC) search
+    // against the exact top-10 — the metric a production index is
+    // MONITORED by (quantization quality drifts as the corpus grows
+    // away from its training distribution; PqSpec floors it, this
+    // tracks it in the oracle gate). Both top-10s are bounded
+    // artifacts; the overlap join is 10×10. Uniform-random testdata is
+    // PQ's worst case, so the recall here is a floor, not a ceiling. ----
+    Q("q125_ann_recall", (s, d) => {
+      val qv = queryVec(s, d, qid = 0)
+      val lut = Pq.adcLut(qv, pqBooks(s, d))
+      val adc10 = ivfPqIndex(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Pq.adcFromCodes(m => Pq.codeAt(col("code"), m), lut).as("approx_d2"))
+        .orderBy(col("approx_d2"), col("vec_id")).limit(10)
+      val qvLit = array(qv.map(lit): _*)
+      val exact10 = embs(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(Pq.d2(col("embedding"), qvLit), 6).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+      adc10.join(exact10, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"), (col("n_overlap") / 10.0).as("recall_at_10"))
+    }, Some(s"""
+      WITH $duckPqCtes,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      qsv AS (SELECT g.m, q.qv[g.m*8+1 : g.m*8+8] AS sv
+              FROM q CROSS JOIN generate_series(0, 7) g(m)),
+      pd AS (SELECT cd.vec_id, cd.m, ${duckD2("qs.sv", "c.cv")} AS pd
+             FROM pq_codes cd
+             JOIN pq_c1 c ON c.m = cd.m AND c.cid = cd.cid
+             JOIN qsv qs ON qs.m = cd.m
+             WHERE cd.vec_id <> 0),
+      adc AS (SELECT vec_id,
+                max(CASE WHEN m = 0 THEN pd END) +
+                max(CASE WHEN m = 1 THEN pd END) +
+                max(CASE WHEN m = 2 THEN pd END) +
+                max(CASE WHEN m = 3 THEN pd END) +
+                max(CASE WHEN m = 4 THEN pd END) +
+                max(CASE WHEN m = 5 THEN pd END) +
+                max(CASE WHEN m = 6 THEN pd END) +
+                max(CASE WHEN m = 7 THEN pd END) AS approx_d2
+              FROM pd GROUP BY vec_id),
+      adc10 AS (SELECT vec_id FROM adc ORDER BY approx_d2, vec_id LIMIT 10),
+      exact10 AS (SELECT e.vec_id,
+          round(list_sum([(e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+                          * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+                          for i in generate_series(1, 64)]), 6) AS d2
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        ORDER BY d2, vec_id LIMIT 10)
+      SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+        count(*) / 10.0 AS recall_at_10
+      FROM adc10 JOIN exact10 USING (vec_id)""")),
+
     // ---- BATCHED IVF-PQ search: a query SET amortizes ONE scan of the
     // code index — the training-pipeline shape (dedup/retrieve a whole
     // incoming batch against the corpus index), where per-query scans

@@ -525,7 +525,7 @@ object RelationalQueries {
     // plus a Spark-computed `within_5pct` flag (the oracle asserts TRUE —
     // a wrong estimate flips the flag and fails the hash); the ScalaTest
     // suite separately asserts <5% error on the estimate itself. ----
-    Q("q29_approx_distinct", (s, d) => {
+    Q("q126_approx_distinct", (s, d) => {
       T(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
