@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val warnedSubstitutions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Pin a small/intermediate frame: materialize it to checkpoint
     * storage and hand back both the checkpoint-backed frame and the RDD
     * whose blocks can be `unpersist`ed once the frame is no longer
@@ -50,7 +53,19 @@ object Dedup {
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(existing) =>
+            // setCheckpointDir appends a UUID; a context-level dir set
+            // by someone else silently wins over the argument — make
+            // the substitution LOUD (once per requested dir) so rounds
+            // don't checkpoint to a location the caller never chose
+            val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+            if (!existing.contains(want) && warnedSubstitutions.add(dir))
+              System.err.println(s"[dedup] WARNING: SparkContext " +
+                s"checkpoint dir is already '$existing'; requested " +
+                s"'$dir' is ignored — rounds checkpoint to the existing dir")
+        }
         rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rdd.checkpoint()
       case None => rdd.localCheckpoint()
@@ -63,6 +78,24 @@ object Dedup {
       checkpointDir: Option[String]): (DataFrame, RDD[Row]) = {
     val rdd = df.rdd
     (pinRdd(rdd, df, checkpointDir), rdd)
+  }
+
+  /** Release a pinned round: drop its storage blocks AND its reliable
+    * checkpoint files (best-effort). Without the file deletion a
+    * `maxRounds`-deep fixpoint leaves every round's table in the
+    * checkpoint dir for the life of the app even though only the
+    * latest round is ever referenced again. Only call once the NEXT
+    * round is materialized — its checkpoint truncated the lineage, so
+    * nothing can recompute through the deleted files.
+    */
+  private def release(rdd: RDD[Row]): Unit = {
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () } // cleanup must never fail the job
+    }
   }
 
   /** @param docs  one row per document; `idCol` must be its unique id
@@ -105,15 +138,17 @@ object Dedup {
       }
       val stepped = pinRdd(steppedRdd, steppedDf, checkpointDir)
       changed = chAcc.value
-      labelsRdd.unpersist(blocking = false) // prior round no longer referenced
+      release(labelsRdd) // prior round no longer referenced: blocks + files
       labels = stepped.select(col(idCol), col("rep"))
       labelsRdd = steppedRdd
       round += 1
     }
-    eRdd.unpersist(blocking = false)
-    // non-convergence aborts: release the final round's blocks too, or
-    // they stay pinned in the block manager for the life of the session
-    if (changed != 0) labelsRdd.unpersist(blocking = false)
+    release(eRdd)
+    // non-convergence aborts: release the final round too, or its blocks
+    // stay pinned in the block manager for the life of the session. On
+    // success the final round's storage intentionally survives — the
+    // returned frame reads from it.
+    if (changed != 0) release(labelsRdd)
     require(changed == 0,
       s"keepListToFixpoint did not converge in $maxRounds rounds — " +
         "either raise maxRounds or check the edge set for corruption " +

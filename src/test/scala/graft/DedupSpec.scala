@@ -96,6 +96,40 @@ class DedupSpec extends AnyFunSuite {
     assert(written != null && written.nonEmpty, s"no checkpoint data under $dir")
   }
 
+  test("reliable checkpoint at scale: only the final round's files survive (VERDICT r5 #6)") {
+    // 50k nodes in 10k chains of 5 (4 edges each) → 5 propagation
+    // rounds, ~7 pinned tables over the run (edges + initial labels +
+    // 5 rounds). Per-round cleanup must leave exactly ONE new rdd-*
+    // directory behind (the final round, which the returned frame reads
+    // from) — without it the checkpoint store grows linearly in rounds
+    // for the life of the app. Assertions run against the context's
+    // ACTIVE checkpoint dir: the context-level dir is process-wide, so
+    // an earlier test's dir may win over this one's (the documented,
+    // warned substitution).
+    val reqDir = java.nio.file.Files.createTempDirectory("dedup-ckpt-scale").toString
+    val docs = (1L to 50000L).toDF("doc_id")
+    val edges = undirected((1L until 50000L)
+      .filter(id => (id - 1) % 5 != 4).map(id => id -> (id + 1)): _*)
+    def rddDirs(): Set[String] = {
+      val active = spark.sparkContext.getCheckpointDir
+      active.map { d =>
+        val f = new java.io.File(new java.net.URI(d).getPath)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("rdd-")).map(_.getAbsolutePath).toSet
+      }.getOrElse(Set.empty)
+    }
+    val before = rddDirs()
+    val out = Dedup.keepListToFixpoint(docs, edges, checkpointDir = Some(reqDir))
+    val expectedRep = (col("doc_id") - ((col("doc_id") - 1) % 5)).cast("long")
+    assert(out.filter(col("rep") =!= expectedRep).count() == 0,
+      "fixpoint wrong on the chain corpus")
+    assert(out.count() == 50000L)
+    val leftover = rddDirs() -- before
+    assert(leftover.size == 1,
+      s"expected only the final round's checkpoint to survive, got " +
+        s"${leftover.size}: ${leftover.mkString(", ")}")
+  }
+
   test("edges lineage executes once and label blocks don't pile up (ADVICE r3)") {
     // The 6-node chain needs 5 propagation rounds. Before the r4 fix the
     // edge plan re-executed every round (5× the candidate-generation cost
