@@ -59,7 +59,11 @@ object PlanAudit {
     "q118_stream_neardup_verified" -> "banded candidates verified at exact Jaccard vs bucket rep",
     "q119_ivfpq_rerank" -> "ADC shortlist, then exact re-rank via In-pushdown point lookups",
     "q120_ivfpq_batch_search" -> "N queries amortize one pruned codes-only scan; window top-k per query",
-    "q121_index_append" -> "frozen codebooks as literals; batch predicate pushed; append is scan→project")
+    "q121_index_append" -> "frozen codebooks as literals; batch predicate pushed; append is scan→project",
+    "q122_containment_dedup" -> "banded candidates only; containment verify is bounded pairwise",
+    "q123_sq8_quantize" -> "128-double scale model as literals; byte encode map-side",
+    "q124_mixture_materialize" -> "two-level prefix sum per (source, md5-prefix bucket); offsets+targets broadcast",
+    "q125_ann_recall" -> "two bounded top-10 artifacts; overlap join is 10×10")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
