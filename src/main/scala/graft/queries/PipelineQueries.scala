@@ -1811,6 +1811,57 @@ object PipelineQueries {
       SELECT doc_a, doc_b, containment FROM ct
       WHERE containment >= 0.7 ORDER BY doc_a, doc_b""")),
 
+    // ---- inverted-index containment dedup: the recall path for the
+    // EXTREME size ratios q122's MinHash banding documents as its
+    // limit (a 50-shingle doc quoted inside a 5000-shingle one rarely
+    // collides in any band — its signature is dominated by the
+    // container's other content). A shingle-level inverted index
+    // generates a candidate for ANY shared non-stop shingle:
+    // postings self-join on shingle, overlap counted per pair.
+    // Scale shape: postings are a map-side explode; the df cut (df ≤
+    // 50 here — the standard stop-shingle cull) bounds every posting
+    // list, so per-shingle join work is ≤ df², total ≤ cap·|postings|,
+    // and the hot boilerplate shingles that would otherwise quadratically
+    // blow up the join are exactly the ones culled. Overlap counts only
+    // non-stop shingles while min(|A|,|B|) uses the FULL set sizes, so
+    // the reported containment is a deterministic LOWER bound — both
+    // engines compute the identical bound. ----
+    Q("q127_containment_inverted", (s, d) => {
+      val dfCap = 50
+      val post = shingleSets(s, d)
+        .select(col("doc_id"), size(col("shset")).as("nsh"),
+          explode(col("shset")).as("sh"))
+      val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val kept = post.join(dfreq.filter(col("df") <= dfCap), "sh")
+      val a = kept.select(col("sh"),
+        col("doc_id").as("doc_a"), col("nsh").as("nsh_a"))
+      val b = kept.select(col("sh"),
+        col("doc_id").as("doc_b"), col("nsh").as("nsh_b"))
+      a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+        .agg(count(lit(1)).as("overlap"))
+        .select(col("doc_a"), col("doc_b"), col("overlap"),
+          (col("overlap") / least(col("nsh_a"), col("nsh_b"))).as("containment"))
+        .filter(col("containment") >= 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      s AS (SELECT doc_id, list_distinct($duckShingles) sh FROM t
+            WHERE len(ws) >= 3),
+      post AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shg FROM s),
+      dfq AS (SELECT shg, count(*) AS df FROM post GROUP BY shg),
+      kept AS (SELECT p.doc_id, p.nsh, p.shg FROM post p
+               JOIN dfq USING (shg) WHERE df <= 50),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS overlap
+             FROM kept a JOIN kept b
+             ON a.shg = b.shg AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
+        overlap / least(nsh_a, nsh_b) AS containment
+      FROM pr WHERE overlap / least(nsh_a, nsh_b) >= 0.7
+      ORDER BY doc_a, doc_b""")),
+
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact
     // integers, so scores are bit-identical with no rounding tolerance

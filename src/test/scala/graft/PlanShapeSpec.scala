@@ -170,6 +170,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"containment verify must only see banded candidates:\n$p")
   }
 
+  test("q127: inverted-index containment — postings equi-join on shingle, never all-pairs") {
+    val p = planOf("q127_containment_inverted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the postings self-equi-join:\n$p")
+  }
+
   test("q85: SQL margin expansion aggregates with a partial phase") {
     val p = planOf("q85_margin_sql_agg")
     assert(p.contains("partial_sum"), s"no map-side combine under with_m90:\n$p")

@@ -31,4 +31,27 @@ class QueriesSpec extends AnyFunSuite {
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
   }
+
+  test("q127 inverted-index containment catches the extreme-size-ratio pair banding misses") {
+    // a 5-shingle doc quoted verbatim inside a ~600-word doc: the
+    // container's MinHash signature is dominated by its own content, so
+    // the banded candidate path (q122) never pairs them — the
+    // documented recall limit the inverted-index variant exists to
+    // close. Containment is 5/5 = 1.0.
+    import spark.implicits._
+    val small = (1 to 7).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 600).map(i => s"z$i").mkString(" ")
+    val td = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, small, "en", "src", small.length.toLong),
+        (2L, big, "en", "src", big.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$td/documents.parquet")
+    val inv = SparkEntry.queries("q127_containment_inverted")(spark, td).collect()
+    assert(inv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+        == Set((1L, 2L, 1.0)), s"got ${inv.mkString(",")}")
+    val banded = SparkEntry.queries("q122_containment_dedup")(spark, td).count()
+    assert(banded == 0,
+      "premise broken: banding found the extreme-ratio pair — the " +
+        "recall-difference this test locks no longer exists")
+  }
 }
