@@ -64,7 +64,7 @@ object PlanAudit {
     "q123_sq8_quantize" -> "128-double scale model as literals; byte encode map-side",
     "q124_mixture_materialize" -> "two-level prefix sum per (source, md5-prefix bucket); offsets+targets broadcast",
     "q125_ann_recall" -> "two bounded top-10 artifacts; overlap join is 10×10",
-    "q127_containment_inverted" -> "postings self-join on shingle; df-cap culls hot shingles, bounding per-key join work")
+    "q127_containment_inverted" -> "shingles as rows (codegen window, no interpreted HOF scan stage); posting lists built in one agg; df-cap bounds pair fan-out")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1347,7 +1347,7 @@ object PipelineQueries {
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
             FROM o JOIN tg USING (source))
       SELECT doc_id, source, n_tokens, cum FROM c
-      WHERE cum <= target_tokens ORDER BY doc_id""")),
+      WHERE cum <= target_tokens ORDER BY doc_id"""), bench = true),
 
     Q("q117_temperature_mixture", (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -1815,30 +1815,62 @@ object PipelineQueries {
     // EXTREME size ratios q122's MinHash banding documents as its
     // limit (a 50-shingle doc quoted inside a 5000-shingle one rarely
     // collides in any band — its signature is dominated by the
-    // container's other content). A shingle-level inverted index
-    // generates a candidate for ANY shared non-stop shingle:
-    // postings self-join on shingle, overlap counted per pair.
-    // Scale shape: postings are a map-side explode; the df cut (df ≤
-    // 50 here — the standard stop-shingle cull) bounds every posting
-    // list, so per-shingle join work is ≤ df², total ≤ cap·|postings|,
-    // and the hot boilerplate shingles that would otherwise quadratically
-    // blow up the join are exactly the ones culled. Overlap counts only
-    // non-stop shingles while min(|A|,|B|) uses the FULL set sizes, so
-    // the reported containment is a deterministic LOWER bound — both
-    // engines compute the identical bound. ----
+    // container's other content). THE inverted-index plan: posting
+    // lists materialized per shingle in ONE aggregation of the sampled
+    // postings (the corpus is scanned once), within-list pairs emitted
+    // by an array expression — no self-join, no second corpus pass.
+    // Two cost bounds make it scale:
+    //   1. a CONSISTENT 1-in-4 shingle sketch (md5 mod — a shared
+    //      shingle samples identically in both docs, so containment
+    //      over the sketch universe is exact, at sketch resolution):
+    //      4x fewer postings, ~16x fewer within-list pairs — the
+    //      modulus is the recall/cost dial every production
+    //      containment system has (docs need >= ~4 shingles for the
+    //      sketch to see them);
+    //   2. a df cut (posting list <= 50 — the standard stop-shingle
+    //      cull) bounds within-list pair fan-out at df^2, and the hot
+    //      boilerplate shingles that would otherwise quadratically
+    //      blow up the pair count are exactly the ones culled.
+    // Overlap excludes stop shingles while min(|A|,|B|) counts every
+    // SAMPLED shingle, so the reported containment is a deterministic
+    // lower bound over the sketch — both engines compute the identical
+    // value (identical docs still score exactly 1.0). ----
     Q("q127_containment_inverted", (s, d) => {
       val dfCap = 50
-      val post = shingleSets(s, d)
-        .select(col("doc_id"), size(col("shset")).as("nsh"),
-          explode(col("shset")).as("sh"))
-      val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val kept = post.join(dfreq.filter(col("df") <= dfCap), "sh")
-      val a = kept.select(col("sh"),
-        col("doc_id").as("doc_a"), col("nsh").as("nsh_a"))
-      val b = kept.select(col("sh"),
-        col("doc_id").as("doc_b"), col("nsh").as("nsh_b"))
-      a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      // shingles as ROWS, not arrays: posexplode the words (codegen'd
+      // generate), then lead-by-1/2 over the per-doc window. Spark's
+      // higher-order array functions are CodegenFallback (interpreted,
+      // ~10us per element measured) and the whole array pipeline runs
+      // inside the scan stage — one task when the input is one row
+      // group. The window form is codegen-friendly row work that
+      // parallelizes across the word-stream exchange, and the sample
+      // filter runs as a plain row predicate before the distinct, so
+      // the distinct shuffle carries 1/4 of the shingle stream.
+      val wRows = docs(s, d)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val shRows = wRows
+        .select(col("doc_id"), col("col").as("w0"),
+          lead(col("col"), 1).over(wnd).as("w1"),
+          lead(col("col"), 2).over(wnd).as("w2"))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
+      val sampled = shRows
+        .filter(conv(substring(md5(concat(lit("cset|"), col("sh"))), 1, 8), 16, 10)
+          .cast("long") % 4 === 0)
+        .distinct()
+      val nshPerDoc = sampled.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val postings = sampled.join(nshPerDoc, "doc_id")
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
+        .filter(size(col("ds")).between(2, dfCap))
+      val pairs = flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("doc_a"), x.getField("nsh").as("nsh_a"),
+            y.getField("doc_id").as("doc_b"), y.getField("nsh").as("nsh_b")))))
+      postings.select(explode(pairs).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.nsh_a").as("nsh_a"), col("p.nsh_b").as("nsh_b"))
         .agg(count(lit(1)).as("overlap"))
         .select(col("doc_a"), col("doc_b"), col("overlap"),
           (col("overlap") / least(col("nsh_a"), col("nsh_b"))).as("containment"))
@@ -1848,10 +1880,15 @@ object PipelineQueries {
       WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
       s AS (SELECT doc_id, list_distinct($duckShingles) sh FROM t
             WHERE len(ws) >= 3),
-      post AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shg FROM s),
+      samp AS (SELECT doc_id,
+                 [x for x in sh if CAST(concat('0x',
+                    substr(md5('cset|' || x), 1, 8)) AS BIGINT) % 4 = 0] AS sh
+               FROM s),
+      post AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shg
+               FROM samp WHERE len(sh) > 0),
       dfq AS (SELECT shg, count(*) AS df FROM post GROUP BY shg),
       kept AS (SELECT p.doc_id, p.nsh, p.shg FROM post p
-               JOIN dfq USING (shg) WHERE df <= 50),
+               JOIN dfq USING (shg) WHERE df BETWEEN 2 AND 50),
       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS overlap
              FROM kept a JOIN kept b
@@ -1860,7 +1897,7 @@ object PipelineQueries {
       SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
         overlap / least(nsh_a, nsh_b) AS containment
       FROM pr WHERE overlap / least(nsh_a, nsh_b) >= 0.7
-      ORDER BY doc_a, doc_b""")),
+      ORDER BY doc_a, doc_b"""), bench = true),
 
     // ---- TF×rarity top terms per document — the log-free tf-idf
     // variant (score = tf/df): both engines divide the same two exact

@@ -38,8 +38,10 @@ class QueriesSpec extends AnyFunSuite {
     // the banded candidate path (q122) never pairs them — the
     // documented recall limit the inverted-index variant exists to
     // close. Containment is 5/5 = 1.0.
+    // words chosen so ≥2 of the small doc's 5 shingles survive the
+    // 1-in-4 consistent shingle sketch (a1..a7 → 'a2 a3 a4','a4 a5 a6')
     import spark.implicits._
-    val small = (1 to 7).map(i => s"w$i").mkString(" ")
+    val small = (1 to 7).map(i => s"a$i").mkString(" ")
     val big = small + " " + (1 to 600).map(i => s"z$i").mkString(" ")
     val td = java.nio.file.Files.createTempDirectory("contain").toString
     Seq((1L, small, "en", "src", small.length.toLong),
@@ -47,6 +49,8 @@ class QueriesSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$td/documents.parquet")
     val inv = SparkEntry.queries("q127_containment_inverted")(spark, td).collect()
+    // both sampled shingles of doc 1 appear in doc 2's sample —
+    // consistent sketching keeps identical-content containment at 1.0
     assert(inv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
         == Set((1L, 2L, 1.0)), s"got ${inv.mkString(",")}")
     val banded = SparkEntry.queries("q122_containment_dedup")(spark, td).count()
