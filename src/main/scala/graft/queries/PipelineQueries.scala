@@ -131,14 +131,18 @@ object PipelineQueries {
     "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "un", "ge"),
     "fr" -> Seq("es", "le", "de", "re", "en", "on", "nt", "ou"))
 
-  /** MinHash signature frame (Spark side), shared by q42/q43. */
+  /** MinHash signature frame (Spark side), shared by q42/q43. The
+    * signature comes from the fused native [[graft.functions.MinHashSig]]
+    * expression (bit-identical to the HOF composition, spec-locked) —
+    * the HOF form interpreted ~10us per shingle inside the scan stage.
+    */
   private def minhashSig(s: SparkSession, d: String, nHashes: Int): DataFrame = {
-    val ws = TextOps.tokens(col("text"))
-    val withSh = docs(s, d)
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), nHashes)
+    docs(s, d)
       .filter(size(TextOps.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), TextOps.shingles3(ws).as("sh"))
-    val mh = (0 until nHashes).map(j => TextOps.minhash(j, col("sh")).as(s"mh$j"))
-    withSh.select(col("doc_id") +: mh: _*)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +: (0 until nHashes).map(j =>
+        element_at(col("sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** DuckDB rendering of TextOps.cosine over two list columns. */
@@ -300,7 +304,8 @@ object PipelineQueries {
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     docs(s, d).filter(size(ws) >= 3)
-      .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("shset"))
   }
 
   private def verifiedEdges(s: SparkSession, d: String): DataFrame = {
@@ -407,7 +412,8 @@ object PipelineQueries {
       val base = docs(s, d)
         .filter(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"), col("source"),
-          array_distinct(TextOps.shingles3(ws)).as("shset"))
+          array_distinct(
+          graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("shset"))
       val a = base.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
         col("shset").as("sh_a"))
       val b = base.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
@@ -443,7 +449,8 @@ object PipelineQueries {
     Q("q84_ngram_jaccard_banded", (s, d) => {
       val ws = TextOps.tokens(col("text"))
       val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
-        .select(col("doc_id"), array_distinct(TextOps.shingles3(ws)).as("shset"))
+        .select(col("doc_id"), array_distinct(
+          graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("shset"))
       val sig = minhashSig(s, d, 8)
       val bands = (0 until 4).map(b => struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
@@ -883,7 +890,8 @@ object PipelineQueries {
     Q("q88_decontaminate", (s, d) => {
       val ws = TextOps.tokens(col("text"))
       val grams = docs(s, d).filter(size(ws) >= 8)
-        .select(col("doc_id"), explode(array_distinct(TextOps.shinglesK(ws, 8))).as("gram"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
         .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
       val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
       val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
@@ -920,7 +928,8 @@ object PipelineQueries {
       import graft.functions.BloomFunctions
       val ws = TextOps.tokens(col("text"))
       val grams = docs(s, d).filter(size(ws) >= 8)
-        .select(col("doc_id"), explode(array_distinct(TextOps.shinglesK(ws, 8))).as("gram"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
         .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
       val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
       val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,

@@ -45,13 +45,17 @@ object DocsStream {
     */
   private def banded(docs: DataFrame): DataFrame = {
     val ws = TextOps.tokens(col("text"))
-    val sh = TextOps.shingles3(ws)
-    val mh = (0 until 8).map(j => TextOps.minhash(j, sh))
+    // native fused signature/shingles (graft.functions.{MinHashSig,
+    // ShinglesK}) — bit-identical to the HOF kernel, so stream/batch
+    // parity with the query pack is preserved by construction
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
+    val sh = graft.functions.TextFunctions.shinglesFromText(col("text"), 3)
+    def mh(j: Int) = element_at(col("sig"), j + 1)
     val bands = (0 until 4).map(b => struct(lit(b).as("band"),
       concat_ws("_", mh(2 * b), mh(2 * b + 1)).as("bkey")))
     docs.filter(size(ws) >= 3)
-      .select(col("doc_id"), array_distinct(sh).as("shset"),
-        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), array_distinct(sh).as("shset"), sig.as("sig"))
+      .select(col("doc_id"), col("shset"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"), col("shset"))
   }
@@ -72,8 +76,8 @@ object DocsStream {
   private def verifyAgainstReps(cand: DataFrame, history: DataFrame): DataFrame = {
     val hw = TextOps.tokens(col("text"))
     val reps = history.filter(size(hw) >= 3)
-      .select(col("doc_id").as("dup_of"),
-        array_distinct(TextOps.shingles3(hw)).as("rep_sh"))
+      .select(col("doc_id").as("dup_of"), array_distinct(
+        graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("rep_sh"))
     cand.join(reps, "dup_of")
       .select(col("doc_id"), col("band"), col("dup_of"),
         (size(array_intersect(col("shset"), col("rep_sh"))) /

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.TextOps
+
+/** [[graft.functions.MinHashSig]] / [[graft.functions.ShinglesK]]: the
+  * native fused text kernels must be BIT-IDENTICAL to the higher-order-
+  * function compositions they replace — the DuckDB oracles replay the
+  * HOF math, so any divergence breaks the hash gate. Parity is asserted
+  * over the real corpus plus the edge shapes (short docs, empty tokens,
+  * multibyte text).
+  */
+class TextExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.queries.Tables(spark, dir, "documents")
+
+  private def edgeDocs = Seq(
+    "",                        // no tokens
+    "one",                     // 1 token
+    "one two",                 // 2 tokens → below k=3
+    "a b c",                   // exactly 3
+    "a  b   c  ",              // empty tokens from repeated/trailing spaces
+    "naïve café über straße",  // multibyte
+    "x y z x y z x y z"        // repeated shingles (multiplicity)
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("ShinglesK(text, k) == shinglesK(tokens(text), k) for k = 3 and 8, corpus + edges") {
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs); k <- Seq(3, 8)) {
+      val mismatch = df.select(
+          TextFunctions.shinglesFromText(col("text"), k).as("native"),
+          TextOps.shinglesK(TextOps.tokens(col("text")), k).as("hof"))
+        .filter(not(col("native") <=> col("hof"))).count()
+      assert(mismatch == 0, s"k=$k: $mismatch rows diverge")
+    }
+  }
+
+  test("MinHashSig(text, n) == array_min∘transform∘seededHash per component, corpus + edges") {
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs)) {
+      val sh = TextOps.shingles3(TextOps.tokens(col("text")))
+      val native = TextFunctions.minhashSigNative(col("text"), 8)
+      val checks = (0 until 8).map(j =>
+        not(element_at(native, j + 1) <=> TextOps.minhash(j, sh)))
+      val mismatch = df.filter(checks.reduce(_ || _)).count()
+      assert(mismatch == 0, s"$mismatch rows diverge from the HOF minhash")
+    }
+  }
+
+  test("native kernels run inside whole-stage codegen (no CodegenFallback in the projection)") {
+    val p = docs.select(TextFunctions.minhashSigNative(col("text"), 8),
+        TextFunctions.shinglesFromText(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(p.linesIterator.next().trim.startsWith("*("),
+      s"projection not inside a codegen stage:\n$p")
+  }
+}
