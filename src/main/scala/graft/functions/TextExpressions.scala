@@ -147,6 +147,73 @@ object ShinglesK {
   }
 }
 
+/** Native 32-bit SimHash over the whitespace tokens of a text column —
+  * twin of `TextOps.simhash32(tokens(text))` (seed = None) and
+  * `TextOps.simhash32Seeded(s, tokens(text))` (seed = Some(s)). The HOF
+  * form interprets a 32-bit-test filter PER BIT over the token-hash
+  * array (32 interpreted passes per document); this computes all bit
+  * counts in one pass per token.
+  */
+case class SimHash32(child: Expression, seed: Option[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    SimHash32.compute(t.asInstanceOf[UTF8String], seed.map(_.toString).orNull)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedLit = seed.map(s => s""""$s"""").getOrElse("null")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.compute($c, $seedLit)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** seedPrefix null → unseeded md5(w); else md5(seedPrefix + "|" + w).
+    * Bit b of the result is set when more than half the token hashes
+    * have bit b set — identical to the HOF accumulation.
+    */
+  def compute(text: UTF8String, seedPrefix: String): Long = {
+    val ws = text.toString.split(" ", -1)
+    val md = digests.get()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < ws.length) {
+      val in = if (seedPrefix == null) ws(i) else seedPrefix + "|" + ws(i)
+      md.reset()
+      val h = md.digest(in.getBytes(StandardCharsets.UTF_8))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((v >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    val n = ws.length
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -157,4 +224,8 @@ object TextFunctions {
   /** Column API for [[ShinglesK]]: word k-shingles straight from text. */
   def shinglesFromText(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShinglesK(GraftSqlBridge.expression(text), k))
+
+  /** Column API for [[SimHash32]]: unseeded (seed = None) or seeded. */
+  def simhash32Native(text: Column, seed: Option[Int] = None): Column =
+    GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(text), seed))
 }

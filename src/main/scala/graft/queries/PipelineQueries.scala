@@ -394,7 +394,8 @@ object PipelineQueries {
     // ---- SimHash (32-bit) ----
     Q("q44_simhash", (s, d) => {
       docs(s, d)
-        .select(col("doc_id"), TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash32Native(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
@@ -666,7 +667,8 @@ object PipelineQueries {
     Q("q82_simhash_neardup", (s, d) => {
       val ws = TextOps.tokens(col("text"))
       val sh = docs(s, d).select(col("doc_id"),
-        TextOps.simhash32Seeded(0, ws).as("lo"), TextOps.simhash32Seeded(1, ws).as("hi"))
+        graft.functions.TextFunctions.simhash32Native(col("text"), Some(0)).as("lo"),
+        graft.functions.TextFunctions.simhash32Native(col("text"), Some(1)).as("hi"))
       val bandStructs = Seq(
         (0, col("lo").bitwiseAND(lit(65535L))),
         (1, shiftright(col("lo"), 16).bitwiseAND(lit(65535L))),

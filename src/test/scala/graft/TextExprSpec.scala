@@ -50,6 +50,20 @@ class TextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash32(text, seed) == simhashBits HOF, unseeded and both seeds, corpus + edges") {
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs)) {
+      val ws = TextOps.tokens(col("text"))
+      val diverge =
+        not(TextFunctions.simhash32Native(col("text")) <=> TextOps.simhash32(ws)) ||
+        not(TextFunctions.simhash32Native(col("text"), Some(0)) <=>
+          TextOps.simhash32Seeded(0, ws)) ||
+        not(TextFunctions.simhash32Native(col("text"), Some(1)) <=>
+          TextOps.simhash32Seeded(1, ws))
+      val mismatch = df.filter(diverge).count()
+      assert(mismatch == 0, s"$mismatch rows diverge from the HOF simhash")
+    }
+  }
+
   test("native kernels run inside whole-stage codegen (no CodegenFallback in the projection)") {
     val p = docs.select(TextFunctions.minhashSigNative(col("text"), 8),
         TextFunctions.shinglesFromText(col("text"), 3))
