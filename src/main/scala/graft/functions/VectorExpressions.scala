@@ -94,12 +94,99 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared L2 distance over two numeric array columns — the
+  * [[DotProduct]] treatment for the PQ/ANN distance kernel: the HOF form
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` is
+  * interpreted per element, and the PQ encoder evaluates it M·K times
+  * per vector (128 subvector distances at the default shape) — the
+  * index-build hot path. Same sequential left fold in element order as
+  * the HOF form and the DuckDB comprehension, so results are
+  * bit-identical (spec-locked).
+  */
+case class L2DistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_dist_sq"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall { e =>
+      e.dataType match {
+        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (at, bt) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, at, i) - get(b, bt, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def getter(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case LongType => s"(double) $arr.getLong($i)"
+        case other => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $d = ${getter(a, elemType(left))} - ${getter(b, elemType(right))};
+        |  $acc += $d * $d;
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftSqlBridge
 
   /** Column API for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API for [[L2DistSq]]. */
+  def d2Native(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2DistSq(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Register `dot_product` for SQL use. */

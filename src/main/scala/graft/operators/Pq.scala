@@ -49,9 +49,15 @@ object Pq {
   type Codebooks = Seq[Seq[Seq[Double]]]
 
   /** Sequential-fold squared L2 distance (same accumulation order as the
-    * oracle's `list_sum` comprehension).
+    * oracle's `list_sum` comprehension) — the native codegen'd
+    * [[graft.functions.L2DistSq]]; the HOF form is kept as [[d2Hof]] and
+    * cross-checked bit-identical in VectorExprSpec.
     */
   def d2(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.d2Native(a, b)
+
+  /** Reference HOF formulation of [[d2]] (interpreted; parity oracle). */
+  private[graft] def d2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
         (x.cast(DoubleType) - y.cast(DoubleType)) *
           (x.cast(DoubleType) - y.cast(DoubleType))),

@@ -25,6 +25,16 @@ class VectorExprSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("native d2 == HOF d2 bit-for-bit on all embeddings (the PQ encode kernel)") {
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = embs.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.operators.Pq.d2(col("embedding"), col("qv")).as("native"),
+        graft.operators.Pq.d2Hof(col("embedding"), col("qv")).as("hof"))
+    val mismatches = both.filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0, s"$mismatches d2 mismatches vs the HOF fold")
+  }
+
   test("dot_product registered for SQL") {
     VectorFunctions.register(spark)
     embs.createOrReplaceTempView("emb_v")
