@@ -24,25 +24,38 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Each result is published via temp-dir + atomic rename: a reader
-    // (or a second Verify racing on the same outDir — the failure mode
-    // that zeroed one round's driver artifacts) never observes a
-    // half-written query directory.
+    // Each result is published via temp-dir + atomic rename, with any
+    // OLD result renamed ASIDE first (not deleted in place): between
+    // the two renames a reader sees either the old complete dir or the
+    // new complete dir — never a half-deleted one and never a missing
+    // one (the delete-then-move window of the previous version). A
+    // second Verify racing on the same outDir — the failure mode that
+    // zeroed one round's driver artifacts — observes the same guarantee.
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        // Using closes the walk stream (each walk holds a directory
+        // handle; the old unclosed form leaked one per replaced dir)
+        scala.util.Using.resource(Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        }
+      }
     var ran = 0
     var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val tmp = Paths.get(outDir, s".tmp_$name")
+      val old = Paths.get(outDir, s".old_$name")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(tmp.toString)
         val dst = Paths.get(outDir, name)
-        if (Files.exists(dst)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
+        rmTree(old) // leftover from a crashed previous run
+        if (Files.exists(dst))
+          Files.move(dst, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        rmTree(old)
         ran += 1
       } catch { case e: Throwable =>
         failed ::= name

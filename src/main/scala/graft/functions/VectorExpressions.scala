@@ -102,11 +102,21 @@ case class DotProduct(left: Expression, right: Expression)
   * index-build hot path. Same sequential left fold in element order as
   * the HOF form and the DuckDB comprehension, so results are
   * bit-identical (spec-locked).
+  *
+  * Length mismatch yields NULL — same as the HOF form (`zip_with` pads
+  * the shorter array with null elements, which nulls the whole fold)
+  * and the DuckDB comprehension, so the bit-identical contract covers
+  * ragged inputs too. Array ELEMENTS are assumed non-null (embedding
+  * vectors — parquet float arrays): a null element is read as garbage
+  * by design, exactly like every numeric kernel over `ArrayData`; feed
+  * cleaned vectors.
   */
 case class L2DistSq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // null on length mismatch even when both inputs are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_dist_sq"
 
   private def elemType(e: Expression): DataType =
@@ -135,8 +145,9 @@ case class L2DistSq(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val (at, bt) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -161,13 +172,109 @@ case class L2DistSq(left: Expression, right: Expression)
         case other => throw new IllegalStateException(s"unsupported element type $other")
       }
       s"""
-        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $acc = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  final double $d = ${getter(a, elemType(left))} - ${getter(b, elemType(right))};
-        |  $acc += $d * $d;
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  final int $n = $a.numElements();
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $d = ${getter(a, elemType(left))} - ${getter(b, elemType(right))};
+        |    $acc += $d * $d;
+        |  }
+        |  ${ev.value} = $acc;
         |}
-        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native element-wise difference `a(i) - b(i)` of two numeric array
+  * columns, as `array<double>` — the residual kernel of the IVF-PQ
+  * index build ([[graft.operators.Pq.residual]]): the HOF form
+  * `zip_with(a, b, (x, c) => x.cast(double) - c)` is interpreted per
+  * element and the residual-index build evaluates it once per corpus
+  * vector — the same interpreted-HOF class [[L2DistSq]] eliminated for
+  * the distance kernel. The subtraction is the identical exact IEEE
+  * double op in the identical element order, so results are
+  * bit-identical to the HOF twin (spec-locked) and the q115 oracle.
+  *
+  * Length mismatch yields NULL (the HOF twin nulls the padded elements
+  * instead — a shape this kernel's callers never produce; NULL is the
+  * loud contract). Array elements are assumed non-null, as in
+  * [[L2DistSq]].
+  */
+case class VectorSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // null on length mismatch even when both inputs are non-nullable
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_sub"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall { e =>
+      e.dataType match {
+        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val (at, bt) = (elemType(left), elemType(right))
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = get(a, at, i) - get(b, bt, i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      def getter(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case LongType => s"(double) $arr.getLong($i)"
+        case other => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      s"""
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  final int $n = $a.numElements();
+        |  final double[] $out = new double[$n];
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $out[$i] = ${getter(a, elemType(left))} - ${getter(b, elemType(right))};
+        |  }
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        |}
       """.stripMargin
     })
 
@@ -187,6 +294,11 @@ object VectorFunctions {
   /** Column API for [[L2DistSq]]. */
   def d2Native(a: Column, b: Column): Column =
     GraftSqlBridge.column(L2DistSq(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API for [[VectorSub]]. */
+  def subNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(VectorSub(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Register `dot_product` for SQL use. */

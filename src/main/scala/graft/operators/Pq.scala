@@ -181,6 +181,19 @@ object Pq {
     */
   def residual(embedding: Column, cid: Column, cents: Ivf.Centroids): Column = {
     val cvArr = array(cents.map { case (_, cv) => litVec(cv) }: _*)
+    // native codegen'd kernel — the HOF twin below evaluated 64
+    // interpreted element ops per corpus vector in the residual index
+    // build and pqResidualBooks training (bit-parity spec-locked)
+    graft.functions.VectorFunctions.subNative(
+      embedding, element_at(cvArr, (cid + 1).cast("int")))
+  }
+
+  /** Reference HOF formulation of [[residual]] (interpreted; parity
+    * oracle for VectorExprSpec).
+    */
+  private[graft] def residualHof(embedding: Column, cid: Column,
+      cents: Ivf.Centroids): Column = {
+    val cvArr = array(cents.map { case (_, cv) => litVec(cv) }: _*)
     zip_with(embedding, element_at(cvArr, (cid + 1).cast("int")),
       (x, c) => x.cast(DoubleType) - c)
   }
@@ -252,14 +265,24 @@ object Pq {
     }
   }
 
-  /** ADC distance from STORED code columns: per-subspace literal-array
-    * lookup of the query's precomputed distance, summed in the same
-    * fixed m-order as [[adc]] (double addition is order-dependent; the
-    * oracle writes the same chain). Zero touches of the embedding
-    * column — the scan reads M small codes per vector.
+  /** ADC distance from STORED code columns: per-subspace lookup of the
+    * query's precomputed distance in ONE flat M·K-element literal
+    * (`typedlit` — a single `Literal` node holding the whole table, not
+    * M separate 16-element `array(lit…)` trees), indexed at
+    * `m·K + code + 1`, summed in the same fixed m-order as [[adc]]
+    * (double addition is order-dependent; the oracle writes the same
+    * chain). Halves the expression-tree size — the win grows with M·K
+    * (a K=256 codebook would be 2048 Literal nodes the old way). Zero
+    * touches of the embedding column — the scan reads M small codes per
+    * vector.
     */
-  def adcFromCodes(code: Int => Column, lut: Seq[Seq[Double]]): Column =
-    lut.zipWithIndex.map { case (l, m) =>
-      element_at(array(l.map(lit): _*), (code(m) + 1).cast("int"))
+  def adcFromCodes(code: Int => Column, lut: Seq[Seq[Double]]): Column = {
+    val k = lut.head.length
+    require(lut.forall(_.length == k),
+      s"ragged ADC LUT: per-subspace lengths ${lut.map(_.length)}")
+    val flat = typedlit(lut.flatten.toIndexedSeq)
+    lut.indices.map { m =>
+      element_at(flat, (code(m) + (m * k + 1)).cast("int"))
     }.reduce(_ + _)
+  }
 }

@@ -69,6 +69,13 @@ object PipelineQueries {
       // points this at HDFS/object storage
       val root = s.conf.getOption("spark.graft.index.root")
         .getOrElse("/tmp/graft_index")
+      // best-effort sweep of DEAD processes' index copies: the pid
+      // token prevents concurrent JVMs overwriting each other's live
+      // index, but every process leaves a full copy behind — without
+      // this, repeated Verify/Bench runs accumulate disk without bound.
+      // A dir whose pid is no longer alive can never be read again (the
+      // path is only reachable through that process's Models cache).
+      sweepDeadIndexDirs(root)
       val p = s"$root/$dirMd5-p${ProcessHandle.current().pid()}/$kind"
       val cents = ivfCents(s, d)
       val books = if (residual) pqResidualBooks(s, d) else pqBooks(s, d)
@@ -83,6 +90,32 @@ object PipelineQueries {
     }
     s.read.parquet(path)
   }
+
+  /** Delete `<root>/<md5>-p<pid>` index dirs whose owning pid is dead
+    * (see [[ivfPqIndex]]). Best-effort: any IO failure (a dir another
+    * sweep already removed, permissions) is ignored — a leftover dir
+    * costs disk, not correctness.
+    */
+  private def sweepDeadIndexDirs(root: String): Unit =
+    try {
+      val dirs = new java.io.File(root).listFiles()
+      if (dirs != null) dirs.foreach { f =>
+        val m = "^[0-9a-f]{32}-p(\\d+)$".r.findFirstMatchIn(f.getName)
+        val dead = m.exists { mm =>
+          val pid = mm.group(1).toLong
+          val h = ProcessHandle.of(pid)
+          pid != ProcessHandle.current().pid() &&
+            !(h.isPresent && h.get.isAlive)
+        }
+        if (dead) try {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(f.toPath)) { st =>
+            st.iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        } catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: Throwable => () }
 
   /** The query vector, collected once (1 row — the ANN-query contract:
     * a search receives its query as a literal, not as a table).
@@ -1871,9 +1904,19 @@ object PipelineQueries {
           .cast("long") % 4 === 0)
         .distinct()
       val nshPerDoc = sampled.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      // posting lists via the CAPPED collector, bounded at dfCap+1
+      // elements PER AGGREGATION BUFFER: a plain collect_list would
+      // materialize a hot boilerplate shingle's entire document list in
+      // one buffer before the df filter could drop it — unbounded
+      // reducer memory at 10^9-doc scale. CollectPairsCapped truncates
+      // at dfCap+1, and a truncated list's final size is always exactly
+      // dfCap+1 > dfCap, so the filter below drops precisely the same
+      // shingles as an uncapped collect (kept lists are complete —
+      // result-identical, buffer O(dfCap)).
       val postings = sampled.join(nshPerDoc, "doc_id")
         .groupBy(col("sh"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
+        .agg(sort_array(graft.functions.CollectCapped.pairs(
+          struct(col("doc_id"), col("nsh")), dfCap + 1)).as("ds"))
         .filter(size(col("ds")).between(2, dfCap))
       val pairs = flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>

@@ -58,4 +58,33 @@ class QueriesSpec extends AnyFunSuite {
       "premise broken: banding found the extreme-ratio pair — the " +
         "recall-difference this test locks no longer exists")
   }
+
+  test("capped posting collector: kept groups complete, oversized groups truncate to cap+1") {
+    // the q127 bounded-buffer contract (round-6 ADVICE): with
+    // maxElems = cap+1, a group whose true df ≤ cap carries its COMPLETE
+    // sorted list (result-identical to uncapped collect_list), and a
+    // hot-shingle group truncates to exactly cap+1 — always > cap, so
+    // the df filter drops the same groups, while no aggregation buffer
+    // ever holds more than cap+1 elements.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cap = 3
+    // group g repeats g times over 8 input partitions (partial buffers merge)
+    val rows = (1L to 6L).flatMap(g => (1L to g).map(i => (g, i)))
+    val df = spark.createDataset(rows).repartition(8).toDF("g", "v")
+    val agg = df.groupBy(col("g"))
+      .agg(sort_array(graft.functions.CollectCapped.pairs(
+        struct(col("v"), col("g")), cap + 1)).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    (1L to 6L).foreach { g =>
+      val got = agg(g)
+      if (g <= cap + 1) {
+        assert(got.map(_.getLong(0)) == (1L to g),
+          s"group $g (df=$g ≤ cap+1) must carry its complete sorted list")
+      } else {
+        assert(got.size == cap + 1,
+          s"group $g (df=$g > cap+1) must truncate to exactly cap+1=${cap + 1}, got ${got.size}")
+      }
+    }
+  }
 }

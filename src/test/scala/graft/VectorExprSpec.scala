@@ -70,4 +70,44 @@ class VectorExprSpec extends AnyFunSuite {
       spark.sql("SELECT dot_product(1.0, array(1.0))").collect()
     }
   }
+
+  test("d2 on ragged arrays is null — same as the HOF form and the oracle") {
+    // zip_with pads the shorter array with null elements, which nulls the
+    // HOF fold; the native kernel must agree instead of silently summing
+    // the common prefix (the round-6 ADVICE footgun)
+    val df = spark.range(1).select(
+      graft.operators.Pq.d2(
+        array(lit(1.0), lit(2.0)), array(lit(1.0))).as("native"),
+      graft.operators.Pq.d2Hof(
+        array(lit(1.0), lit(2.0)), array(lit(1.0))).as("hof"))
+    val r = df.head()
+    assert(r.isNullAt(0), "native d2 on ragged arrays must be null")
+    assert(r.isNullAt(1), "HOF d2 on ragged arrays should be null too")
+  }
+
+  test("native residual == HOF residual bit-for-bit on all embeddings") {
+    // the r7 kernel: VectorSub replaces the per-corpus-vector zip_with
+    // in the residual index build / pqResidualBooks training
+    val cents: graft.operators.Ivf.Centroids = (0L to 1L).map(c =>
+      c -> (0 until 64).map(i => (i + c + 1) * 0.25).toSeq)
+    val both = embs.select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 2).as("cid"))
+      .select(col("vec_id"),
+        graft.operators.Pq.residual(col("embedding"), col("cid"), cents).as("native"),
+        graft.operators.Pq.residualHof(col("embedding"), col("cid"), cents).as("hof"))
+    val mismatches = both.filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatches == 0, s"$mismatches residual mismatches vs the HOF zip_with")
+  }
+
+  test("vector_sub on ragged arrays is null; stays inside whole-stage codegen") {
+    val r = spark.range(1).select(
+      VectorFunctions.subNative(array(lit(1.0), lit(2.0)), array(lit(1.0))).as("s"))
+      .head()
+    assert(r.isNullAt(0), "vector_sub on ragged arrays must be null")
+    val plan = embs
+      .select(VectorFunctions.subNative(col("embedding"), col("embedding")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vector_sub"),
+      s"expected the vector_sub Project inside a codegen stage in:\n$plan")
+  }
 }
