@@ -52,38 +52,73 @@ object Bench {
     SparkEntry.queries.get("q06_forecast_revenue")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
     // steady-state timing: queries run in the FIXED declaration order
-    // (SparkEntry.benchQueries), min of THREE runs each — the first run
-    // pays whole-stage-codegen compilation, and min-of-3 narrows the
-    // ±30% machine variance that made round-over-round deltas ambiguous
+    // (SparkEntry.benchQueries). The first run pays whole-stage-codegen
+    // compilation and any model training (timed separately — see the
+    // "build" section below), so the headline stays min-of-N — but N is
+    // now ADAPTIVE: 3 runs baseline, extended to ≥5 for any query whose
+    // min is still >0.5s, because the heavy tail is where this box's
+    // scheduling noise lives (one round's driver artifact reported a
+    // phantom 5x regression on q62 that two clean min-of-5 re-runs
+    // disproved). Median rides along in `queries_median` so a noisy
+    // distribution is visible IN the artifact instead of discovered by
+    // re-running: min≈median ⇒ trust the number; median>>min ⇒ the run
+    // was contaminated, compare mins only.
     // parameterized locally (driver always uses the defaults): RUNS for
     // quicker/sturdier local iterations, QUERIES to time a subset
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val heavyRuns = math.max(runs, 5)
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").toSet)
     val loadStart = loadAvg()
     val jvmsStart = competingJvms()
-    val results: Seq[(String, Double)] = SparkEntry.benchQueries
-      .filter(n => subset.forall(_.contains(n))).map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // the noop sink materializes EVERY output column. A count()
-        // here lets Catalyst prune computed columns straight out of the
-        // plan (an orderBy+count keeps only the sort key; an agg+count
-        // keeps only group existence), so projection-heavy queries
-        // timed 10-30x too fast — the signature queries were measuring
-        // their scan, not their math.
-        val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
-      }
-      name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // the noop sink materializes EVERY output column. A count()
+      // here lets Catalyst prune computed columns straight out of the
+      // plan (an orderBy+count keeps only the sort key; an agg+count
+      // keeps only group existence), so projection-heavy queries
+      // timed 10-30x too fast — the signature queries were measuring
+      // their scan, not their math.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
     }
+    val results: Seq[(String, Seq[Double])] = SparkEntry.benchQueries
+      .filter(n => subset.forall(_.contains(n))).map { name =>
+      // drain cross-query GC debt so query N's tail latency isn't
+      // query N-1's garbage — part of the heavy-tail noise story
+      System.gc()
+      val fn = SparkEntry.queries(name)
+      val base = (1 to runs).map(_ => timeOnce(fn))
+      val times =
+        if (base.min > 0.5 && base.min != Double.MaxValue)
+          base ++ ((runs + 1) to heavyRuns).map(_ => timeOnce(fn))
+        else base
+      name -> times
+    }
+    def min(ts: Seq[Double]): Double =
+      if (ts.min == Double.MaxValue) -1.0 else ts.min
+    def median(ts: Seq[Double]): Double =
+      if (ts.min == Double.MaxValue) -1.0
+      else { val s = ts.sorted; s(s.length / 2) }
     // per-query timings stay in the artifact (ordered as run) so future
     // rounds can separate noise from real regressions query-by-query
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + min(ts) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val qsMed = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    val qsRuns = results.map { case (k, ts) => s"\"" + k + "\":" + ts.length }
+      .mkString("{", ",", "}")
+    // the build phase — model training + index writes — is amortized by
+    // Models.cached into the first run of whichever query needs each
+    // artifact, so min-of-N serving times structurally cannot see it.
+    // Emit it as its own section (inclusive times; dependency builds
+    // nest — see Models.buildTimes).
+    val build = graft.operators.Models.buildTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.replace("\"", "'") + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(r => min(r._2)).sum else 0.0
+    val totalMed = if (results.nonEmpty) results.map(r => median(r._2)).sum else 0.0
     // environment snapshot rides in the artifact: load average and
     // competing-JVM count at start and end make a contaminated run
     // (another Spark JVM sharing the box) self-identifying
@@ -93,7 +128,9 @@ object Bench {
     // field existed were count()-based and under-measured projection
     // queries (see the run-loop comment); cross-round comparisons are
     // only valid within the same sink
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop","queries":$qs,"sf":"$sfDir",$env}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop","queries":$qs,""" +
+      s""""total_median":$totalMed,"queries_median":$qsMed,"queries_runs":$qsRuns,""" +
+      s""""build":$build,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

@@ -25,12 +25,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Each result is published via temp-dir + atomic rename, with any
-    // OLD result renamed ASIDE first (not deleted in place): between
-    // the two renames a reader sees either the old complete dir or the
-    // new complete dir — never a half-deleted one and never a missing
-    // one (the delete-then-move window of the previous version). A
-    // second Verify racing on the same outDir — the failure mode that
-    // zeroed one round's driver artifacts — observes the same guarantee.
+    // OLD result renamed ASIDE first (not deleted in place): a reader
+    // only ever observes a COMPLETE dir — old or new — never a
+    // half-deleted or half-written one (the delete-then-move window of
+    // the previous version). The dir can still be briefly ABSENT: the
+    // gap between move(dst→old) and move(tmp→dst) is one rename wide,
+    // so a perfectly-timed reader sees missing-then-retry rather than
+    // corrupt data. A second Verify racing on the same outDir — the
+    // failure mode that zeroed one round's driver artifacts — observes
+    // the same complete-or-absent guarantee.
     def rmTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._

@@ -301,11 +301,21 @@ object VectorFunctions {
     GraftSqlBridge.column(VectorSub(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Register `dot_product` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftSqlBridge.registerFunction(spark, "dot_product", { exprs =>
-      require(exprs.length == 2,
-        s"dot_product takes exactly 2 array arguments, got ${exprs.length}")
-      DotProduct(exprs(0), exprs(1))
-    })
+  /** Register the vector kernels for SQL use — same codegen'd
+    * expressions the Column API binds, so a SQL-surface user never
+    * falls back to interpreted `aggregate`/`zip_with` HOFs for these.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def binary(name: String, make: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      GraftSqlBridge.registerFunction(spark, name, { exprs =>
+        require(exprs.length == 2,
+          s"$name takes exactly 2 array arguments, got ${exprs.length}")
+        make(exprs(0), exprs(1))
+      })
+    binary("dot_product", DotProduct(_, _))
+    binary("l2_dist_sq", L2DistSq(_, _))
+    binary("vector_sub", VectorSub(_, _))
+  }
 }

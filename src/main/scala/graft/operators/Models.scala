@@ -38,6 +38,7 @@ object Models {
 
   private val cache = new ConcurrentHashMap[String, Holder]()
   private val trains = new ConcurrentHashMap[String, AtomicLong]()
+  private val buildSecs = new ConcurrentHashMap[String, java.lang.Double]()
 
   /** The artifact under `key`, training it on first use. `train` runs at
     * most once per key per process, and may itself call `cached` for its
@@ -46,7 +47,9 @@ object Models {
   def cached[T <: AnyRef](key: String)(train: => T): T =
     cache.computeIfAbsent(key, _ => new Holder(() => {
       trains.computeIfAbsent(key, _ => new AtomicLong).incrementAndGet()
-      train
+      val t0 = System.nanoTime()
+      try train
+      finally buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
     })).value.asInstanceOf[T]
 
   /** How many times `key`'s trainer has actually run (spec probe: N
@@ -54,4 +57,17 @@ object Models {
     */
   def timesTrained(key: String): Long =
     Option(trains.get(key)).map(_.get()).getOrElse(0L)
+
+  /** Cold-cache build wall-time per key, seconds. Times are INCLUSIVE:
+    * a trainer that pulls a dependency through `cached` (ivfPqIndex →
+    * ivfCents) counts the dependency's first build inside its own time —
+    * subtract the child key to decompose. `Bench` emits this as the
+    * artifact's `"build"` section, making the build phase (training +
+    * index writes, amortized away by the cache and invisible to min-of-N
+    * serving times) a measured number instead of a blind spot.
+    */
+  def buildTimes: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
 }

@@ -282,7 +282,16 @@ object Pq {
       s"ragged ADC LUT: per-subspace lengths ${lut.map(_.length)}")
     val flat = typedlit(lut.flatten.toIndexedSeq)
     lut.indices.map { m =>
-      element_at(flat, (code(m) + (m * k + 1)).cast("int"))
+      val c = code(m).cast("int")
+      // range-guard the flat index: without it, a corrupt code (k, say)
+      // silently reads the NEXT subspace's first entry and yields a
+      // plausible wrong distance — the old per-subspace element_at
+      // returned NULL there. One codegen'd branch per subspace restores
+      // the loud failure (NULL poisons the whole sum); encoder-produced
+      // codes are always 0..k-1, so the guarded branch is the only one
+      // a healthy pipeline ever takes.
+      when(c >= 0 && c < k, element_at(flat, c + lit(m * k + 1)))
+        .otherwise(lit(null).cast("double"))
     }.reduce(_ + _)
   }
 }

@@ -99,6 +99,24 @@ class PqSpec extends AnyFunSuite {
     assert(diverged == 0, s"$diverged vectors diverged between stored-code and inline ADC")
   }
 
+  test("ADC from stored codes fails LOUD (null) on an out-of-range code") {
+    // the flat M·K LUT indexes at m·K+code+1, so a corrupt code would
+    // otherwise silently read the NEXT subspace's slot and produce a
+    // plausible wrong distance; the range guard must null the whole sum
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val lut = Pq.adcLut(qv, books)
+    val k = lut.head.length
+    val one = Pq.encode(embs, books).filter(col("vec_id") === 1)
+    def adcWith(c0: org.apache.spark.sql.Column) =
+      one.select(Pq.adcFromCodes(m => if (m == 0) c0 else col(s"c$m"), lut).as("d"))
+        .head()
+    assert(!adcWith(col("c0")).isNullAt(0), "well-formed codes must score")
+    assert(adcWith(lit(k)).isNullAt(0), s"code=$k (one past range) must null out")
+    assert(adcWith(lit(-1)).isNullAt(0), "code=-1 must null out")
+  }
+
   test("ADC approximation quality floor (uniform-random data is PQ's worst case)") {
     // The testdata embeddings are uniform random, where pairwise
     // distances CONCENTRATE — the adversarial regime for quantization

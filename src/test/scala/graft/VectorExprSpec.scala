@@ -44,6 +44,26 @@ class VectorExprSpec extends AnyFunSuite {
     assert(n.length == 5 && n.forall(_.getDouble(1) > 0))
   }
 
+  test("l2_dist_sq and vector_sub registered for SQL (same kernels as the Column API)") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT l2_dist_sq(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d2,
+                vector_sub(array(3.0D, 5.0D), array(1.0D, 2.0D)) AS sub,
+                l2_dist_sq(array(1.0D, 2.0D), array(1.0D)) AS ragged""").head()
+    assert(r.getDouble(0) == 8.0)
+    assert(r.getSeq[Double](1) == Seq(2.0, 3.0))
+    // ragged arrays null out, matching the HOF/oracle semantics
+    assert(r.isNullAt(2))
+    // SQL path binds the native expressions, not an interpreted fallback:
+    // both must fuse into the scan's codegen stage
+    embs.createOrReplaceTempView("emb_v")
+    val plan = spark.sql(
+      """SELECT l2_dist_sq(embedding, vector_sub(embedding, embedding)) AS d
+         FROM emb_v""").queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [l2_dist_sq"),
+      s"expected l2_dist_sq inside a codegen stage in:\n$plan")
+  }
+
   test("null array yields null, ints and floats both accepted") {
     val df = spark.sql(
       """SELECT dot_product(array(1, 2, 3), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS a,
