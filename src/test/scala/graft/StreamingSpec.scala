@@ -155,7 +155,28 @@ class StreamingSpec extends AnyFunSuite {
       batch.filter("s_ts_s IS NOT NULL").count())
   }
 
-  test("streaming minhash near-dup candidates == batch twin across micro-batches (ST9)") {
+  /** The RocksDB provider class shipped in spark-sql (rocksdbjni is on
+    * the unmanaged classpath). The production state store at 100 TB —
+    * state spills to local disk with changelog checkpointing instead of
+    * living on the executor heap — so the near-dup state machine must
+    * hold under BOTH providers, not just the default HDFS-backed one
+    * (store/restore serialization and timeout bookkeeping are separate
+    * code paths per provider).
+    */
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's state-store provider overridden, then
+    * restore the default (the conf is captured at stream START, so
+    * setting it around the test body is exact).
+    */
+  private def withStateStore[T](provider: Option[String])(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    provider.foreach(spark.conf.set(key, _))
+    try body finally provider.foreach(_ => spark.conf.unset(key))
+  }
+
+  private def nearDupParityCase(provider: Option[String], tag: String): Unit = {
     import org.apache.spark.sql.functions.col
     import graft.streaming.DocsStream
     val docs = Tables(spark, dir, "documents")
@@ -176,16 +197,27 @@ class StreamingSpec extends AnyFunSuite {
     }
     stage(docs.filter(col("doc_id") <= mid), "a.parquet", 1000000L)
     stage(docs.filter(col("doc_id") > mid), "b.parquet", 2000000L)
-    val q = DocsStream.nearDupCandidates(DocsStream.readStream(spark, sd.toString))
-      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    val q = withStateStore(provider) {
+      DocsStream.nearDupCandidates(DocsStream.readStream(spark, sd.toString))
+        .writeStream.format("memory").queryName(s"neardup_out_$tag")
+        .outputMode("append").start()
+    }
     q.processAllAvailable()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
     assert(nBatches >= 2, s"expected ≥2 micro-batches, got $nBatches")
-    val stream = spark.table("neardup_out")
+    val stream = spark.table(s"neardup_out_$tag")
     val batch = DocsStream.nearDupCandidatesBatch(docs)
     assert(batch.count() > 0, "no near-dup candidates in testdata?")
     assert(sortedRows(stream) == sortedRows(batch))
+  }
+
+  test("streaming minhash near-dup candidates == batch twin across micro-batches (ST9)") {
+    nearDupParityCase(None, "hdfs")
+  }
+
+  test("near-dup parity holds under the RocksDB state store (ST9r)") {
+    nearDupParityCase(Some(RocksDb), "rocksdb")
   }
 
   test("streaming VERIFIED near-dups == batch twin across micro-batches (ST11)") {
@@ -262,7 +294,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.count() == batchEvents.dropDuplicates("event_id").count())
   }
 
-  test("near-dup state TTL: an expired bucket re-admits; dedup still holds inside the horizon (ST12)") {
+  private def nearDupTtlCase(provider: Option[String], tag: String): Unit = {
     // dedup-within-horizon: after ttlMs without arrivals a (band,bucket)'s
     // state expires (processing-time timeout, fired by the engine's
     // no-data batches), so the bucket's next doc becomes the NEW
@@ -297,11 +329,13 @@ class StreamingSpec extends AnyFunSuite {
     }
     val ttlMs = 2000L
     stage(frame(1L -> t1), "a.parquet", 1000000L)
-    val q = DocsStream.nearDupCandidates(
-        DocsStream.readStream(spark, sd.toString), ttlMs)
-      .writeStream.format("memory").queryName("neardup_ttl_out")
-      .trigger(Trigger.ProcessingTime("200 milliseconds"))
-      .outputMode("append").start()
+    val q = withStateStore(provider) {
+      DocsStream.nearDupCandidates(
+          DocsStream.readStream(spark, sd.toString), ttlMs)
+        .writeStream.format("memory").queryName(s"neardup_ttl_out_$tag")
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+    }
     def waitForBatchWithRows(n: Long): Unit = {
       val deadline = System.currentTimeMillis + 60000
       while (!q.recentProgress.exists(_.numInputRows == n)) {
@@ -316,10 +350,21 @@ class StreamingSpec extends AnyFunSuite {
     stage(frame(2L -> t1, 4L -> t1), "c.parquet", 3000000L)
     waitForBatchWithRows(2) // c.parquet processed — sink committed with it
     q.stop()
-    val out = spark.table("neardup_ttl_out")
+    val out = spark.table(s"neardup_ttl_out_$tag")
       .select(col("doc_id"), col("dup_of")).distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set(4L -> 2L),
       s"expected re-admitted rep 2 and in-horizon dup 4->2, got $out")
+  }
+
+  test("near-dup state TTL: an expired bucket re-admits; dedup still holds inside the horizon (ST12)") {
+    nearDupTtlCase(None, "hdfs")
+  }
+
+  test("near-dup TTL expiry holds under the RocksDB state store (ST12r)") {
+    // timeout bookkeeping is provider-specific state management — the
+    // expiry + re-admit contract has to survive RocksDB's native-side
+    // store/restore, not just the heap-backed map's
+    nearDupTtlCase(Some(RocksDb), "rocksdb")
   }
 }
