@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the heavy dedup/planning queries (q127, q72,
+  * q124): the driver's testdata tops out at sf0.1 (5k documents), where
+  * the df-cap, sketch-rate and capped-collector dials are argued, not
+  * measured. This main generates an sf1-equivalent documents table —
+  * `STRESS_FACTOR`× (default 10×) perturbed replicas of the sf0.1 corpus
+  * — runs the three queries on BOTH corpora with stage-metric
+  * instrumentation, and prints one JSON line per corpus with wall times,
+  * shuffle bytes, and the q127 truncation census.
+  *
+  * Replication preserves the dedup problem's SHAPE while scaling it:
+  * replica r>0 of a doc appends an md5-derived token (2 of 3 replicas)
+  * or copies the text verbatim (1 of 3), so each base near-dup cluster
+  * becomes a factor× cluster mixing exact and near duplicates, and every
+  * boilerplate shingle's document frequency scales by factor — exactly
+  * the regime the CollectPairsCapped df-cap exists for. All derivation
+  * is md5-based, so the corpus is bit-reproducible.
+  *
+  * Run: `tools/stress_sf1.sh` (or
+  * `sbt "runMain graft.Stress /tmp/graft_stress"`). Results land in
+  * PLANS.md §stress by hand — this is a measurement tool, not a gate.
+  */
+object Stress {
+
+  /** Sum of shuffle write bytes + spill across completed stages. */
+  private final class MetricsListener extends SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); spill.set(0) }
+  }
+
+  private def genScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val out = new java.io.File(s"$outDir/documents.parquet")
+    if (out.exists()) return
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    val perturbed = base.select(col("*"), reps)
+      .withColumn("tag",
+        substring(md5(concat(col("doc_id"), lit("_"), col("r"))), 1, 6))
+      // r=0 keeps the original doc; r>0 is a near-dup (md5 token
+      // appended — one trailing shingle differs) except every third
+      // replica, which is an EXACT text copy under a new id
+      .withColumn("text2",
+        when(col("r") === 0 || conv(substring(col("tag"), 1, 4), 16, 10) % 3 === 0,
+          col("text"))
+        .otherwise(concat(col("text"), lit(" "), col("tag"))))
+      .select(
+        (col("doc_id") * factor + col("r")).as("doc_id"),
+        col("text2").as("text"), col("lang"), col("source"),
+        length(col("text2")).cast("long").as("n_chars"))
+    // 32 files → 32 row groups → the scan parallelizes like a real
+    // multi-split layout (the driver testdata is one row group per file)
+    perturbed.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
+  /** q127's sampled-shingle posting census, uncapped: how hot do
+    * shingles actually get at this scale, and how many groups does the
+    * dfCap+1 truncation drop vs the df filter alone?
+    */
+  private def truncationCensus(spark: SparkSession, dir: String,
+      dfCap: Int): Map[String, Long] = {
+    val wRows = queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokens(col("text"))))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sampled = wRows
+      .select(col("doc_id"), col("col").as("w0"),
+        lead(col("col"), 1).over(wnd).as("w1"),
+        lead(col("col"), 2).over(wnd).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
+      .filter(conv(substring(md5(concat(lit("cset|"), col("sh"))), 1, 8), 16, 10)
+        .cast("long") % 4 === 0)
+      .distinct()
+    val dfs = sampled.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val stats = dfs.agg(
+      count(lit(1)).as("shingles"),
+      max(col("df")).as("max_df"),
+      sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("over_cap"),
+      sum(when(col("df").between(2, dfCap), 1L).otherwise(0L)).as("kept"),
+      sum(when(col("df") === 1, 1L).otherwise(0L)).as("singletons")).head()
+    (0 until stats.length).map(i =>
+      stats.schema(i).name -> stats.getLong(i)).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_stress")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("STRESS_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
+    val scaledDir = s"$root/x$factor"
+    genScaled(spark, baseDir, scaledDir, factor)
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
+
+    val names = Seq("q127_containment_inverted", "q72_neardup_keep",
+      "q124_mixture_materialize")
+    Seq("base" -> baseDir, s"x$factor" -> scaledDir).foreach { case (tag, dir) =>
+      val qs = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        // cold run (first plan + codegen), then a warm run; report both —
+        // superlinearity shows in the warm number
+        val times = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        val (warmT, shW, sp) = times.last
+        s""""$name":{"cold_sec":${times.head._1},"warm_sec":$warmT,""" +
+          s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}"""
+      }
+      val census = truncationCensus(spark, dir, dfCap = 50)
+        .toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val rows = if (tag == "base") nBase else nScaled
+      println(s"""STRESS {"corpus":"$tag","dir":"$dir","docs":$rows,""" +
+        s""""queries":{${qs.mkString(",")}},"q127_census":$census}""")
+    }
+    spark.stop()
+  }
+}
