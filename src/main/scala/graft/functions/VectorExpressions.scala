@@ -6,6 +6,60 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** Shared element accessors for the numeric-array kernels below.
+  *
+  * `elemNullable` drives the null-element contract: when a child's
+  * schema says `containsNull = true` (parquet float lists read that way
+  * by default), the kernels CHECK each element and return NULL on a null
+  * element — the loud contract, and for the fold kernels exactly what
+  * the HOF twin computes (a null element nulls the fold). When the
+  * schema proves `containsNull = false`, no per-element check is
+  * emitted, so the clean-schema hot loop is unchanged.
+  */
+private[functions] object VecKernel {
+  def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  def checkNumericArrays(prettyName: String, left: Expression,
+      right: Expression): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall { e =>
+      e.dataType match {
+        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  def getter(arr: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  /** Per-element null guard for the generated loop body: empty when the
+    * schema proves elements non-null (zero-cost fast path), else a check
+    * that nulls the whole result and exits the loop.
+    */
+  def nullGuard(check: Boolean, arr: String, i: String, isNull: String): String =
+    if (check) s"if ($arr.isNullAt($i)) { $isNull = true; break; }" else ""
+}
+
 /** Native Catalyst dot product over two numeric array columns.
   *
   * This is the tier-(b) custom operator of the preference order (compose
@@ -20,9 +74,11 @@ import org.apache.spark.sql.types._
   * to the HOF version and to DuckDB's `list_sum` over an index
   * comprehension — so oracle hash-parity is preserved.
   *
-  * Null semantics: a null array yields null (nullSafeEval); elements are
-  * assumed non-null (embedding vectors), mismatched lengths dot the
-  * common prefix.
+  * Null semantics: a null array yields null (nullSafeEval); a null
+  * ELEMENT yields null when the child schema admits one
+  * (`containsNull = true`) — same as the HOF fold, where the null
+  * element nulls the accumulation — and costs nothing when the schema
+  * proves elements non-null. Mismatched lengths dot the common prefix.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,38 +86,24 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      VecKernel.elemNullable(left) || VecKernel.elemNullable(right)
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall { e =>
-      e.dataType match {
-        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
-        case _ => false
-      }
-    }
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
-  }
-
-  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case other => throw new IllegalStateException(s"unsupported element type $other")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernel.checkNumericArrays(prettyName, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val (at, bt) = (elemType(left), elemType(right))
+    val (at, bt) = (VecKernel.elemType(left), VecKernel.elemType(right))
+    val (aN, bN) = (VecKernel.elemNullable(left), VecKernel.elemNullable(right))
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += get(a, at, i) * get(b, bt, i)
+      if ((aN && a.isNullAt(i)) || (bN && b.isNullAt(i))) return null
+      acc += VecKernel.get(a, at, i) * VecKernel.get(b, bt, i)
       i += 1
     }
     acc
@@ -72,20 +114,19 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      def getter(arr: String, t: DataType): String = t match {
-        case FloatType => s"(double) $arr.getFloat($i)"
-        case DoubleType => s"$arr.getDouble($i)"
-        case IntegerType => s"(double) $arr.getInt($i)"
-        case LongType => s"(double) $arr.getLong($i)"
-        case other => throw new IllegalStateException(s"unsupported element type $other")
-      }
+      val (aN, bN) = (VecKernel.elemNullable(left), VecKernel.elemNullable(right))
+      val finish =
+        if (aN || bN) s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
+        else s"${ev.value} = $acc;"
       s"""
         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $acc = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  $acc += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+        |  ${VecKernel.nullGuard(aN, a, i, ev.isNull.toString)}
+        |  ${VecKernel.nullGuard(bN, b, i, ev.isNull.toString)}
+        |  $acc += ${VecKernel.getter(a, i, VecKernel.elemType(left))} * ${VecKernel.getter(b, i, VecKernel.elemType(right))};
         |}
-        |${ev.value} = $acc;
+        |$finish
       """.stripMargin
     })
 
@@ -106,10 +147,10 @@ case class DotProduct(left: Expression, right: Expression)
   * Length mismatch yields NULL — same as the HOF form (`zip_with` pads
   * the shorter array with null elements, which nulls the whole fold)
   * and the DuckDB comprehension, so the bit-identical contract covers
-  * ragged inputs too. Array ELEMENTS are assumed non-null (embedding
-  * vectors — parquet float arrays): a null element is read as garbage
-  * by design, exactly like every numeric kernel over `ArrayData`; feed
-  * cleaned vectors.
+  * ragged inputs too. A null ELEMENT likewise yields NULL when the
+  * child schema admits one (`containsNull = true`) — matching the HOF
+  * fold — with no per-element check emitted when the schema proves
+  * elements non-null.
   */
 case class L2DistSq(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -119,39 +160,21 @@ case class L2DistSq(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "l2_dist_sq"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall { e =>
-      e.dataType match {
-        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
-        case _ => false
-      }
-    }
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
-  }
-
-  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case other => throw new IllegalStateException(s"unsupported element type $other")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernel.checkNumericArrays(prettyName, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
-    val (at, bt) = (elemType(left), elemType(right))
+    val (at, bt) = (VecKernel.elemType(left), VecKernel.elemType(right))
+    val (aN, bN) = (VecKernel.elemNullable(left), VecKernel.elemNullable(right))
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = get(a, at, i) - get(b, bt, i)
+      if ((aN && a.isNullAt(i)) || (bN && b.isNullAt(i))) return null
+      val d = VecKernel.get(a, at, i) - VecKernel.get(b, bt, i)
       acc += d * d
       i += 1
     }
@@ -164,13 +187,10 @@ case class L2DistSq(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
-      def getter(arr: String, t: DataType): String = t match {
-        case FloatType => s"(double) $arr.getFloat($i)"
-        case DoubleType => s"$arr.getDouble($i)"
-        case IntegerType => s"(double) $arr.getInt($i)"
-        case LongType => s"(double) $arr.getLong($i)"
-        case other => throw new IllegalStateException(s"unsupported element type $other")
-      }
+      val (aN, bN) = (VecKernel.elemNullable(left), VecKernel.elemNullable(right))
+      val finish =
+        if (aN || bN) s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
+        else s"${ev.value} = $acc;"
       s"""
         |if ($a.numElements() != $b.numElements()) {
         |  ${ev.isNull} = true;
@@ -178,10 +198,12 @@ case class L2DistSq(left: Expression, right: Expression)
         |  final int $n = $a.numElements();
         |  double $acc = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
-        |    final double $d = ${getter(a, elemType(left))} - ${getter(b, elemType(right))};
+        |    ${VecKernel.nullGuard(aN, a, i, ev.isNull.toString)}
+        |    ${VecKernel.nullGuard(bN, b, i, ev.isNull.toString)}
+        |    final double $d = ${VecKernel.getter(a, i, VecKernel.elemType(left))} - ${VecKernel.getter(b, i, VecKernel.elemType(right))};
         |    $acc += $d * $d;
         |  }
-        |  ${ev.value} = $acc;
+        |  $finish
         |}
       """.stripMargin
     })
@@ -203,8 +225,12 @@ case class L2DistSq(left: Expression, right: Expression)
   *
   * Length mismatch yields NULL (the HOF twin nulls the padded elements
   * instead — a shape this kernel's callers never produce; NULL is the
-  * loud contract). Array elements are assumed non-null, as in
-  * [[L2DistSq]].
+  * loud contract). A null ELEMENT likewise yields a NULL result when
+  * the child schema admits one (`containsNull = true`) — the HOF twin
+  * would carry a null element instead; whole-result NULL is the same
+  * loud contract as the length case, and the output's
+  * `containsNull = false` promise stays true. No per-element check is
+  * emitted when the schema proves elements non-null.
   */
 case class VectorSub(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -214,39 +240,21 @@ case class VectorSub(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "vector_sub"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall { e =>
-      e.dataType match {
-        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
-        case _ => false
-      }
-    }
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
-  }
-
-  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case other => throw new IllegalStateException(s"unsupported element type $other")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecKernel.checkNumericArrays(prettyName, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
-    val (at, bt) = (elemType(left), elemType(right))
+    val (at, bt) = (VecKernel.elemType(left), VecKernel.elemType(right))
+    val (aN, bN) = (VecKernel.elemNullable(left), VecKernel.elemNullable(right))
     val n = a.numElements()
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
-      out(i) = get(a, at, i) - get(b, bt, i)
+      if ((aN && a.isNullAt(i)) || (bN && b.isNullAt(i))) return null
+      out(i) = VecKernel.get(a, at, i) - VecKernel.get(b, bt, i)
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
@@ -257,13 +265,12 @@ case class VectorSub(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
-      def getter(arr: String, t: DataType): String = t match {
-        case FloatType => s"(double) $arr.getFloat($i)"
-        case DoubleType => s"$arr.getDouble($i)"
-        case IntegerType => s"(double) $arr.getInt($i)"
-        case LongType => s"(double) $arr.getLong($i)"
-        case other => throw new IllegalStateException(s"unsupported element type $other")
-      }
+      val (aN, bN) = (VecKernel.elemNullable(left), VecKernel.elemNullable(right))
+      val finish =
+        if (aN || bN)
+          s"if (!${ev.isNull}) { ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out); }"
+        else
+          s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);"
       s"""
         |if ($a.numElements() != $b.numElements()) {
         |  ${ev.isNull} = true;
@@ -271,9 +278,11 @@ case class VectorSub(left: Expression, right: Expression)
         |  final int $n = $a.numElements();
         |  final double[] $out = new double[$n];
         |  for (int $i = 0; $i < $n; $i++) {
-        |    $out[$i] = ${getter(a, elemType(left))} - ${getter(b, elemType(right))};
+        |    ${VecKernel.nullGuard(aN, a, i, ev.isNull.toString)}
+        |    ${VecKernel.nullGuard(bN, b, i, ev.isNull.toString)}
+        |    $out[$i] = ${VecKernel.getter(a, i, VecKernel.elemType(left))} - ${VecKernel.getter(b, i, VecKernel.elemType(right))};
         |  }
-        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        |  $finish
         |}
       """.stripMargin
     })

@@ -119,6 +119,43 @@ class VectorExprSpec extends AnyFunSuite {
     assert(mismatches == 0, s"$mismatches residual mismatches vs the HOF zip_with")
   }
 
+  test("null element yields null across all three kernels, matching the HOF fold") {
+    // parquet float lists read as containsNull=true, so the kernels must
+    // not read a null slot as garbage 0.0 (the round-7 ADVICE footgun):
+    // a null element nulls the whole result — for dot/d2 exactly what
+    // the HOF fold computes (null element nulls the accumulation)
+    val dirty = array(lit(1.0), lit(null).cast("double"), lit(3.0))
+    val clean = array(lit(1.0), lit(2.0), lit(3.0))
+    val r = spark.range(1).select(
+      TextOps.dot(dirty, clean).as("dot_n"),
+      TextOps.dotHof(dirty, clean).as("dot_hof"),
+      graft.operators.Pq.d2(dirty, clean).as("d2_n"),
+      graft.operators.Pq.d2Hof(dirty, clean).as("d2_hof"),
+      VectorFunctions.subNative(clean, dirty).as("sub_n"),
+      TextOps.dot(clean, clean).as("dot_clean"))
+      .head()
+    assert(r.isNullAt(0), "dot_product must null on a null element, not read garbage")
+    assert(r.isNullAt(1), "HOF dot should null too (contract parity)")
+    assert(r.isNullAt(2), "l2_dist_sq must null on a null element")
+    assert(r.isNullAt(3), "HOF d2 should null too (contract parity)")
+    assert(r.isNullAt(4), "vector_sub must null on a null element (loud contract)")
+    assert(r.getDouble(5) == 14.0, "clean containsNull=true input still computes")
+  }
+
+  test("null-element guard costs nothing on a containsNull=false schema") {
+    // array() of non-nullable columns proves elements non-null, so the
+    // generated loop must carry no isNullAt check — inspect the actual
+    // generated Java (row-dependent input so nothing constant-folds)
+    val nonNull = array(col("id").cast("double"), lit(2.0))
+    val df = spark.range(1).select(TextOps.dot(nonNull, nonNull).as("d"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(code.contains("Found 1 WholeStageCodegen"),
+      s"expected the kernel inside a codegen stage:\n$code")
+    assert(!code.contains("isNullAt"),
+      s"no per-element null check expected for containsNull=false input:\n$code")
+    assert(df.head().getDouble(0) == 4.0)
+  }
+
   test("vector_sub on ragged arrays is null; stays inside whole-stage codegen") {
     val r = spark.range(1).select(
       VectorFunctions.subNative(array(lit(1.0), lit(2.0)), array(lit(1.0))).as("s"))
