@@ -1918,13 +1918,13 @@ object PipelineQueries {
         .agg(sort_array(graft.functions.CollectCapped.pairs(
           struct(col("doc_id"), col("nsh")), dfCap + 1)).as("ds"))
         .filter(size(col("ds")).between(2, dfCap))
-      val pairs = flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.getField("doc_id").as("doc_a"), x.getField("nsh").as("nsh_a"),
-            y.getField("doc_id").as("doc_b"), y.getField("nsh").as("nsh_b")))))
-      postings.select(explode(pairs).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-          col("p.nsh_a").as("nsh_a"), col("p.nsh_b").as("nsh_b"))
+      // within-list pair expansion through the native PairCombinations
+      // generator: pairs stream row-by-row out of GenerateExec — no
+      // intermediate n²/2 struct array per shingle, no interpreted
+      // nested-transform dispatch (the HOFs are CodegenFallback)
+      postings.select(graft.functions.PairCombinations.of(col("ds")))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
         .agg(count(lit(1)).as("overlap"))
         .select(col("doc_a"), col("doc_b"), col("overlap"),
           (col("overlap") / least(col("nsh_a"), col("nsh_b"))).as("containment"))

@@ -29,14 +29,22 @@ class ClusterSmokeSpec extends AnyFunSuite {
     * the two-level prefix-sum materialization (q124), the
     * capped-collector inverted index (q127), the checkpointed Dedup
     * fixpoint (q72), and the cross-micro-batch streaming parity case.
+    *
+    * GRAFT_FULL_CLUSTER=1 widens the set to EVERY SparkEntry query — the
+    * whole 126-query oracle surface digest-compared between real forked
+    * executor JVMs and local[4]. Too slow for every `sbt test` (the child
+    * re-trains the Pq/Ivf/BPE models and pays cluster scheduling per
+    * stage); run it once per round and record the result in PLANS.md.
     */
-  private val names = Seq(
-    "q42_minhash_sig",
-    "q110_ivfpq_search",
-    "q124_mixture_materialize",
-    "q127_containment_inverted",
-    "q72_neardup_keep",
-    ClusterSmoke.StreamCase)
+  private val fullSurface = sys.env.contains("GRAFT_FULL_CLUSTER")
+  private val names =
+    (if (fullSurface) SparkEntry.queries.keys.toSeq.sorted
+     else Seq(
+       "q42_minhash_sig",
+       "q110_ivfpq_search",
+       "q124_mixture_materialize",
+       "q127_containment_inverted",
+       "q72_neardup_keep")) :+ ClusterSmoke.StreamCase
 
   test("queries produce identical digests under local-cluster[2,8,4096] (multi-JVM)") {
     assume(!sys.env.contains("GRAFT_SKIP_CLUSTER_SMOKE"),
@@ -81,7 +89,8 @@ class ClusterSmokeSpec extends AnyFunSuite {
       "SPARK_HOME" -> sparkHome.get, "SPARK_SCALA_VERSION" -> "2.13").run(logger)
     // watchdog: a hung cluster (e.g. executors that never register
     // because their classpath is broken) must fail, not wedge the suite
-    val deadlineMs = System.currentTimeMillis() + 20 * 60 * 1000L
+    val deadlineMs = System.currentTimeMillis() +
+      (if (fullSurface) 60 else 20) * 60 * 1000L
     var exit: Option[Int] = None
     while (exit.isEmpty && System.currentTimeMillis() < deadlineMs) {
       if (proc.isAlive()) Thread.sleep(2000) else exit = Some(proc.exitValue())
