@@ -84,4 +84,15 @@ object PairCombinations {
     */
   def of(col: Column): Column =
     GraftSqlBridge.column(PairCombinations(GraftSqlBridge.expression(col)))
+
+  /** SQL surface: `SELECT pair_combinations(xs) FROM t` (the analyzer
+    * lifts the generator into a `Generate` node, like `explode`) — same
+    * expression the Column API binds.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftSqlBridge.registerFunction(spark, "pair_combinations", { exprs =>
+      require(exprs.length == 1,
+        s"pair_combinations takes exactly 1 array argument, got ${exprs.length}")
+      PairCombinations(exprs.head)
+    })
 }

@@ -29,6 +29,14 @@ class PairCombinationsSpec extends AnyFunSuite {
     assert(df.select(PairCombinations.of(col("xs"))).count() == 0)
   }
 
+  test("SQL registration drives the same generator") {
+    PairCombinations.register(spark)
+    Seq(Seq("x", "y", "z")).toDF("xs").createOrReplaceTempView("pc_t")
+    val rows = spark.sql("SELECT a, b FROM pc_t LATERAL VIEW pair_combinations(xs) g AS a, b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("x", "y"), ("x", "z"), ("y", "z")))
+  }
+
   test("matches the nested-transform HOF composition on the q127 struct shape") {
     // the exact shape q127 feeds it: sorted array<struct<doc_id,nsh>>
     val lists = Seq(
