@@ -37,6 +37,46 @@ class PairCombinationsSpec extends AnyFunSuite {
     assert(rows == Seq(("x", "y"), ("x", "z"), ("y", "z")))
   }
 
+  test("property: pair multiset matches the Scala reference model on seeded random arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // seeded → reproducible: lengths 0..40, values with collisions, ~10% null elements
+    val elemGen = Gen.frequency(
+      9 -> Gen.choose(0L, 9L).map(Option(_)),
+      1 -> Gen.const(None: Option[Long]))
+    val arrGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, elemGen))
+    val arrays: Seq[(Long, Seq[Option[Long]])] = (0 until 80).map { i =>
+      i.toLong -> arrGen.apply(Gen.Parameters.default, Seed(1234L + i)).get
+    }
+    val expected: Map[Long, Map[(Option[Long], Option[Long]), Int]] = arrays.map {
+      case (id, xs) =>
+        val pairs = for {
+          i <- xs.indices; j <- (i + 1) until xs.length
+        } yield (xs(i), xs(j))
+        id -> pairs.groupBy(identity).view.mapValues(_.size).toMap
+    }.toMap
+
+    val actual = arrays.toDF("id", "xs")
+      .select(col("id"), PairCombinations.of(col("xs")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r =>
+            (Option(r.get(1)).map(_.asInstanceOf[Long]),
+             Option(r.get(2)).map(_.asInstanceOf[Long])))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      }
+
+    arrays.foreach { case (id, xs) =>
+      val exp = expected(id)
+      val act = actual.getOrElse(id, Map.empty)
+      assert(act == exp, s"id=$id xs=$xs\nexpected=$exp\nactual=$act")
+    }
+    // sanity: the seed space actually exercised nulls and big fan-outs
+    assert(arrays.exists(_._2.contains(None)))
+    assert(arrays.exists(_._2.length >= 30))
+  }
+
   test("matches the nested-transform HOF composition on the q127 struct shape") {
     // the exact shape q127 feeds it: sorted array<struct<doc_id,nsh>>
     val lists = Seq(
