@@ -54,7 +54,7 @@ object PlanAudit {
     "q108_pq_encode" -> "literal codebooks: encoding is one map-side projection",
     "q109_pq_search" -> "codes-only index scan + query LUT; no join, no embedding read",
     "q110_ivfpq_search" -> "probed cells = partition pruning on the code index; LUT ADC",
-    "q114_bpe_encode" -> "trained merges applied as replace literals; encoding map-side",
+    "q114_bpe_encode" -> "trained merges ride in the native BpeTokenStats kernel (one codegen'd call per row); encoding map-side",
     "q115_ivfpq_residual" -> "per-cell residual LUTs over the pruned residual-code index",
     "q118_stream_neardup_verified" -> "banded candidates verified at exact Jaccard vs bucket rep",
     "q119_ivfpq_rerank" -> "ADC shortlist, then exact re-rank via In-pushdown point lookups",

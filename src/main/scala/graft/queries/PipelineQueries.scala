@@ -1462,17 +1462,19 @@ object PipelineQueries {
       ORDER BY round""")),
 
     // ---- apply the trained merges: per-doc BPE token accounting. The
-    // merge table rides into tasks as replace literals, so ENCODING is
-    // pure map-side — the training cost amortizes over every later scan
-    // of the 100 TB corpus. ----
+    // merge table rides into tasks inside the native BpeTokenStats
+    // kernel (codegen'd single call per row — the HOF form paid an
+    // interpreted transform+aggregate dispatch per WORD), so ENCODING
+    // is pure map-side — the training cost amortizes over every later
+    // scan of the 100 TB corpus. ----
     Q("q114_bpe_encode", (s, d) => {
       val merges = bpeMerges(s, d)
-      val words = filter(split(col("text"), " "), w => length(w) > 0)
-      val tokCounts = transform(words, w =>
-        size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long"))
-      docs(s, d).select(col("doc_id"),
-          size(words).cast("long").as("n_words"),
-          aggregate(tokCounts, lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.BpeTokenStats.of(col("text"), merges).as("st"))
+        .select(col("doc_id"),
+          col("st.n_words").as("n_words"),
+          col("st.n_bpe_tokens").as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH ${duckBpeCtes(4)},

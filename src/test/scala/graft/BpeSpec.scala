@@ -153,6 +153,52 @@ class BpeSpec extends AnyFunSuite {
       s"more merges must compress further: $bigToks !< $smallToks")
   }
 
+  test("native BpeTokenStats kernel == HOF expression path == mapPartitions tier") {
+    import graft.functions.BpeTokenStats
+    val merges = Bpe.train(docs, rounds = 4)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val hofSide = docs.select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w =>
+            size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+      .orderBy(col("doc_id")).collect()
+    val kernelSide = docs
+      .select(col("doc_id"), BpeTokenStats.of(col("text"), merges).as("st"))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.n_bpe_tokens").as("n_bpe_tokens"))
+      .orderBy(col("doc_id")).collect()
+    val hostSide = Bpe.tokenCounts(docs, merges).orderBy(col("doc_id")).collect()
+    assert(kernelSide.sameElements(hofSide),
+      "native kernel diverged from the HOF expression path")
+    assert(kernelSide.sameElements(hostSide),
+      "native kernel diverged from the mapPartitions tier")
+
+    // null text → null struct fields, matching the HOF path's null
+    // propagation; empty/whitespace-only text → (0, 0), not null
+    val edge = Seq((1L, Option("")), (2L, Option("   ")), (3L, None))
+      .toDF("doc_id", "text")
+    val k = edge
+      .select(col("doc_id"), BpeTokenStats.of(col("text"), merges).as("st"))
+      .select(col("doc_id"), col("st.n_words"), col("st.n_bpe_tokens"))
+      .orderBy(col("doc_id")).collect()
+    val h = edge.select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"),
+        aggregate(transform(filter(split(col("text"), " "), w => length(w) > 0), w =>
+            size(split(trim(Bpe.applyMerges(Bpe.charSyms(w), merges)), " ")).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .orderBy(col("doc_id")).collect()
+    assert(k.sameElements(h), s"edge cases diverged: kernel=${k.toSeq} hof=${h.toSeq}")
+    assert(k(2).isNullAt(1) && k(2).isNullAt(2), "null text must yield null stats")
+
+    // the kernel stays inside whole-stage codegen: a static call, not a
+    // CodegenFallback subtree (the whole point of replacing the HOFs)
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      docs.select(BpeTokenStats.of(col("text"), merges)).queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.BpeTokenStats.compute"),
+      "expected a static kernel call in generated code")
+  }
+
   test("encoding compresses: BPE tokens strictly fewer than characters") {
     val merges = Bpe.train(docs, rounds = 4)
     val words = filter(split(col("text"), " "), w => length(w) > 0)
