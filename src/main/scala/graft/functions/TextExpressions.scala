@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fused MinHash signature over a text column: tokenizes, forms
@@ -214,6 +214,111 @@ object SimHash32 {
   }
 }
 
+/** Native character-bigram profile scorer for the lang-id ladder's third
+  * rung (q107): one pass over the text's code points computing, for each
+  * language profile, `hits / (len - 1)` — the fraction of the text's
+  * bigrams that appear in that profile.
+  *
+  * Why an Expression (tier (b), same rationale as [[MinHashSig]]): the
+  * compositional form materializes the bigram array through an
+  * interpreted `transform` (one lambda dispatch per CHARACTER position)
+  * and then runs one interpreted `filter` pass per profile — 1 + P
+  * CodegenFallback HOF walks per document inside the scan stage. This
+  * kernel extracts each bigram once and tests all P profile hash-sets in
+  * the same tight loop behind a single codegen'd static call.
+  *
+  * BIT-PARITY CONTRACT (spec-locked): bigrams are the CODE-POINT pairs
+  * `substr(text, i, 2), i = 1..length(text)-1` — `length`/`substr`
+  * index code points in both engines, so astral-plane characters form
+  * single bigram positions, never surrogate halves. Scores are IEEE
+  * double `hits.toDouble / (length-1).toDouble`, identical to Spark's
+  * int/int `Divide` promotion. Texts with fewer than 2 code points have
+  * no bigrams and yield a null score array (q107 filters them out ahead
+  * of the projection; under ANSI the HOF form's 0/0 would instead
+  * raise, so the kernel must sit behind the same `length >= 2` guard).
+  */
+case class BigramProfileScores(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bigram_profile_scores"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && profiles.nonEmpty)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column and at least one profile, " +
+        s"got ${child.dataType} / ${profiles.length} profiles")
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    BigramProfileScores.prepare(profiles)
+
+  override def nullSafeEval(t: Any): Any =
+    BigramProfileScores.compute(t.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("bigramProfiles",
+      BigramProfileScores.prepare(profiles), "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.BigramProfileScores.compute($c, $setsRef);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramProfileScores =
+    copy(child = newChild)
+}
+
+object BigramProfileScores {
+
+  def prepare(profiles: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+    profiles.map { p =>
+      val s = new java.util.HashSet[String](p.length * 2)
+      p.foreach(s.add)
+      s
+    }.toArray
+
+  /** Static kernel (codegen calls this directly). Null when the text has
+    * fewer than 2 code points (no bigrams — callers guard, see contract).
+    */
+  def compute(t: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val s = t.toString
+    // code-point start offsets: starts(i) = UTF-16 offset of code point i
+    val len = s.length
+    val n = s.codePointCount(0, len)
+    if (n < 2) return null
+    val starts = new Array[Int](n + 1)
+    var off = 0
+    var cp = 0
+    while (off < len) {
+      starts(cp) = off
+      off += Character.charCount(s.codePointAt(off))
+      cp += 1
+    }
+    starts(n) = len
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < n - 1) {
+      val bg = s.substring(starts(i), starts(i + 2))
+      var p = 0
+      while (p < sets.length) {
+        if (sets(p).contains(bg)) hits(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    val total = (n - 1).toDouble
+    val out = new Array[Double](hits.length)
+    var q = 0
+    while (q < hits.length) {
+      out(q) = hits(q) / total
+      q += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -228,4 +333,11 @@ object TextFunctions {
   /** Column API for [[SimHash32]]: unseeded (seed = None) or seeded. */
   def simhash32Native(text: Column, seed: Option[Int] = None): Column =
     GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(text), seed))
+
+  /** Column API for [[BigramProfileScores]]: per-profile bigram hit
+    * fractions, in profile order.
+    */
+  def bigramProfileScores(text: Column, profiles: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(
+      BigramProfileScores(GraftSqlBridge.expression(text), profiles))
 }

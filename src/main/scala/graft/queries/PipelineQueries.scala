@@ -1159,18 +1159,21 @@ object PipelineQueries {
     // ladder (q50 single-marker, q77 stopword profiles) — character
     // n-gram profiles work on text where word segmentation is unreliable
     // and need no tokenizer. Same scale/determinism recipe as q77: pure
-    // map-side array expressions, int/int hit ratios (exact doubles both
-    // engines), argmax with a fixed tie-break order. ----
+    // map-side, int/int hit ratios (exact doubles both engines), argmax
+    // with a fixed tie-break order. All three profiles score in ONE pass
+    // through the native BigramProfileScores kernel (the HOF form paid
+    // an interpreted transform per character plus one interpreted filter
+    // pass per language). ----
     Q("q107_bigram_langid", (s, d) => {
-      val bigrams = transform(sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))
-      def score(profile: Seq[String]) =
-        size(filter(bigrams, b => b.isin(profile: _*))) / size(bigrams)
-      val sEn = score(BigramProfiles("en"))
-      val sDe = score(BigramProfiles("de"))
-      val sFr = score(BigramProfiles("fr"))
-      docs(s, d).filter(length(col("text")) >= 2)
+      val langs = Seq("en", "de", "fr")
+      val scored = docs(s, d).filter(length(col("text")) >= 2)
         .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bigramProfileScores(
+            col("text"), langs.map(BigramProfiles(_))).as("sc"))
+      val sEn = col("sc").getItem(0)
+      val sDe = col("sc").getItem(1)
+      val sFr = col("sc").getItem(2)
+      scored.select(col("doc_id"), col("lang"),
           sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"),
           when(sEn >= sDe && sEn >= sFr, "en")
             .when(sDe >= sFr, "de").otherwise("fr").as("predicted"))

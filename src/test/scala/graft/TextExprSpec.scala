@@ -64,9 +64,43 @@ class TextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("BigramProfileScores == transform/filter HOF scores, corpus + edges (incl. astral)") {
+    val profiles = Seq(
+      Seq("th", "he", "an", "aß", "ïv"),
+      Seq("ab", " b", "b ", "é😀"),
+      Seq("zz"))                       // never hits
+    val astralDocs = Seq(
+      "ab",                            // exactly one bigram
+      "café😀x",                       // astral code point mid-string
+      "😀😀😀",                        // astral-only
+      "a  b ab",                       // repeated/space bigrams
+      "naïve café über straße")        // multibyte latin
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), astralDocs)) {
+      val g = df.filter(length(col("text")) >= 2)
+      val bigrams = transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))
+      val hof = profiles.map(p =>
+        size(filter(bigrams, b => b.isin(p: _*))) / size(bigrams))
+      val mismatch = g.select(
+          TextFunctions.bigramProfileScores(col("text"), profiles).as("native"),
+          array(hof: _*).as("hof"))
+        .filter(not(col("native") <=> col("hof"))).count()
+      assert(mismatch == 0, s"$mismatch rows diverge from the HOF scores")
+    }
+    // below the guard: < 2 code points → null scores (the documented
+    // kernel contract; the HOF 0/0 would raise under ANSI instead)
+    val short = Seq((0L, ""), (1L, "a"), (2L, "😀"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.bigramProfileScores(col("text"), profiles).as("sc"))
+      .collect()
+    assert(short.forall(_.isNullAt(0)), "sub-bigram texts must score null")
+  }
+
   test("native kernels run inside whole-stage codegen (no CodegenFallback in the projection)") {
     val p = docs.select(TextFunctions.minhashSigNative(col("text"), 8),
-        TextFunctions.shinglesFromText(col("text"), 3))
+        TextFunctions.shinglesFromText(col("text"), 3),
+        TextFunctions.bigramProfileScores(col("text"), Seq(Seq("th", "he"))))
       .queryExecution.executedPlan.toString
     // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
     assert(p.linesIterator.next().trim.startsWith("*("),
