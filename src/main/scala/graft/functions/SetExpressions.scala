@@ -1,0 +1,248 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sorted-set kernels for the near-dup VERIFY stage (q72/q87,
+  * q45/q84, q118, q122 — the exact-Jaccard / containment check that runs
+  * once per banded candidate pair).
+  *
+  * Why these exist (tier (b) of the custom-operator ladder): the
+  * compositional verify is `size(array_intersect(sh_a, sh_b)) /
+  * size(array_union(sh_a, sh_b))` over `array_distinct`'d STRING shingle
+  * arrays. That shape pays three ways at scale:
+  *   1. the 3-word shingle STRINGS (~20-30 bytes each, ~1 per corpus
+  *      token) shuffle through BOTH sides of the candidate join;
+  *   2. `array_intersect`/`array_union` build a UTF8String hash set per
+  *      PAIR — within-cluster candidate counts grow quadratically with
+  *      cluster size, so at 10x corpus scale the per-pair set-build is
+  *      where the wall time lives (measured: q72 3.2x at 10x);
+  *   3. intersection and union each walk both arrays — two passes.
+  *
+  * [[ShingleHashSet]] collapses a document's verify payload to a SORTED
+  * DISTINCT `array<long>` of 56-bit md5-prefix shingle hashes, built in
+  * one pass per document map-side (~3.5x fewer shuffled bytes than the
+  * string form on this corpus). [[IntersectCardSorted]] /
+  * [[JaccardSorted]] then verify a pair with a single linear merge scan
+  * — no per-pair allocation beyond the loop counters.
+  *
+  * BIT-PARITY CONTRACT (spec-locked; what keeps the DuckDB oracle
+  * valid): the hash of shingle s is the first 14 hex digits of `md5(s)`
+  * read as an unsigned 56-bit value — DuckDB replays it as
+  * `CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT)`, Spark's
+  * compositional twin is `conv(substring(md5(s), 1, 14), 16, 10)` —
+  * over exactly the k-shingles of `split(text, ' ')` ([[ShinglesK]]
+  * semantics: trailing empty tokens kept, fewer than k tokens yields an
+  * empty array). Jaccard/containment over the hashed sets equals the
+  * string-set value unless two DISTINCT shingles of the same document
+  * pair collide in 56 bits (P ≈ n²/2^57 — at 10^6 distinct shingles
+  * per doc pair, ~10^-5); both engines share any collision, so the
+  * oracle comparison is exact even then. The reference's dedup
+  * semantics (Jaccard over distinct shingle sets) is unchanged.
+  */
+case class ShingleHashSet(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column and k > 0, got ${child.dataType} / $k")
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleHashSet.compute(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashSet.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Static entry the generated code calls. Returns the sorted distinct
+    * 56-bit shingle-hash set; fewer than k tokens yields an empty array
+    * (the twin of `array_distinct` over [[ShinglesK]]'s empty result).
+    */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < k) return ArrayData.toArrayData(Array.empty[Long])
+    val n = ws.length - k + 1
+    val md = digests.get()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      // first 14 hex digits == first 7 bytes, read unsigned big-endian
+      hs(i) = ((h(0) & 0xffL) << 48) | ((h(1) & 0xffL) << 40) |
+        ((h(2) & 0xffL) << 32) | ((h(3) & 0xffL) << 24) |
+        ((h(4) & 0xffL) << 16) | ((h(5) & 0xffL) << 8) | (h(6) & 0xffL)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place on the sorted run
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** Shared input contract of the sorted-set binary kernels: both children
+  * must be `array<long>` with non-null elements, sorted strictly
+  * increasing ([[ShingleHashSet]]'s output). Element nullability is
+  * rejected at ANALYSIS time — the merge scan reads elements with
+  * `getLong`, which would silently read a null slot as garbage 0
+  * (the VectorSub lesson, enforced here the hard way because nothing
+  * in these kernels' pipelines produces nullable-element long arrays).
+  */
+trait SortedSetBinary extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> columns with non-null " +
+          s"elements (sorted distinct, e.g. shingle_hash_set output), got $l / $r")
+    }
+}
+
+/** |A ∩ B| of two sorted distinct long arrays — one merge scan. */
+case class IntersectCardSorted(left: Expression, right: Expression)
+    extends SortedSetBinary {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_card_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedSetOps.intersectCard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedSetOps.intersectCard($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectCardSorted = copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard |A∩B| / |A∪B| of two sorted distinct long arrays in one merge
+  * scan. Both empty (the only zero-union case) yields NULL — the twin of
+  * `size(array_intersect) / size(array_union)`'s 0/0 under ANSI-off
+  * division, and of DuckDB's NULL on 0/0.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends SortedSetBinary {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedSetOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}Box = graft.functions.SortedSetOps.jaccard($a, $b);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Box.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardSorted = copy(left = newLeft, right = newRight)
+}
+
+object SortedSetOps {
+
+  /** Merge-scan |A ∩ B|; inputs must be sorted distinct. */
+  def intersectCard(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** Merge-scan Jaccard; null when both sets are empty (0/0). */
+  def jaccard(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val union0 = na + nb
+    if (union0 == 0) return null
+    val inter = intersectCard(a, b)
+    java.lang.Double.valueOf(inter.toDouble / (union0 - inter))
+  }
+}
+
+object SetFunctions {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column API for [[ShingleHashSet]]. */
+  def shingleHashSet(text: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHashSet(GraftSqlBridge.expression(text), k))
+
+  /** Column API for [[IntersectCardSorted]]. */
+  def intersectCardSorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(IntersectCardSorted(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API for [[JaccardSorted]]. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSorted(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** SQL surface for all three kernels — same codegen'd expressions the
+    * Column API binds.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "shingle_hash_set", { exprs =>
+      require(exprs.length == 2,
+        s"shingle_hash_set(text, k) got ${exprs.length} args")
+      ShingleHashSet(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue)
+    })
+    def binary(name: String,
+        make: (Expression, Expression) => Expression): Unit =
+      GraftSqlBridge.registerFunction(spark, name, { exprs =>
+        require(exprs.length == 2,
+          s"$name takes exactly 2 array arguments, got ${exprs.length}")
+        make(exprs(0), exprs(1))
+      })
+    binary("intersect_card_sorted", IntersectCardSorted(_, _))
+    binary("jaccard_sorted", JaccardSorted(_, _))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SetFunctions, SortedSetOps, TextFunctions}
+
+/** The sorted-set verify kernels (ShingleHashSet / IntersectCardSorted /
+  * JaccardSorted): parity with the compositional string-set form,
+  * sorted-distinct output contract, merge-scan model check, analysis-time
+  * input rejection, SQL registration, codegen fusion.
+  */
+class SetExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  /** The compositional twin of the 56-bit shingle hash (the documented
+    * DuckDB contract): conv(substr(md5(s), 1, 14), 16, 10) over the
+    * ShinglesK shingles, distinct'd and sorted.
+    */
+  private def hashedSetHof(text: org.apache.spark.sql.Column, k: Int) =
+    sort_array(array_distinct(transform(
+      TextFunctions.shinglesFromText(text, k),
+      s => conv(substring(md5(s), 1, 14), 16, 10).cast("long"))))
+
+  test("shingle_hash_set == sorted distinct 56-bit md5 prefixes of the shingles") {
+    val both = docs.select(
+      SetFunctions.shingleHashSet(col("text"), 3).as("native"),
+      hashedSetHof(col("text"), 3).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
+
+  test("shingle_hash_set edge cases: short text empty, null text null, k respected") {
+    import spark.implicits._
+    val df = Seq("one two", "a b c d", "x x x x x", null.asInstanceOf[String])
+      .toDF("text")
+    val rows = df.select(
+      SetFunctions.shingleHashSet(col("text"), 3).as("s3"),
+      hashedSetHof(col("text"), 3).as("h3"),
+      SetFunctions.shingleHashSet(col("text"), 8).as("s8")).collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)      // < 3 tokens
+    assert(rows(1).getSeq[Long](0).length == 2)  // 2 distinct 3-shingles
+    assert(rows(1).getSeq[Long](0) == rows(1).getSeq[Long](1))
+    assert(rows(2).getSeq[Long](0).length == 1)  // repeated shingle dedupes
+    assert(rows(3).isNullAt(0))                  // null in, null out
+    assert(rows.take(3).forall(_.getSeq[Long](2).isEmpty)) // k=8 > all lengths
+  }
+
+  test("jaccard_sorted == string-set jaccard on every banded candidate pair") {
+    // all within-source doc pairs of the sf0.001 corpus whose string
+    // jaccard is defined — compare the hashed merge-scan value against
+    // size(array_intersect)/size(array_union) over the string sets
+    val base = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("source"),
+        array_distinct(TextFunctions.shinglesFromText(col("text"), 3)).as("ss"),
+        SetFunctions.shingleHashSet(col("text"), 3).as("hs"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        (size(array_intersect(col("a.ss"), col("b.ss"))) /
+          size(array_union(col("a.ss"), col("b.ss")))).as("str_j"),
+        SetFunctions.jaccardSorted(col("a.hs"), col("b.hs")).as("hash_j"),
+        SetFunctions.intersectCardSorted(col("a.hs"), col("b.hs")).as("inter"),
+        size(array_intersect(col("a.ss"), col("b.ss"))).as("str_inter"))
+    assert(pairs.count() > 1000)
+    assert(pairs.filter(not(col("str_j") <=> col("hash_j"))).count() == 0)
+    assert(pairs.filter(not(col("inter") <=> col("str_inter"))).count() == 0)
+  }
+
+  test("merge-scan model check vs scala Set ops (exhaustive small universes)") {
+    // every pair of subsets of a 6-element universe, as sorted arrays
+    val universe = Array(-5L, 0L, 3L, 7L, 100L, Long.MaxValue)
+    val subsets = (0 until 64).map(m =>
+      universe.zipWithIndex.collect { case (v, i) if (m & (1 << i)) != 0 => v })
+    for (a <- subsets; b <- subsets) {
+      val expected = a.toSet.intersect(b.toSet).size
+      val got = SortedSetOps.intersectCard(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      assert(got == expected, s"intersect ${a.toSeq} ${b.toSeq}")
+      val j = SortedSetOps.jaccard(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      if (a.isEmpty && b.isEmpty) assert(j == null)
+      else assert(j.doubleValue() ==
+        expected.toDouble / a.toSet.union(b.toSet).size)
+    }
+  }
+
+  test("sorted-set kernels reject nullable-element arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L)))
+      .toDF("a", "b") // element type is nullable long
+    val e = intercept[Exception] {
+      df.select(SetFunctions.jaccardSorted(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("jaccard_sorted") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("SQL registration binds the same kernels") {
+    SetFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT shingle_hash_set('a b c d', 3) AS hs,
+                jaccard_sorted(shingle_hash_set('a b c d', 3),
+                               shingle_hash_set('b c d e', 3)) AS j,
+                intersect_card_sorted(shingle_hash_set('a b c d', 3),
+                                      shingle_hash_set('a b c d', 3)) AS i""").head()
+    assert(r.getSeq[Long](0).length == 2)
+    assert(r.getDouble(1) == 1.0 / 3.0) // {abc,bcd} vs {bcd,cde}
+    assert(r.getInt(2) == 2)
+  }
+
+  test("verify stage stays inside whole-stage codegen (no interpreted fallback)") {
+    val df = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        SetFunctions.shingleHashSet(col("text"), 3).as("hs"),
+        SetFunctions.shingleHashSet(col("text"), 4).as("hs4"))
+      .select(SetFunctions.jaccardSorted(col("hs"), col("hs4")).as("j"))
+      .filter(col("j") >= 0.0)
+    val code = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(code.contains("ShingleHashSet.compute"))
+    assert(code.contains("SortedSetOps.jaccard"))
+  }
+}
