@@ -452,27 +452,26 @@ object PipelineQueries {
 
     // ---- n-gram Jaccard near-dup (within-source blocking) ----
     Q("q45_ngram_jaccard", (s, d) => {
-      val ws = TextOps.tokens(col("text"))
       val base = docs(s, d)
         .filter(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"), col("source"),
-          array_distinct(
-          graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("shset"))
+          graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset"))
       val a = base.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
         col("shset").as("sh_a"))
       val b = base.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
         col("shset").as("sh_b"))
       a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
         .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))) /
-            size(array_union(col("sh_a"), col("sh_b"))))
+          graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }, Some(s"""
       WITH t AS (SELECT doc_id, source, $duckWords ws FROM documents),
-      s AS (SELECT doc_id, source, list_distinct($duckShingles) sh
-            FROM t WHERE len(ws) >= 3)
+      s0 AS (SELECT doc_id, source, $duckShingles sh
+             FROM t WHERE len(ws) >= 3),
+      s AS (SELECT doc_id, source,
+              list_distinct([${duckHash56("x")} for x in sh]) sh FROM s0)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         round(len(list_distinct(list_intersect(a.sh, b.sh)))
           / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -491,10 +490,7 @@ object PipelineQueries {
     // with J ≥ 0.5 w.h.p.; pairs in [0.2, 0.5) surface only when a band
     // collides — the standard LSH trade, tuned by (bands, rows). ----
     Q("q84_ngram_jaccard_banded", (s, d) => {
-      val ws = TextOps.tokens(col("text"))
-      val shs = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
-        .select(col("doc_id"), array_distinct(
-          graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("shset"))
+      val shs = shingleSets(s, d)
       val sig = minhashSig(s, d, 8)
       val bands = (0 until 4).map(b => struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
@@ -507,8 +503,8 @@ object PipelineQueries {
       cand
         .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
         .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
-        .withColumn("jaccard", size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -522,7 +518,8 @@ object PipelineQueries {
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s)
+      shset AS (SELECT doc_id,
+                  list_distinct([${duckHash56("x")} for x in sh]) sh FROM s)
       SELECT c.doc_a, c.doc_b,
         round(len(list_distinct(list_intersect(x.sh, y.sh)))
           / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
@@ -1118,7 +1115,8 @@ object PipelineQueries {
       cand AS (SELECT b.doc_id, b.band, r.dup_of
                FROM bands b JOIN reps r USING (band, bkey)
                WHERE r.dup_of < b.doc_id),
-      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
+      shset AS (SELECT doc_id,
+                  list_distinct([${duckHash56("x")} for x in sh]) sh FROM s),
       ver AS (SELECT c.doc_id, c.band, c.dup_of,
                 len(list_distinct(list_intersect(x.sh, y.sh)))
                   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
@@ -1846,7 +1844,7 @@ object PipelineQueries {
         .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
         .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))) /
+          (graft.functions.SetFunctions.intersectCardSorted(col("sh_a"), col("sh_b")) /
             least(size(col("sh_a")), size(col("sh_b")))).as("containment"))
         .filter(col("containment") >= 0.7)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1860,7 +1858,8 @@ object PipelineQueries {
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      shset AS (SELECT doc_id, list_distinct(sh) sh FROM s),
+      shset AS (SELECT doc_id,
+                  list_distinct([${duckHash56("x")} for x in sh]) sh FROM s),
       ct AS (SELECT c.doc_a, c.doc_b,
                len(list_distinct(list_intersect(x.sh, y.sh)))
                  / least(len(x.sh), len(y.sh)) AS containment

@@ -39,22 +39,25 @@ object DocsStream {
     spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
 
-  /** q43's 4×2-hash banding plus the doc's distinct shingle set (the
-    * q72 verification kernel's input): (doc_id, band, bkey, shset).
-    * All map-side.
+  /** q43's 4×2-hash banding plus the doc's sorted shingle-hash set (the
+    * q72 verification kernel's input — see
+    * [[graft.functions.ShingleHashSet]] for the 56-bit parity contract):
+    * (doc_id, band, bkey, shset). All map-side.
     */
   private def banded(docs: DataFrame): DataFrame = {
     val ws = TextOps.tokens(col("text"))
-    // native fused signature/shingles (graft.functions.{MinHashSig,
-    // ShinglesK}) — bit-identical to the HOF kernel, so stream/batch
-    // parity with the query pack is preserved by construction
+    // native fused signature/shingle-set kernels (graft.functions.
+    // {MinHashSig, ShingleHashSet}) — bit-identical to the HOF kernels,
+    // so stream/batch parity with the query pack is preserved by
+    // construction
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
-    val sh = graft.functions.TextFunctions.shinglesFromText(col("text"), 3)
     def mh(j: Int) = element_at(col("sig"), j + 1)
     val bands = (0 until 4).map(b => struct(lit(b).as("band"),
       concat_ws("_", mh(2 * b), mh(2 * b + 1)).as("bkey")))
     docs.filter(size(ws) >= 3)
-      .select(col("doc_id"), array_distinct(sh).as("shset"), sig.as("sig"))
+      .select(col("doc_id"),
+        graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset"),
+        sig.as("sig"))
       .select(col("doc_id"), col("shset"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"), col("shset"))
@@ -76,12 +79,12 @@ object DocsStream {
   private def verifyAgainstReps(cand: DataFrame, history: DataFrame): DataFrame = {
     val hw = TextOps.tokens(col("text"))
     val reps = history.filter(size(hw) >= 3)
-      .select(col("doc_id").as("dup_of"), array_distinct(
-        graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("rep_sh"))
+      .select(col("doc_id").as("dup_of"),
+        graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("rep_sh"))
     cand.join(reps, "dup_of")
       .select(col("doc_id"), col("band"), col("dup_of"),
-        (size(array_intersect(col("shset"), col("rep_sh"))) /
-          size(array_union(col("shset"), col("rep_sh")))).as("jaccard"))
+        graft.functions.SetFunctions.jaccardSorted(
+          col("shset"), col("rep_sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -157,9 +160,9 @@ object DocsStream {
     import spark.implicits._
     val cand = banded(stream)
       .select(col("band"), col("bkey"), col("doc_id"), col("shset"))
-      .as[(Int, String, Long, Seq[String])]
+      .as[(Int, String, Long, Seq[Long])]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Long, (Long, Int, Long, Seq[String])](
+      .flatMapGroupsWithState[Long, (Long, Int, Long, Seq[Long])](
         OutputMode.Append, timeoutConf(ttlMs)) {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -168,7 +171,7 @@ object DocsStream {
             // set is carried on each emitted row, never stored
             val arr = rows.toArray.sortBy(_._3)
             var minSeen = state.getOption.getOrElse(Long.MaxValue)
-            val out = Array.newBuilder[(Long, Int, Long, Seq[String])]
+            val out = Array.newBuilder[(Long, Int, Long, Seq[Long])]
             arr.foreach { r =>
               if (minSeen < r._3) out += ((r._3, band, minSeen, r._4))
               else if (r._3 < minSeen) minSeen = r._3
