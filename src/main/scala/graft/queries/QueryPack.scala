@@ -18,14 +18,33 @@ final case class Q(
 object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-      // a timestamp. Read it as raw nanos and floor-divide to micros —
-      // integer DIV, not double division: nanos ~1.7e18 exceeds double's
-      // 53-bit mantissa. Floor matches DuckDB's nanos→micros truncation.
+      // events.ts has shipped in two physical layouts across testdata
+      // generations; normalize both to session-zone TIMESTAMP so every
+      // downstream window/asof/date_format sees one type (sessions run
+      // UTC, so the NTZ cast is wall-time-preserving and matches the
+      // DuckDB oracle, which reads the same file as a naive timestamp).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts", normalizedTs(raw.schema))
     } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** ts-layout dispatch, shared with the streaming source:
+    *  - INT64 nanos (old TIMESTAMP(NANOS) files under nanosAsLong):
+    *    floor-divide to micros — integer DIV, not double division (nanos
+    *    ~1.7e18 exceeds double's 53-bit mantissa); floor matches DuckDB's
+    *    nanos→micros truncation.
+    *  - TIMESTAMP_NTZ (micros files when inferTimestampNTZ is on): cast
+    *    to TIMESTAMP — identity on the stored micros under UTC sessions.
+    *  - TIMESTAMP: already what downstream expects.
+    */
+  def normalizedTs(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
 
   // Note on scan parallelism: the testdata ships ONE row group per file,
   // so each scan stage (with its fused filters/partial aggregates) runs on

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** Per-user streaming state for [[EventsStream.statefulUserTotals]]. */
 final case class UserTotals(n: Long, sum: Double)
@@ -18,17 +17,19 @@ final case class UserTotals(n: Long, sum: Double)
   */
 object EventsStream {
 
-  /** Raw file schema: ts is parquet TIMESTAMP(NANOS), read as nano longs
-    * (see [[graft.queries.Tables]]) and converted to micros here.
+  /** File-source stream over a directory of events parquet. The stream
+    * source needs a declared schema, and the files' physical ts layout has
+    * varied across testdata generations (INT64 nanos vs TIMESTAMP micros)
+    * — so probe it from the existing footers with a batch read, then apply
+    * the same ts normalization as the batch loader
+    * ([[graft.queries.Tables.normalizedTs]]): parity with the batch twin
+    * stays by construction.
     */
-  val eventsSchema: StructType = StructType.fromDDL(
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-
-  /** File-source stream over a directory of events parquet. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSchema = spark.read.parquet(dir).schema
+    spark.readStream.schema(fileSchema).parquet(dir)
+      .withColumn("ts", graft.queries.Tables.normalizedTs(fileSchema))
   }
 
   /** Tumbling 10-minute windowed counts/sums per event type, 30-minute
