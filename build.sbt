@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through instead of re-logging it with
+// an "[info] " prefix: the driver machine-parses the one JSON line that
+// Bench/Verify print, and the prefix (plus sbt's log framing) has broken
+// that parse in every round's BENCH artifact so far.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
