@@ -119,8 +119,12 @@ object Stress {
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
 
-    val names = Seq("q127_containment_inverted", "q72_neardup_keep",
-      "q124_mixture_materialize")
+    // STRESS_QUERIES narrows the set for targeted re-measurement after a
+    // single-query optimization (the full trio is the default protocol)
+    val names = sys.env.get("STRESS_QUERIES")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q127_containment_inverted", "q72_neardup_keep",
+        "q124_mixture_materialize"))
     Seq("base" -> baseDir, s"x$factor" -> scaledDir).foreach { case (tag, dir) =>
       val qs = names.map { name =>
         val fn = SparkEntry.queries(name)

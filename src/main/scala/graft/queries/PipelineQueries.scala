@@ -350,15 +350,130 @@ object PipelineQueries {
         graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset"))
   }
 
-  private def verifiedEdges(s: SparkSession, d: String): DataFrame = {
-    val shs = shingleSets(s, d)
-    val cand = bandedCandidatePairs(s, d)
-    val ver = cand
-      .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
-      .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
-      .filter(graft.functions.SetFunctions.jaccardSorted(
-        col("sh_a"), col("sh_b")) >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+  /** Verified near-dup edges — q43's banded candidates at exact Jaccard
+    * ≥ 0.5 — emitted in both directions as (src, dst).
+    *
+    * Verification is BUCKET-LOCAL: each (band, bkey) bucket collects its
+    * members' (doc_id, band keys, shingle set) once and streams the i<j
+    * member pairs through the [[graft.functions.PairCombinations]]
+    * generator, verifying in place. A doc's shingle-set payload crosses
+    * the wire once per band (4×), not once per candidate pair — the
+    * pair-join form it replaces replicated both sets per pair, which is
+    * quadratic in clone-cluster size: at 100× replica scale (500k docs,
+    * ~100-member clusters) it measured 4.6 GB shuffle + 2.2 GB spill for
+    * q72 where this form's verify stage shuffles linearly in docs×bands.
+    * Each pair is verified once, at its FIRST shared band (later bands
+    * skip it by comparing the carried band keys).
+    *
+    * Two prunes keep that linear bound TIGHT:
+    *  - SINGLETON buckets (no partner → no pair) are dropped before any
+    *    payload moves: a payload-free band-key pass sizes every bucket,
+    *    and the multi-member bucket keys broadcast back as a semi-join
+    *    on the payload stream. In a mostly-unique corpus (the 100 TB
+    *    common case, and the base testdata) almost every bucket is a
+    *    singleton, so without this the bucket shuffle ships 4× corpus
+    *    payload where the old pair-join form shipped almost nothing
+    *    (measured at sf0.1: 11 MB vs 0.2 MB, 2.4× wall regression).
+    *    When the multi-bucket key set is itself too big to broadcast
+    *    (> ~1M buckets — the dup-heavy regime where most payloads are
+    *    needed anyway) the prune is skipped.
+    *  - Buckets over `hotCap` members — boilerplate band values with
+    *    huge membership, the skew case — fall back to the old pair-join
+    *    form, restricted to those buckets: the collect buffer stays
+    *    O(hotCap × set size) and only pathological buckets pay the
+    *    quadratic shuffle.
+    * Both probes ride one construction-time count over the band-key
+    * aggregate; absent subplans never enter the plan, so the common
+    * case has no dead scans. A pair first banded in a hot bucket that
+    * ALSO shares a later small bucket is emitted by both paths; the
+    * final distinct dedups. The resulting edge SET is bit-identical to
+    * the naive candidates→join→verify composition (spec-locked, all
+    * paths forced).
+    */
+  private[graft] def verifiedEdges(s: SparkSession, d: String,
+      hotCap: Int = 256, pruneBroadcastLimit: Long = 1000000L): DataFrame = {
+    import graft.functions.SetFunctions
+    val nBands = 4
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
+    val bkeys = array((0 until nBands).map(b => concat_ws("_",
+      element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
+    def eligible = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
+    // Explode over a LITERAL band-index array, not posexplode(bkeys):
+    // InferFiltersFromGenerate synthesizes `size(<input>) > 0` from a
+    // generate, and with the computed array as input that filter pushes
+    // below the projection with the full bkeys expression INLINED —
+    // eight minhash_sig calls per doc in the Filter (measured 9× kernel
+    // cost). The literal input folds the inferred filter away; the
+    // materialized bkeys attribute is then indexed per emitted row.
+    val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
+    // band keys only — the light frame for bucket sizing and hot candidates
+    val explSig = eligible.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), bkeys.as("bkeys"))
+      .select(col("doc_id"), col("bkeys"), bandIdx)
+      .select(col("doc_id"), col("bkeys"), col("band"),
+        element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val bucketSizes = explSig.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val multiBuckets = bucketSizes.filter(col("n") >= 2).select(col("band"), col("bkey"))
+    val hotBuckets = bucketSizes.filter(col("n") > hotCap).select(col("band"), col("bkey"))
+    // construction-time probe (ONE narrow agg over the band stream)
+    // deciding which subplans exist and whether the singleton prune can
+    // broadcast; at every tested scale the hot set is empty and the
+    // fallback subplan — with its extra corpus scans — never enters the
+    // plan at all. Memoized per (dataset, dial) like the trained models:
+    // the bucket-size profile is a corpus property, and re-probing on
+    // every construction would re-run the minhash pass each bench round.
+    val (nMulti, nHot) = Models.cached(
+        s"edgeprobe:$d:hotCap=$hotCap") {
+      val probe = bucketSizes.agg(
+        sum(when(col("n") >= 2, 1L).otherwise(0L)),
+        sum(when(col("n") > hotCap, 1L).otherwise(0L))).head()
+      (java.lang.Long.valueOf(probe.getLong(0)),
+        java.lang.Long.valueOf(probe.getLong(1)))
+    }
+    val anyHot = nHot > 0
+    // band keys + verify payload, exploded to one row per (doc, band)
+    // (same literal-index explode as above for the same reason)
+    val explFull = eligible.select(col("doc_id"), sig.as("sig"),
+        SetFunctions.shingleHashSet(col("text"), 3).as("shset"))
+      .select(col("doc_id"), bkeys.as("bkeys"), col("shset"))
+      .select(col("doc_id"), col("bkeys"), col("shset"), bandIdx)
+      .select(col("doc_id"), col("bkeys"), col("shset"), col("band"),
+        element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val pruned = if (nMulti <= pruneBroadcastLimit)
+      explFull.join(broadcast(multiBuckets), Seq("band", "bkey"), "left_semi")
+    else explFull
+    val smallRows = if (anyHot)
+      pruned.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+    else pruned
+    // a pair sharing bands i < k is verified at band i only: band k sees
+    // the carried band keys match at i and skips (fixed nBands, codegen'd)
+    val sharesEarlierBand = (1 until nBands).map(k =>
+      col("band") === k && (0 until k).map(i =>
+        element_at(col("a.bkeys"), i + 1) === element_at(col("b.bkeys"), i + 1))
+        .reduce(_ || _)).reduce(_ || _)
+    val verSmall = smallRows.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("bkeys"), col("shset"))).as("ms"))
+      .select(col("band"), graft.functions.PairCombinations.of(col("ms")))
+      .filter(!sharesEarlierBand)
+      .filter(SetFunctions.jaccardSorted(col("a.shset"), col("b.shset")) >= 0.5)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val ver = (if (!anyHot) verSmall else {
+      val hx = explSig.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_semi")
+        .select(col("band"), col("bkey"), col("doc_id"))
+      val hotCand = hx.as("x").join(hx.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      val shs = shingleSets(s, d)
+      val verHot = hotCand
+        .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
+        .filter(SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      verSmall.union(verHot)
+    }).distinct()
     ver.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(ver.select(col("doc_b").as("src"), col("doc_a").as("dst")))
   }
@@ -871,7 +986,12 @@ object PipelineQueries {
     // fixpoint with a checkpoint per round (each round is one shuffle on
     // the edge key), and the edge set is tiny relative to the corpus ----
     Q("q72_neardup_keep", (s, d) => {
-      val edges = verifiedEdges(s, d)
+      // pin the edge list once (bounded artifact: verified pairs of
+      // longs) — the three propagation rounds below reference it three
+      // times, and without the checkpoint each reference re-executes
+      // the whole bucket-local verify lineage (same pin
+      // Dedup.keepListToFixpoint applies for q87)
+      val edges = verifiedEdges(s, d).localCheckpoint()
       var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("rep"))
       for (_ <- 1 to 3) {
         val nbr = edges.join(

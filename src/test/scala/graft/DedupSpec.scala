@@ -154,4 +154,30 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.keepListToFixpoint(docs, undirected()).orderBy("doc_id").collect()
     assert(out.forall(_.getBoolean(2)))
   }
+
+  /** The verified-edge kernel has two physical paths — bucket-local
+    * collect+generate for buckets ≤ hotCap, the pair-join fallback above
+    * it — chosen per bucket by size. hotCap=0 forces the pure pair-join
+    * (the naive reference form), hotCap=2 splits real sf0.001 buckets
+    * across BOTH paths (clusters of 3+ go hot, pairs stay small), and
+    * the default runs pure bucket-local. All three must produce the
+    * bit-identical edge set.
+    */
+  test("verifiedEdges: bucket-local, mixed, and pair-join paths agree") {
+    val dir = "/root/testdata/sf0.001"
+    def edgeSet(hotCap: Int, pruneLimit: Long = 1000000L): Set[(Long, Long)] =
+      queries.PipelineQueries.verifiedEdges(spark, dir, hotCap, pruneLimit)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = edgeSet(0)
+    val mixed = edgeSet(2)
+    val bucketLocal = edgeSet(Int.MaxValue)
+    val unpruned = edgeSet(Int.MaxValue, pruneLimit = 0L)
+    assert(naive.nonEmpty, "sf0.001 must contain near-dup edges")
+    assert(mixed == naive,
+      s"mixed-path diff: ${(mixed diff naive) ++ (naive diff mixed)}")
+    assert(bucketLocal == naive,
+      s"bucket-local diff: ${(bucketLocal diff naive) ++ (naive diff bucketLocal)}")
+    assert(unpruned == naive,
+      s"unpruned diff: ${(unpruned diff naive) ++ (naive diff unpruned)}")
+  }
 }
