@@ -4,11 +4,12 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sorted-set kernels for the near-dup VERIFY stage (q72/q87,
@@ -178,6 +179,114 @@ case class JaccardSorted(left: Expression, right: Expression)
       newRight: Expression): JaccardSorted = copy(left = newLeft, right = newRight)
 }
 
+/** Bucket-local near-dup verification in ONE generator: takes a
+  * collected LSH bucket — `array<struct<doc_id, bkeys, shset>>`, the
+  * members of one (band, bkey) group — plus the bucket's band index, and
+  * emits the verified pairs `struct<doc_a, doc_b>` (ids ordered asc)
+  * whose sorted-set Jaccard meets `threshold`.
+  *
+  * Why a generator instead of `pair_combinations` → filter (tier (b→c)
+  * escalation, measured): the compositional form materializes BOTH
+  * members' full payloads — two shingle sets, ~KBs — into an unsafe row
+  * for EVERY i<j pair before the filter can drop it. Within-bucket pair
+  * count is quadratic in bucket size, so at 100× replica scale that
+  * copy stream was the q72 wall time (~82 s warm, CPU-bound, after the
+  * shuffle was already linear). Here the payloads are read once into
+  * object arrays per bucket and each pair costs one merge scan; only
+  * the surviving (long, long) rows ever exist downstream.
+  *
+  * A pair is verified at its FIRST shared band only: pairs whose
+  * `bkeys` already matched at an earlier band index are skipped (they
+  * were emitted by that band's bucket), so each candidate pair costs
+  * one Jaccard across the whole job, not one per shared band.
+  */
+case class VerifiedJaccardPairs(members: Expression, band: Expression,
+    threshold: Double)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(members, band)
+  override def prettyName: String = "verified_jaccard_pairs"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (members.dataType, band.dataType) match {
+      case (ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(StringType, _), _, _),
+            StructField(_, ArrayType(LongType, false), _, _))), _),
+          IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (m, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<long, array<string>, " +
+          s"array<bigint> non-null elems>>, int), got ($m, $b)")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = members.eval(input)
+    val bandV = band.eval(input)
+    if (v == null || bandV == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val bandIdx = bandV.asInstanceOf[Int]
+    // one materialization per bucket: ids, earlier band keys, sets
+    val ids = new Array[Long](n)
+    val earlier = new Array[Array[UTF8String]](n)
+    val sets = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val m = arr.getStruct(i, 3)
+      ids(i) = m.getLong(0)
+      val bk = m.getArray(1)
+      val e = new Array[UTF8String](bandIdx)
+      var k = 0
+      while (k < bandIdx) { e(k) = bk.getUTF8String(k); k += 1 }
+      earlier(i) = e
+      sets(i) = m.getArray(2)
+      i += 1
+    }
+    new Iterator[InternalRow] {
+      private var ii = 0
+      private var jj = 1
+      private var nextRow: InternalRow = advance()
+      private def advance(): InternalRow = {
+        while (ii < n - 1) {
+          val a = ii
+          val b = jj
+          jj += 1
+          if (jj == n) { ii += 1; jj = ii + 1 }
+          var shared = false
+          var k = 0
+          while (!shared && k < bandIdx) {
+            if (earlier(a)(k).equals(earlier(b)(k))) shared = true
+            k += 1
+          }
+          if (!shared) {
+            val jac = SortedSetOps.jaccard(sets(a), sets(b))
+            if (jac != null && jac.doubleValue() >= threshold) {
+              val x = ids(a)
+              val y = ids(b)
+              return InternalRow(math.min(x, y), math.max(x, y))
+            }
+          }
+        }
+        null
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VerifiedJaccardPairs =
+    copy(members = newChildren(0), band = newChildren(1))
+}
+
 object SortedSetOps {
 
   /** Merge-scan |A ∩ B|; inputs must be sorted distinct. */
@@ -224,6 +333,16 @@ object SetFunctions {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftSqlBridge.column(JaccardSorted(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Generator Column for [[VerifiedJaccardPairs]]:
+    * `df.select(SetFunctions.verifiedJaccardPairs(col("ms"), col("band"), 0.5))`
+    * yields columns `doc_a`, `doc_b` — one row per verified pair.
+    */
+  def verifiedJaccardPairs(members: Column, band: Column,
+      threshold: Double): Column =
+    GraftSqlBridge.column(VerifiedJaccardPairs(
+      GraftSqlBridge.expression(members), GraftSqlBridge.expression(band),
+      threshold))
 
   /** SQL surface for all three kernels — same codegen'd expressions the
     * Column API binds.

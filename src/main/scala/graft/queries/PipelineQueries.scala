@@ -446,19 +446,15 @@ object PipelineQueries {
     val smallRows = if (anyHot)
       pruned.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
     else pruned
-    // a pair sharing bands i < k is verified at band i only: band k sees
-    // the carried band keys match at i and skips (fixed nBands, codegen'd)
-    val sharesEarlierBand = (1 until nBands).map(k =>
-      col("band") === k && (0 until k).map(i =>
-        element_at(col("a.bkeys"), i + 1) === element_at(col("b.bkeys"), i + 1))
-        .reduce(_ || _)).reduce(_ || _)
+    // one fused generator per bucket: pair expansion, the
+    // first-shared-band skip (a pair sharing bands i < k verifies at
+    // band i only), and the merge-scan Jaccard all run over the bucket's
+    // object arrays — only surviving (doc_a, doc_b) longs are ever
+    // materialized as rows (see [[graft.functions.VerifiedJaccardPairs]]
+    // for why the compose-then-filter form was the 100× wall time)
     val verSmall = smallRows.groupBy(col("band"), col("bkey"))
       .agg(collect_list(struct(col("doc_id"), col("bkeys"), col("shset"))).as("ms"))
-      .select(col("band"), graft.functions.PairCombinations.of(col("ms")))
-      .filter(!sharesEarlierBand)
-      .filter(SetFunctions.jaccardSorted(col("a.shset"), col("b.shset")) >= 0.5)
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .select(SetFunctions.verifiedJaccardPairs(col("ms"), col("band"), 0.5))
     val ver = (if (!anyHot) verSmall else {
       val hx = explSig.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_semi")
         .select(col("band"), col("bkey"), col("doc_id"))

@@ -113,6 +113,45 @@ class SetExprSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)
   }
 
+  test("VerifiedJaccardPairs matches brute force and skips earlier-shared bands") {
+    import spark.implicits._
+    // members: (doc_id, bkeys over 3 bands, sorted hash set)
+    val members = Seq(
+      (1L, Seq("x", "p", "r"), Seq(1L, 2L, 3L, 4L)),
+      (2L, Seq("x", "q", "s"), Seq(1L, 2L, 3L, 5L)), // j(1,2)=3/5=0.6
+      (3L, Seq("y", "q", "t"), Seq(1L, 9L)),         // j(1,3)=1/5, j(2,3)=1/5
+      (4L, Seq("z", "w", "t"), Seq(1L, 2L, 3L, 4L))) // j(1,4)=1.0, j(2,4)=0.6
+    def run(band: Int, ms: Seq[(Long, Seq[String], Seq[Long])]): Set[(Long, Long)] = {
+      val df = Seq((band, ms)).toDF("band", "msraw")
+        .select(col("band"), expr(
+          "transform(msraw, m -> struct(m._1 AS doc_id, m._2 AS bkeys, " +
+            "cast(m._3 AS array<bigint>) AS shset))").as("ms"))
+        // the analyzer types literal Seq[Long] as containsNull=true; the
+        // kernel contract wants non-null elements
+        .select(col("band"), expr(
+          "transform(ms, m -> struct(m.doc_id, m.bkeys, " +
+            "array_compact(m.shset) AS shset))").as("ms"))
+      df.select(SetFunctions.verifiedJaccardPairs(col("ms"), col("band"), 0.5))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // band 0: no earlier bands — all pairs >= 0.5 survive
+    assert(run(0, members) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // band 1: pairs that already shared band 0 ("x" for 1,2) are skipped
+    assert(run(1, members) == Set((1L, 4L), (2L, 4L)))
+    // band 2: (1,2) shared band 0, (2,3) shares band 1 but fails jaccard,
+    // (3,4) shares nothing earlier but fails jaccard; (1,4),(2,4) remain
+    assert(run(2, members) == Set((1L, 4L), (2L, 4L)))
+    // unordered input yields ordered ids
+    assert(run(0, members.reverse) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // both-empty sets: jaccard NULL, never emitted
+    val empt = Seq((5L, Seq("e", "e", "e"), Seq.empty[Long]),
+      (6L, Seq("f", "f", "f"), Seq.empty[Long]))
+    assert(run(0, empt).isEmpty)
+    // singleton / empty buckets emit nothing
+    assert(run(0, members.take(1)).isEmpty)
+    assert(run(0, Nil).isEmpty)
+  }
+
   test("verify stage stays inside whole-stage codegen (no interpreted fallback)") {
     val df = docs.filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
