@@ -27,7 +27,7 @@ object PlanAudit {
     "q62_training_pipeline" -> "composed filter chain stays in one codegen span per stage",
     "q67_ivf_assign" -> "literal-centroid argmax: no join, no corpus expansion",
     "q70_embed_dup_bucketed" -> "banded LSH candidates; no cartesian",
-    "q72_neardup_keep" -> "band-key equi-join candidates; bounded verify",
+    "q72_neardup_keep" -> "bucket-local fused verify generator; singleton prune; edges pinned once",
     "q82_simhash_neardup" -> "64-bit simhash, 16-bit band keys",
     "q84_ngram_jaccard_banded" -> "minhash-banding candidates for n-gram Jaccard",
     "q88_decontaminate" -> "eval grams broadcast; corpus never shuffles on gram",
