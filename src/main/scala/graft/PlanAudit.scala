@@ -118,9 +118,22 @@ object PlanAudit {
     sb ++= "\nAnti-patterns asserted absent across ALL audited plans: " +
       "`CartesianProduct`, `BroadcastNestedLoopJoin` on any corpus-sized input, " +
       "UDFs (everything is Catalyst expressions), driver-side `collect()` loops.\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      sb.toString.getBytes("UTF-8"))
-    println(s"wrote $outFile")
+    // Regenerate ONLY the audit table: the hand-written sections below it
+    // (scale-stress numbers, multi-JVM parity results) are measurements
+    // this tool cannot reproduce — preserve everything from the first
+    // "## " heading of the existing file onward. (A full overwrite once
+    // silently deleted the stress history.)
+    val out = java.nio.file.Paths.get(outFile)
+    val tail =
+      if (java.nio.file.Files.exists(out)) {
+        val prev = java.nio.file.Files.readString(out)
+        prev.indexOf("\n## ") match {
+          case -1 => ""
+          case i => prev.substring(i)
+        }
+      } else ""
+    java.nio.file.Files.write(out, (sb.toString + tail).getBytes("UTF-8"))
+    println(s"wrote $outFile" + (if (tail.nonEmpty) " (hand-written tail preserved)" else ""))
     spark.stop()
   }
 }
