@@ -391,24 +391,46 @@ object PipelineQueries {
     * paths forced).
     */
   private[graft] def verifiedEdges(s: SparkSession, d: String,
-      hotCap: Int = 256, pruneBroadcastLimit: Long = 1000000L): DataFrame = {
-    import graft.functions.SetFunctions
+      hotCap: Int = 256, pruneBroadcastLimit: Long = 1000000L): DataFrame =
+    verifiedEdgesOf(edgeBase(docs(s, d)), d, hotCap, pruneBroadcastLimit)
+
+  /** The per-doc edge payload: (doc_id, 4 band keys from the 8-hash
+    * MinHash signature, sorted shingle-hash set) of every
+    * verification-eligible (>= 3 tokens) doc - both kernels map-side in
+    * one pass over the text.
+    */
+  private def edgeBase(docsDf: DataFrame,
+      extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     val nBands = 4
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
     val bkeys = array((0 until nBands).map(b => concat_ws("_",
       element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    def eligible = docs(s, d).filter(size(TextOps.tokens(col("text"))) >= 3)
+    docsDf.filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(Seq(col("doc_id"), sig.as("sig"),
+        graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("doc_id"), bkeys.as("bkeys"), col("shset")) ++
+        extra.map { case (n, _) => col(n) }: _*)
+  }
+
+  /** Edge-generation core over a prepared [[edgeBase]]-shaped frame
+    * (doc_id, bkeys, shset). `probeKey` keys the memoized bucket-size
+    * probe - distinct inputs MUST use distinct keys.
+    */
+  private def verifiedEdgesOf(base: DataFrame, probeKey: String,
+      hotCap: Int, pruneBroadcastLimit: Long): DataFrame = {
+    import graft.functions.SetFunctions
+    val nBands = 4
     // Explode over a LITERAL band-index array, not posexplode(bkeys):
     // InferFiltersFromGenerate synthesizes `size(<input>) > 0` from a
     // generate, and with the computed array as input that filter pushes
-    // below the projection with the full bkeys expression INLINED —
-    // eight minhash_sig calls per doc in the Filter (measured 9× kernel
+    // below the projection with the full bkeys expression INLINED -
+    // eight minhash_sig calls per doc in the Filter (measured 9x kernel
     // cost). The literal input folds the inferred filter away; the
     // materialized bkeys attribute is then indexed per emitted row.
     val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
-    // band keys only — the light frame for bucket sizing and hot candidates
-    val explSig = eligible.select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), bkeys.as("bkeys"))
+    // band keys only - the light frame for bucket sizing and hot candidates
+    val explSig = base.select(col("doc_id"), col("bkeys"))
       .select(col("doc_id"), col("bkeys"), bandIdx)
       .select(col("doc_id"), col("bkeys"), col("band"),
         element_at(col("bkeys"), col("band") + 1).as("bkey"))
@@ -419,12 +441,12 @@ object PipelineQueries {
     // construction-time probe (ONE narrow agg over the band stream)
     // deciding which subplans exist and whether the singleton prune can
     // broadcast; at every tested scale the hot set is empty and the
-    // fallback subplan — with its extra corpus scans — never enters the
-    // plan at all. Memoized per (dataset, dial) like the trained models:
+    // fallback subplan - with its extra corpus scans - never enters the
+    // plan at all. Memoized per (input, dial) like the trained models:
     // the bucket-size profile is a corpus property, and re-probing on
     // every construction would re-run the minhash pass each bench round.
     val (nMulti, nHot) = Models.cached(
-        s"edgeprobe:$d:hotCap=$hotCap") {
+        s"edgeprobe:$probeKey:hotCap=$hotCap") {
       val probe = bucketSizes.agg(
         sum(when(col("n") >= 2, 1L).otherwise(0L)),
         sum(when(col("n") > hotCap, 1L).otherwise(0L))).head()
@@ -434,9 +456,7 @@ object PipelineQueries {
     val anyHot = nHot > 0
     // band keys + verify payload, exploded to one row per (doc, band)
     // (same literal-index explode as above for the same reason)
-    val explFull = eligible.select(col("doc_id"), sig.as("sig"),
-        SetFunctions.shingleHashSet(col("text"), 3).as("shset"))
-      .select(col("doc_id"), bkeys.as("bkeys"), col("shset"))
+    val explFull = base
       .select(col("doc_id"), col("bkeys"), col("shset"), bandIdx)
       .select(col("doc_id"), col("bkeys"), col("shset"), col("band"),
         element_at(col("bkeys"), col("band") + 1).as("bkey"))
@@ -449,9 +469,9 @@ object PipelineQueries {
     // one fused generator per bucket: pair expansion, the
     // first-shared-band skip (a pair sharing bands i < k verifies at
     // band i only), and the merge-scan Jaccard all run over the bucket's
-    // object arrays — only surviving (doc_a, doc_b) longs are ever
+    // object arrays - only surviving (doc_a, doc_b) longs are ever
     // materialized as rows (see [[graft.functions.VerifiedJaccardPairs]]
-    // for why the compose-then-filter form was the 100× wall time)
+    // for why the compose-then-filter form was the 100x wall time)
     val verSmall = smallRows.groupBy(col("band"), col("bkey"))
       .agg(collect_list(struct(col("doc_id"), col("bkeys"), col("shset"))).as("ms"))
       .select(SetFunctions.verifiedJaccardPairs(col("ms"), col("band"), 0.5))
@@ -462,7 +482,7 @@ object PipelineQueries {
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      val shs = shingleSets(s, d)
+      val shs = base.select(col("doc_id"), col("shset"))
       val verHot = hotCand
         .join(shs.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), "doc_a")
         .join(shs.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), "doc_b")
@@ -1022,10 +1042,51 @@ object PipelineQueries {
     // length is unknown. The fixpoint is the min doc_id per connected
     // component, which is order- and round-count-independent, so DuckDB
     // can oracle it exactly with a recursive CTE (transitive closure over
-    // the tiny edge set; UNION dedup bounds the recursion). ----
+    // the tiny edge set; UNION dedup bounds the recursion).
+    //
+    // EXACT-COLLAPSE FIRST (the production 100 TB pre-pass): identical
+    // texts are near-dups by definition (identical sig and shingle set,
+    // Jaccard 1), so each exact-duplicate group collapses to its
+    // min-doc_id NODE before banding. Exact clones band together in
+    // EVERY band — the raw graph carries a complete clique per clone
+    // group (~25M edges at 100× replication) that the node graph drops
+    // entirely. Components map 1:1: an inter-group edge exists for any
+    // member pair iff it exists for the representatives (sig and shset
+    // are functions of the text alone), and the component min over node
+    // ids IS the global min doc_id, so expanding node labels back over
+    // members reproduces the raw-graph fixpoint exactly — the
+    // recursive-CTE oracle is UNCHANGED (spec-locked against the direct
+    // form too). Only verification-ELIGIBLE (≥3 tokens) docs collapse:
+    // short-text clones have no shingles hence no edges, and the raw
+    // graph keeps each one as its own singleton component. Exact-group
+    // identity is md5(text) (same 2⁻⁶⁴ collision posture as the
+    // fingerprint ops). ----
     Q("q87_neardup_fixpoint", (s, d) => {
-      graft.operators.Dedup
-        .keepListToFixpoint(docs(s, d), verifiedEdges(s, d))
+      val all = docs(s, d)
+      val isEligible = size(TextOps.tokens(col("text"))) >= 3
+      // payload + exact-group key in ONE map-side pass; column pruning
+      // keeps the fp-only branches free of the expensive kernels
+      val payload = edgeBase(all, Seq("fp" -> md5(col("text"))))
+      val nodes = payload.groupBy(col("fp")).agg(
+        min(col("doc_id")).as("doc_id"),
+        // deterministic despite first(): every member of an fp group
+        // carries the identical text-derived payload
+        first(col("bkeys")).as("bkeys"), first(col("shset")).as("shset"))
+      val docNode = payload.select(col("doc_id"), col("fp"))
+        .join(nodes.select(col("fp"), col("doc_id").as("node_id")), "fp")
+        .select(col("doc_id"), col("node_id"))
+      val nodeEdges = verifiedEdgesOf(
+        nodes.select(col("doc_id"), col("bkeys"), col("shset")),
+        s"$d#exact-collapsed", 256, 1000000L)
+      val nodeLabels = graft.operators.Dedup
+        .keepListToFixpoint(nodes.select(col("doc_id")), nodeEdges)
+      val expanded = docNode.join(
+          nodeLabels.select(col("doc_id").as("node_id"), col("rep")), "node_id")
+        .select(col("doc_id"), col("rep"))
+      expanded
+        .union(all.filter(!isEligible)
+          .select(col("doc_id"), col("doc_id").as("rep")))
+        .withColumn("is_kept", col("doc_id") === col("rep"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH RECURSIVE $duckEdgesCtes,

@@ -163,6 +163,26 @@ class DedupSpec extends AnyFunSuite {
     * the default runs pure bucket-local. All three must produce the
     * bit-identical edge set.
     */
+  /** q87 now exact-collapses identical texts to one node before banding
+    * and expands the node labels back over members. The raw graph keeps
+    * clone cliques; the node graph drops them — both must reach the
+    * identical fixpoint (components map 1:1 and the component min over
+    * node ids is the global min doc_id). Locked here against the
+    * direct (uncollapsed) composition on real data.
+    */
+  test("q87's exact-collapsed fixpoint equals the direct raw-graph fixpoint") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Dedup.keepListToFixpoint(
+        queries.Tables(spark, dir, "documents"),
+        queries.PipelineQueries.verifiedEdges(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val collapsed = SparkEntry.queries("q87_neardup_fixpoint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(raw.nonEmpty && raw.exists(!_._3), "need at least one dropped dup")
+    assert(collapsed == raw,
+      s"diff: ${(collapsed diff raw) ++ (raw diff collapsed)}")
+  }
+
   test("verifiedEdges: bucket-local, mixed, and pair-join paths agree") {
     val dir = "/root/testdata/sf0.001"
     def edgeSet(hotCap: Int, pruneLimit: Long = 1000000L): Set[(Long, Long)] =
