@@ -363,5 +363,17 @@ object SetFunctions {
       })
     binary("intersect_card_sorted", IntersectCardSorted(_, _))
     binary("jaccard_sorted", JaccardSorted(_, _))
+    // generator: the analyzer lifts it into a Generate node like explode
+    GraftSqlBridge.registerFunction(spark, "verified_jaccard_pairs", { exprs =>
+      require(exprs.length == 3,
+        s"verified_jaccard_pairs(members, band, threshold) got ${exprs.length} args")
+      // SQL numeric literals arrive as Decimal, not java.lang.Number
+      VerifiedJaccardPairs(exprs(0), exprs(1), exprs(2).eval(null) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"verified_jaccard_pairs threshold must be numeric, got $other")
+      })
+    })
   }
 }

@@ -111,6 +111,13 @@ class SetExprSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0).length == 2)
     assert(r.getDouble(1) == 1.0 / 3.0) // {abc,bcd} vs {bcd,cde}
     assert(r.getInt(2) == 2)
+    // the verify generator is SQL-surfaced too (lifted into Generate)
+    val pairs = spark.sql(
+      """SELECT verified_jaccard_pairs(
+           array(struct(1L, array('x'), array_compact(array(7L, 8L))),
+                 struct(2L, array('y'), array_compact(array(7L, 8L)))),
+           0, 0.5)""").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
   test("VerifiedJaccardPairs matches brute force and skips earlier-shared bands") {
