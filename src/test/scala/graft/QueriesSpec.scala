@@ -59,6 +59,24 @@ class QueriesSpec extends AnyFunSuite {
         "recall-difference this test locks no longer exists")
   }
 
+  /** q127's shingle stream has two split-aware physical forms: map-side
+    * native ShinglesK+explode (multi-split corpora — no token-stream
+    * exchange) and the windowed-lead form (single-row-group local
+    * testdata — pays one exchange to parallelize). Both must produce
+    * the bit-identical query result.
+    */
+  test("q127 map-side and windowed shingle streams produce identical results") {
+    def rows(forceMapSide: Boolean) =
+      queries.PipelineQueries.q127Frame(spark, dir, Some(forceMapSide))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val mapSide = rows(forceMapSide = true)
+    val windowed = rows(forceMapSide = false)
+    assert(mapSide.nonEmpty)
+    assert(mapSide == windowed,
+      s"diff: ${(mapSide diff windowed) ++ (windowed diff mapSide)}")
+  }
+
   test("capped posting collector: kept groups complete, oversized groups truncate to cap+1") {
     // the q127 bounded-buffer contract (round-6 ADVICE): with
     // maxElems = cap+1, a group whose true df ≤ cap carries its COMPLETE
