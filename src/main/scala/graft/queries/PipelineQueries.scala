@@ -1088,6 +1088,11 @@ object PipelineQueries {
       // times, and without the checkpoint each reference re-executes
       // the whole bucket-local verify lineage (same pin
       // Dedup.keepListToFixpoint applies for q87)
+      // (measured and rejected: pre-partitioning the pinned edges on dst
+      // — repartition(dst).localCheckpoint() — was 101 s vs 65 s at 100×
+      // stress; the extra build shuffle isn't paid back because AQE
+      // re-plans the rounds' joins without reusing the retained
+      // partitioning)
       val edges = verifiedEdges(s, d).localCheckpoint()
       var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("rep"))
       for (_ <- 1 to 3) {
