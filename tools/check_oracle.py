@@ -5,7 +5,7 @@ the sf tables registered as views, and compare schema/rows/values.
 
 Usage: check_oracle.py SFDIR OUTDIR
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -21,7 +21,11 @@ def norm(v):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # a table may be a single parquet file (driver testdata) or a
+        # Spark-written directory of part files (stress corpora)
+        p = f"{sfdir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
