@@ -213,15 +213,24 @@ case class VerifiedJaccardPairs(members: Expression, band: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (members.dataType, band.dataType) match {
+      // containsNull = false REQUIRED on the members array and on the
+      // band-key array (mirroring the shset element constraint): eval
+      // reads them with getStruct/getUTF8String and a null element
+      // arriving via the public SQL surface would NPE the task. The
+      // producing plans (collect_list of struct over array(concat_ws..))
+      // are non-null by construction, so this rejects only genuinely
+      // unsafe inputs — at analysis time, with a message, instead of at
+      // run time with a stack trace.
       case (ArrayType(StructType(Array(
             StructField(_, LongType, _, _),
-            StructField(_, ArrayType(StringType, _), _, _),
-            StructField(_, ArrayType(LongType, false), _, _))), _),
+            StructField(_, ArrayType(StringType, false), _, _),
+            StructField(_, ArrayType(LongType, false), _, _))), false),
           IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case (m, b) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<struct<long, array<string>, " +
-          s"array<bigint> non-null elems>>, int), got ($m, $b)")
+        s"$prettyName requires (array<struct<long, array<string> non-null " +
+          s"elems, array<bigint> non-null elems>> non-null elems, int), " +
+          s"got ($m, $b)")
     }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
@@ -239,6 +248,14 @@ case class VerifiedJaccardPairs(members: Expression, band: Expression,
     var i = 0
     while (i < n) {
       val m = arr.getStruct(i, 3)
+      // the element types are non-null by the analysis check; the struct
+      // FIELDS can still be nullable-typed (parquet ids are), so a null
+      // field fails loudly here instead of as a garbage getLong read or
+      // an NPE inside the merge scan
+      if (m.isNullAt(0) || m.isNullAt(1) || m.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"$prettyName: null member field in bucket struct " +
+            s"(doc_id/bkeys/shset must all be non-null)")
       ids(i) = m.getLong(0)
       val bk = m.getArray(1)
       val e = new Array[UTF8String](bandIdx)
@@ -367,6 +384,12 @@ object SetFunctions {
     GraftSqlBridge.registerFunction(spark, "verified_jaccard_pairs", { exprs =>
       require(exprs.length == 3,
         s"verified_jaccard_pairs(members, band, threshold) got ${exprs.length} args")
+      // threshold is baked into the generator at construction, so it
+      // must be evaluable WITHOUT a row — demand foldability up front
+      // (eval(null) on a non-foldable arg fails with an opaque NPE)
+      require(exprs(2).foldable,
+        "verified_jaccard_pairs threshold must be a literal (foldable) " +
+          s"expression, got ${exprs(2).sql}")
       // SQL numeric literals arrive as Decimal, not java.lang.Number
       VerifiedJaccardPairs(exprs(0), exprs(1), exprs(2).eval(null) match {
         case d: org.apache.spark.sql.types.Decimal => d.toDouble

@@ -4,11 +4,12 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fused MinHash signature over a text column: tokenizes, forms
@@ -145,6 +146,55 @@ object ShinglesK {
     }
     ArrayData.toArrayData(out)
   }
+}
+
+/** Word k-shingles as GENERATED ROWS — the fused twin of
+  * `explode(ShinglesK(text, k))`, emitting one `sh` row per shingle
+  * (null text or fewer than k tokens emits nothing, exactly as explode
+  * over the null/empty array would).
+  *
+  * Why a Generator and not explode-over-the-expression: Catalyst's
+  * `InferFiltersFromGenerate` synthesizes `size(<input>) > 0` from any
+  * ExplodeBase and predicate pushdown inlines the full input expression
+  * into that Filter — with `explode(shingles_k(text, 3))` the shingle
+  * kernel runs TWICE per doc in the scan stage (once in the inferred
+  * filter, once in the generate). The rule matches only the explode
+  * family, so a custom Generator sidesteps the double-eval structurally
+  * (no materialize-then-explode projection to keep un-collapsed), and
+  * skips the intermediate array allocation as well.
+  */
+case class ShingleRows(child: Expression, k: Int)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "shingle_rows"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("sh", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column and k > 0, got ${child.dataType} / $k")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Iterator.empty
+    val arr = ShinglesK.compute(t.asInstanceOf[UTF8String], k)
+    val n = arr.numElements()
+    if (n == 0) Iterator.empty
+    else new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < n
+      override def next(): InternalRow = {
+        val r = InternalRow(arr.getUTF8String(i)); i += 1; r
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ShingleRows =
+    copy(child = newChildren(0))
 }
 
 /** Native 32-bit SimHash over the whitespace tokens of a text column —
@@ -329,6 +379,13 @@ object TextFunctions {
   /** Column API for [[ShinglesK]]: word k-shingles straight from text. */
   def shinglesFromText(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShinglesK(GraftSqlBridge.expression(text), k))
+
+  /** Generator Column for [[ShingleRows]]: one `sh` row per k-shingle,
+    * fused (no intermediate array, no InferFiltersFromGenerate
+    * double-eval — see the class doc).
+    */
+  def shingleRows(text: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleRows(GraftSqlBridge.expression(text), k))
 
   /** Column API for [[SimHash32]]: unseeded (seed = None) or seeded. */
   def simhash32Native(text: Column, seed: Option[Int] = None): Column =

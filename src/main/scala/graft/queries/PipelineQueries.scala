@@ -324,6 +324,30 @@ object PipelineQueries {
     * MinHash banding — the shared candidate kernel of the Jaccard
     * (q72/q87) and containment (q122) verifiers.
     */
+  /** Eagerly localCheckpoint `df`, releasing the storage blocks of the
+    * PREVIOUS checkpoint taken under the same key. Bench loops construct
+    * q72 afresh per timed run (5+ constructions back to back); each
+    * `.localCheckpoint()` pins a fresh copy of the edge blocks, and
+    * without an explicit release the dead copies linger until the
+    * GC-driven ContextCleaner happens to collect the old Dataset —
+    * executor storage occupancy would ratchet up within a bench loop.
+    * The previous frame is released only AFTER the new one is
+    * materialized (localCheckpoint is eager), and q72's rounds consume
+    * the edges before the next construction, so nothing can read the
+    * unpersisted blocks.
+    */
+  private val pinnedPrior =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pinReleasingPrior(key: String, df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    val prev = pinnedPrior.put(key, cp)
+    if (prev != null) prev.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    cp
+  }
+
   private def bandedCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d, 8)
     val bands = (0 until 4).map(b => struct(lit(b).as("band"),
@@ -548,9 +572,14 @@ object PipelineQueries {
       // unchanged.
       val multiSplit = forceMapSide.getOrElse(Models.cached(s"q127split:$d")(
         java.lang.Boolean.valueOf(docs(s, d).inputFiles.length >= 8)).booleanValue)
+      // the fused ShingleRows generator, not explode(shingles_k(...)):
+      // InferFiltersFromGenerate would synthesize size(shingles_k(text,
+      // 3)) > 0 with the kernel INLINED into the pushed filter — the
+      // shingle kernel running 2x per doc in the very branch that exists
+      // for scan-stage performance (the repo's documented gotcha)
       val shRows = if (multiSplit)
         docs(s, d).select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shinglesFromText(col("text"), 3)).as("sh"))
+          graft.functions.TextFunctions.shingleRows(col("text"), 3))
       else {
         val wRows = docs(s, d)
           .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
@@ -1093,7 +1122,7 @@ object PipelineQueries {
       // stress; the extra build shuffle isn't paid back because AQE
       // re-plans the rounds' joins without reusing the retained
       // partitioning)
-      val edges = verifiedEdges(s, d).localCheckpoint()
+      val edges = pinReleasingPrior(s"q72edges:$d", verifiedEdges(s, d))
       var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("rep"))
       for (_ <- 1 to 3) {
         val nbr = edges.join(
@@ -1170,7 +1199,11 @@ object PipelineQueries {
           nodeLabels.select(col("doc_id").as("node_id"), col("rep")), "node_id")
         .select(col("doc_id"), col("rep"))
       expanded
-        .union(all.filter(!isEligible)
+        // null-SAFE complement: for NULL text, isEligible is NULL, so a
+        // bare filter(!isEligible) would drop the doc from BOTH branches
+        // (the payload side already filtered it out) — every doc must
+        // emit a row, and an edgeless doc is its own rep
+        .union(all.filter(coalesce(!isEligible, lit(true)))
           .select(col("doc_id"), col("doc_id").as("rep")))
         .withColumn("is_kept", col("doc_id") === col("rep"))
         .orderBy(col("doc_id"))

@@ -27,10 +27,26 @@ object EventsStream {
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    // probe can fail when the stream is defined BEFORE any file has
+    // arrived (empty dir / no parquet footers yet — normal for a file
+    // stream watching a landing directory): fall back to the declared
+    // nanos-long layout, the generator's historical default, instead of
+    // throwing at stream-definition time
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => declaredSchema }
     spark.readStream.schema(fileSchema).parquet(dir)
       .withColumn("ts", graft.queries.Tables.normalizedTs(fileSchema))
   }
+
+  /** Declared fallback schema for an empty landing directory: the raw
+    * file layout with ts as parquet TIMESTAMP(NANOS) read as nano longs
+    * (what every testdata generation before the micros switch shipped,
+    * and what [[graft.queries.Tables.normalizedTs]] converts).
+    */
+  private[streaming] val declaredSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
 
   /** Tumbling 10-minute windowed counts/sums per event type, 30-minute
     * watermark. Works on batch and streaming frames alike.

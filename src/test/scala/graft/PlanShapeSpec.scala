@@ -133,6 +133,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"signature computation should not shuffle:\n$p")
   }
 
+  test("q72 verify pipeline (un-checkpointed): fused generator present, cartesian-free") {
+    // q72's own executed plan truncates at the eager localCheckpoint (the
+    // pinned edges appear as a LogicalRDD scan), so the anti-pattern and
+    // fused-generator properties of the verify subtree must be asserted
+    // on the UN-checkpointed edge frame directly — this is the assertion
+    // the checkpoint would otherwise silently remove from coverage.
+    val p = graft.queries.PipelineQueries.verifiedEdges(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verify pipeline must stay banding-equi-join shaped:\n$p")
+    assert(p.contains("verified_jaccard_pairs"),
+      s"bucket-local fused verify generator missing from the edge plan:\n$p")
+  }
+
   test("q87: fixpoint keep-list stays cartesian-free (same kernel as q72)") {
     val p = planOf("q87_neardup_fixpoint")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -133,10 +133,11 @@ class SetExprSpec extends AnyFunSuite {
         .select(col("band"), expr(
           "transform(msraw, m -> struct(m._1 AS doc_id, m._2 AS bkeys, " +
             "cast(m._3 AS array<bigint>) AS shset))").as("ms"))
-        // the analyzer types literal Seq[Long] as containsNull=true; the
-        // kernel contract wants non-null elements
+        // the analyzer types literal Seq[Long]/Seq[String] elements as
+        // containsNull=true; the kernel contract (analysis-enforced)
+        // wants non-null elements in bkeys and shset alike
         .select(col("band"), expr(
-          "transform(ms, m -> struct(m.doc_id, m.bkeys, " +
+          "transform(ms, m -> struct(m.doc_id, array_compact(m.bkeys) AS bkeys, " +
             "array_compact(m.shset) AS shset))").as("ms"))
       df.select(SetFunctions.verifiedJaccardPairs(col("ms"), col("band"), 0.5))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
