@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
@@ -78,24 +77,45 @@ object ShingleHashSet {
   /** Static entry the generated code calls. Returns the sorted distinct
     * 56-bit shingle-hash set; fewer than k tokens yields an empty array
     * (the twin of `array_distinct` over [[ShinglesK]]'s empty result).
+    *
+    * Operates on the UTF8String's UTF-8 BYTES directly — no String
+    * decode, no split array, no per-shingle StringBuilder (the former
+    * String round-trip was the dominant map-side allocation of the
+    * verify stage at 100× stress). The hash contract is unchanged: the
+    * md5 input of shingle `w_i .. w_{i+k-1}` is the byte run from the
+    * start of token i to the end of token i+k-1, which IS the UTF-8
+    * encoding of the space-joined shingle, because the separator is the
+    * single byte 0x20 and (in UTF-8) 0x20 can only BE the space
+    * character — multi-byte sequences all have the high bit set. Token
+    * boundaries from byte-level 0x20 scanning therefore equal
+    * `String.split(" ", -1)`'s (empty tokens included), and each
+    * shingle's digest equals `md5(utf8(w_i + " " + .. + w_{i+k-1}))`
+    * bit for bit.
     */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val ws = text.toString.split(" ", -1)
-    if (ws.length < k) return ArrayData.toArrayData(Array.empty[Long])
-    val n = ws.length - k + 1
+    val b = text.getBytes // one bounded copy per row; no decode
+    val len = b.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (b(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < k) return ArrayData.toArrayData(Array.empty[Long])
+    // starts(j) = byte offset of token j; sentinel starts(nTok) = len + 1
+    // so `starts(i + k) - 1` uniformly names the end of token i+k-1
+    // (the offset of the separating space, or len for the last token)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (b(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTok) = len + 1
+    val n = nTok - k + 1
     val md = digests.get()
     val hs = new Array[Long](n)
-    var i = 0
+    i = 0
     while (i < n) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(ws(i + j))
-        j += 1
-      }
+      val from = starts(i)
       md.reset()
-      val h = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      md.update(b, from, starts(i + k) - 1 - from)
+      val h = md.digest()
       // first 14 hex digits == first 7 bytes, read unsigned big-endian
       hs(i) = ((h(0) & 0xffL) << 48) | ((h(1) & 0xffL) << 40) |
         ((h(2) & 0xffL) << 32) | ((h(3) & 0xffL) << 24) |
