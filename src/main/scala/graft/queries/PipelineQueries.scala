@@ -1214,7 +1214,10 @@ object PipelineQueries {
         UNION
         SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
       SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
-      FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+      FROM reach GROUP BY doc_id ORDER BY doc_id"""),
+      // benched alongside q72: this collapsed-node fixpoint is the shape
+      // you'd ship at 100 TB (VERDICT r8 #4), so it needs a tracked number
+      bench = true),
 
     // ---- test-set decontamination: drop training docs that share any
     // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —

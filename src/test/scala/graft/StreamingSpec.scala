@@ -333,7 +333,14 @@ class StreamingSpec extends AnyFunSuite {
       DocsStream.nearDupCandidates(
           DocsStream.readStream(spark, sd.toString), ttlMs)
         .writeStream.format("memory").queryName(s"neardup_ttl_out_$tag")
-        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        // 1 s: comfortably above the measured worst-case micro-batch time
+        // on a loaded box (~700 ms) — a tighter interval (200 ms) made
+        // every batch log "Current batch is falling behind", the first
+        // symptom of a timing-flaky streaming suite. The TTL staging
+        // still sees multiple no-data batches inside its ttl+2 s sleep.
+        // (AvailableNow can't be used here: ProcessingTimeTimeout needs
+        // the engine's periodic no-data batches to fire expiry at all.)
+        .trigger(Trigger.ProcessingTime("1 second"))
         .outputMode("append").start()
     }
     def waitForBatchWithRows(n: Long): Unit = {
