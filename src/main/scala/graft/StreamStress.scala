@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** Scale-stress for the STREAMING near-dup path (the one [EXT] family
+  * whose batch twins have three decades of measurements but whose state
+  * machine had only run on sf0.01 spec fixtures): drives the 10×
+  * stress corpus (50k docs, 32 parquet splits) through
+  * [[graft.streaming.DocsStream.nearDupCandidates]] as a micro-batched
+  * file stream under the RocksDB state-store provider, and prints one
+  * STREAMSTRESS JSON line with per-config input rows, state rows,
+  * eviction counts, and peak state size.
+  *
+  * Two configs measure the two state regimes:
+  *  - `ttl=0`: state grows to the corpus's (band, bucket) cardinality —
+  *    the lifetime-dedup upper bound. Bounded by bucket count (ONE long
+  *    per bucket), not corpus size; this run measures that bound.
+  *  - `ttl>0` (horizon dedup): processing-time timeout expires idle
+  *    buckets, so state tracks the horizon's churn. After the drain the
+  *    engine's no-data batches fire the expiry; the run records
+  *    `evicted > 0` and the post-expiry state row count (→ 0 once all
+  *    buckets idle past the horizon — the bounded-state assertion).
+  *
+  * Engine fact both the spec suite and this harness must respect: with
+  * `ProcessingTimeTimeout` the engine schedules no-data batches FOREVER
+  * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is always true),
+  * so `processAllAvailable()` never returns on the TTL config, and the
+  * no-data batch stream evicts data batches out of the bounded
+  * `recentProgress` buffer. Progress is therefore accumulated in a
+  * [[StreamingQueryListener]] (robust to eviction) and the TTL drain is
+  * detected by polling the listener's cumulative input-row count; the
+  * TTL config also paces batches with a 500 ms trigger so the post-drain
+  * window is no-data batches at 2 Hz, not a busy loop.
+  *
+  * Run: `sbt "runMain graft.StreamStress"` after `tools/stress_sf1.sh`
+  * has generated `/tmp/graft_stress/x10`. `STREAM_STRESS_DIR` overrides
+  * the corpus; `STREAM_STRESS_PROVIDER=hdfs` drops the RocksDB override.
+  * Results land in PLANS.md by hand — a measurement tool, not a gate.
+  * `StreamStressSpec` runs the same path gated behind
+  * `GRAFT_STREAM_STRESS=1`.
+  */
+object StreamStress {
+
+  final case class Result(
+      batches: Int, inputRows: Long, candidates: Long,
+      stateRowsPeak: Long, stateRowsFinal: Long, evicted: Long,
+      stateBytesPeak: Long, wallSec: Double)
+
+  /** Accumulating progress listener — immune to recentProgress eviction. */
+  private final class ProgressAccumulator extends StreamingQueryListener {
+    val inputRows = new java.util.concurrent.atomic.AtomicLong
+    val dataBatches = new java.util.concurrent.atomic.AtomicInteger
+    val evicted = new java.util.concurrent.atomic.AtomicLong
+    val stateRowsPeak = new java.util.concurrent.atomic.AtomicLong(-1)
+    val stateBytesPeak = new java.util.concurrent.atomic.AtomicLong(-1)
+    val stateRowsLast = new java.util.concurrent.atomic.AtomicLong(-1)
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (p.numInputRows > 0) {
+        inputRows.addAndGet(p.numInputRows)
+        dataBatches.incrementAndGet()
+      }
+      p.stateOperators.headOption.foreach { s =>
+        evicted.addAndGet(s.numRowsRemoved)
+        stateRowsPeak.getAndUpdate(c => math.max(c, s.numRowsTotal))
+        stateBytesPeak.getAndUpdate(c => math.max(c, s.memoryUsedBytes))
+        stateRowsLast.set(s.numRowsTotal)
+      }
+    }
+  }
+
+  /** Drive the corpus through the near-dup stream once. For `ttlMs > 0`
+    * the drain is poll-detected against `expectRows` and the query then
+    * idles `afterDrainMs` so the no-data batches can fire every bucket's
+    * timeout.
+    */
+  def run(spark: SparkSession, corpusDir: String, ttlMs: Long,
+      maxFilesPerTrigger: Int, afterDrainMs: Long, expectRows: Long,
+      tag: String): Result = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val t0 = System.nanoTime()
+    val acc = new ProgressAccumulator
+    spark.streams.addListener(acc)
+    val stream = graft.streaming.DocsStream.readStream(
+      spark, corpusDir, maxFilesPerTrigger)
+    val cands = graft.streaming.DocsStream.nearDupCandidates(stream, ttlMs)
+    val name = s"stream_stress_$tag"
+    val writer = cands.writeStream
+      .format("memory").queryName(name).outputMode("append")
+    val q: StreamingQuery =
+      (if (ttlMs > 0) writer.trigger(Trigger.ProcessingTime("500 milliseconds"))
+       else writer).start()
+    try {
+      if (ttlMs == 0) q.processAllAvailable()
+      else {
+        val deadline = System.currentTimeMillis + 600000
+        while (acc.inputRows.get < expectRows &&
+            System.currentTimeMillis < deadline) Thread.sleep(500)
+        require(acc.inputRows.get >= expectRows,
+          s"drain timeout: ${acc.inputRows.get} of $expectRows rows")
+        // the post-drain idle: no-data batches at 2 Hz fire the
+        // processing-time timeouts as buckets pass the horizon
+        Thread.sleep(afterDrainMs)
+      }
+      val nCand = spark.table(name).agg(count(lit(1))).head().getLong(0)
+      Result(
+        batches = acc.dataBatches.get,
+        inputRows = acc.inputRows.get,
+        candidates = nCand,
+        stateRowsPeak = acc.stateRowsPeak.get,
+        stateRowsFinal = acc.stateRowsLast.get,
+        evicted = acc.evicted.get,
+        stateBytesPeak = acc.stateBytesPeak.get,
+        wallSec = (System.nanoTime() - t0) / 1e9)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(acc)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpus = sys.env.getOrElse("STREAM_STRESS_DIR",
+      "/tmp/graft_stress/x10/documents.parquet")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // state-store shuffle partitions bound per-batch task count AND
+      // RocksDB instance count; 8 matches a per-executor share of a
+      // real deployment better than 32 local threads would
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.getOrElse("STREAM_STRESS_PROVIDER", "rocksdb") == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val nDocs = spark.read.parquet(corpus).count()
+
+    // lifetime dedup: state == bucket cardinality (the upper bound)
+    val unbounded = run(spark, corpus, ttlMs = 0L, maxFilesPerTrigger = 2,
+      afterDrainMs = 0L, expectRows = nDocs, tag = "ttl0")
+    // horizon dedup: 5 s TTL ≫ one micro-batch, ≪ the post-drain wait —
+    // mid-run idle buckets evict, and after the drain EVERY bucket
+    // passes the horizon, so final state must collapse toward 0
+    val horizon = run(spark, corpus, ttlMs = 5000L, maxFilesPerTrigger = 2,
+      afterDrainMs = 15000L, expectRows = nDocs, tag = "ttl5s")
+
+    def j(r: Result): String =
+      s"""{"batches":${r.batches},"input_rows":${r.inputRows},""" +
+        s""""candidates":${r.candidates},"state_rows_peak":${r.stateRowsPeak},""" +
+        s""""state_rows_final":${r.stateRowsFinal},"evicted":${r.evicted},""" +
+        s""""state_bytes_peak":${r.stateBytesPeak},"wall_sec":${math.round(r.wallSec * 10) / 10.0}}"""
+    println(s"""STREAMSTRESS {"corpus":"$corpus","docs":$nDocs,"provider":"${spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("hdfs-default")}",""" +
+      s""""ttl0":${j(unbounded)},"ttl5s":${j(horizon)}}""")
+    spark.stop()
+  }
+}

@@ -97,6 +97,49 @@ object Stress {
       stats.schema(i).name -> stats.getLong(i)).toMap
   }
 
+  /** Oracle-independent invariants of the fixpoint keep-list, checkable
+    * from the Spark output alone — the correctness net at replication
+    * levels the DuckDB oracle cannot reach (its recursive-CTE replay of
+    * the 100× clique graph exhausted 78 GB of temp disk): q87's labels
+    * must satisfy, against the RAW doc-level verified edge set,
+    *  - `rep <= doc_id` everywhere (min-label semantics),
+    *  - every rep is its own rep (labels idempotent),
+    *  - both endpoints of EVERY edge share a rep (fixpoint reached —
+    *    this crosses the exact-collapse node pipeline against the
+    *    uncollapsed edges, so it also re-proves the collapse mapping),
+    *  - the directed edge set is symmetric,
+    *  - component count == keep-list size.
+    * All joins are on the bounded edge/label tables — minutes at 100×,
+    * no recursion.
+    */
+  private def fixpointInvariants(spark: SparkSession, dir: String): String = {
+    val lab = SparkEntry.queries("q87_neardup_fixpoint")(spark, dir)
+      .select(col("doc_id"), col("rep"), col("is_kept")).cache()
+    val n = lab.count()
+    val nDistinct = lab.select(col("doc_id")).distinct().count()
+    val edges = queries.PipelineQueries.verifiedEdges(spark, dir).cache()
+    val nEdges = edges.count()
+    val asym = edges.except(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).count()
+    val repGtDoc = lab.filter(col("rep") > col("doc_id")).count()
+    val self = lab.select(col("doc_id").as("rid"), col("rep").as("rrep"))
+    val repNotSelf = lab.join(self, col("rep") === col("rid"))
+      .filter(col("rrep") =!= col("rep")).count()
+    val edgeRepMismatch = edges
+      .join(lab.select(col("doc_id").as("src"), col("rep").as("rep_src")), "src")
+      .join(lab.select(col("doc_id").as("dst"), col("rep").as("rep_dst")), "dst")
+      .filter(col("rep_src") =!= col("rep_dst")).count()
+    val components = lab.select(col("rep")).distinct().count()
+    val kept = lab.filter(col("is_kept")).count()
+    lab.unpersist()
+    edges.unpersist()
+    s"""{"docs":$n,"docs_distinct":$nDistinct,"edges_directed":$nEdges,""" +
+      s""""asym_edges":$asym,"rep_gt_doc":$repGtDoc,"rep_not_self":$repNotSelf,""" +
+      s""""edge_rep_mismatch":$edgeRepMismatch,"components":$components,"kept":$kept,""" +
+      s""""ok":${asym == 0 && repGtDoc == 0 && repNotSelf == 0 &&
+        edgeRepMismatch == 0 && components == kept && n == nDistinct}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_stress")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,6 +190,11 @@ object Stress {
       val rows = if (tag == "base") nBase else nScaled
       println(s"""STRESS {"corpus":"$tag","dir":"$dir","docs":$rows,""" +
         s""""queries":{${qs.mkString(",")}},"q127_census":$census}""")
+      // STRESS_INVARIANTS=1: the oracle-independent fixpoint checks (see
+      // fixpointInvariants) — run at the scales the DuckDB oracle can't
+      if (sys.env.get("STRESS_INVARIANTS").contains("1"))
+        println(s"""STRESS_INVARIANTS {"corpus":"$tag",""" +
+          s""""q87":${fixpointInvariants(spark, dir)}}""")
     }
     spark.stop()
   }
