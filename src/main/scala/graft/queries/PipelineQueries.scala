@@ -1248,6 +1248,43 @@ object PipelineQueries {
       // fixed depth), collapsed-node fixpoint (q87), star rounds (q128)
       bench = true),
 
+    // ---- per-source (domain) cap: keep at most K docs per source — the
+    // C4/RefinedWeb-style anti-dominance step that stops one boilerplate
+    // domain from swamping the mixture. Selection is deterministic and
+    // content-keyed (md5 over the text, doc_id tie-break), so the kept
+    // set is reproducible across engines and partitionings. Scale shape:
+    // the naive form is one window sort per source — a single hot domain
+    // (the exact case the cap exists for) becomes one task's sort. Here
+    // a SALTED pre-cap bounds that: top-K per (source, salt-of-doc_id)
+    // first — each salt bucket's top-K is a superset of the global
+    // top-K's members in that bucket, so no survivor is lost — then the
+    // real per-source window runs over ≤ K×nSalts rows per source
+    // regardless of domain size. Oracle replays the direct single-window
+    // form; the two must agree exactly BECAUSE the pre-cap only prunes
+    // rows ranked > K within their bucket. ----
+    Q("q129_source_cap", (s, d) => {
+      val k = 10
+      val nSalts = 8
+      val w1 = Window.partitionBy(col("source"), col("salt"))
+        .orderBy(col("ckey"), col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("ckey"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("cap|"), coalesce(col("text"), lit("")))).as("ckey"),
+          pmod(xxhash64(col("doc_id")), lit(nSalts)).as("salt"))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+        .withColumn("cap_rank", row_number().over(w2)).filter(col("cap_rank") <= k)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, source, cap_rank FROM (
+        SELECT doc_id, source, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(concat('cap|', coalesce(text, ''))), doc_id) AS cap_rank
+        FROM documents) t
+      WHERE cap_rank <= 10 ORDER BY doc_id""")),
+
     // ---- test-set decontamination: drop training docs that share any
     // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —
     // in production, the benchmark suite). The canonical LLM-pipeline

@@ -105,4 +105,38 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q129's salted pre-cap equals the direct per-source window on a hot domain") {
+    // the scale claim behind q129: pre-capping top-K per (source, salt)
+    // prunes NO global-top-K member (each bucket's top-K is a superset
+    // of the global winners that hash to it), so the final window sees
+    // ≤ K×nSalts rows per source yet returns exactly the direct result.
+    // Synthetic skew: one domain with 5000 docs, two with 20.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 10
+    val docs = ((1L to 5000L).map(i => (i, s"text $i", "hot")) ++
+        (5001L to 5020L).map(i => (i, s"text $i", "s1")) ++
+        (5021L to 5040L).map(i => (i, s"text $i", "s2")))
+      .toDF("doc_id", "text", "source").repartition(8)
+    import org.apache.spark.sql.expressions.Window
+    val ckey = md5(concat(lit("cap|"), coalesce(col("text"), lit(""))))
+    val base = docs.select(col("doc_id"), col("source"), ckey.as("ckey"),
+      pmod(xxhash64(col("doc_id")), lit(8)).as("salt"))
+    val w1 = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("ckey"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("ckey"), col("doc_id"))
+    val salted = base
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("cap_rank", row_number().over(w2)).filter(col("cap_rank") <= k)
+      .select(col("doc_id"), col("source"), col("cap_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val direct = base
+      .withColumn("cap_rank", row_number().over(w2)).filter(col("cap_rank") <= k)
+      .select(col("doc_id"), col("source"), col("cap_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(salted == direct,
+      s"salted pre-cap changed the kept set: ${(salted diff direct) ++ (direct diff salted)}")
+    assert(direct.count(_._2 == "hot") == k && direct.count(_._2 == "s1") == k)
+  }
 }
