@@ -1226,7 +1226,7 @@ object PipelineQueries {
     // in the corpus (crawl mirror-of-mirror chains make that unbounded);
     // the star rounds REWRITE the edge set and converge in O(log n)
     // rounds regardless of diameter (spec: a 4096-node path converges in
-    // 14 rounds where propagation needs 4095). Components, and therefore
+    // 13 rounds where propagation needs 4095). Components, and therefore
     // the min-id rep and keep-list, are identical by definition, so the
     // recursive-CTE oracle is byte-for-byte q87's. Same edge set, same
     // pin-per-round/release-prior storage discipline; see
