@@ -257,6 +257,32 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 16, s"expected ~log2(4096)+2 rounds, got $rounds")
   }
 
+  test("star CC under a reliable checkpointDir: same components, store cleaned") {
+    // cluster posture parity with keepListToFixpoint: every round pins
+    // via RDD.checkpoint() against a reliable store, and per-round
+    // cleanup must leave only the final round's files behind
+    val reqDir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val docsDf = (1L to 256L).toDF("doc_id")
+    val edges = (1L until 256L).map(i => i -> (i + 1)).toDF("src", "dst")
+    def rddDirs(): Set[String] = {
+      val active = spark.sparkContext.getCheckpointDir
+      active.map { d =>
+        val f = new java.io.File(new java.net.URI(d).getPath)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("rdd-")).map(_.getAbsolutePath).toSet
+      }.getOrElse(Set.empty)
+    }
+    val before = rddDirs()
+    val out = Dedup.connectedComponents(docsDf, edges,
+      checkpointDir = Some(reqDir))
+    assert(out.filter(col("rep") =!= 1L).count() == 0)
+    assert(out.count() == 256L)
+    val leftover = rddDirs() -- before
+    assert(leftover.size == 1,
+      s"expected only the final round's checkpoint to survive, got " +
+        s"${leftover.size}: ${leftover.mkString(", ")}")
+  }
+
   test("star CC abort path releases its pinned blocks (maxRounds guard)") {
     val docsDf = (1L to 64L).toDF("doc_id")
     val edges = (1L until 64L).map(i => i -> (i + 1)).toDF("src", "dst")
