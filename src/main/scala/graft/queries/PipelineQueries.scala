@@ -1285,6 +1285,73 @@ object PipelineQueries {
         FROM documents) t
       WHERE cap_rank <= 10 ORDER BY doc_id""")),
 
+    // ---- INCREMENTAL near-dup components: the per-crawl-snapshot shape.
+    // A production pipeline does not re-verify a 100 TB history every
+    // crawl; it (a) re-verifies only BUCKETS TOUCHED by the new batch and
+    // (b) feeds the previous labeling back as compressed star edges (one
+    // edge per non-root doc) instead of the raw edge graph. This query
+    // runs that exact composition and its oracle is the FULL-graph
+    // recursive CTE — the incremental result must be bit-identical to a
+    // from-scratch run, by this argument:
+    //   E_full = E_hist ∪ E_touched. Any verified pair shares a bucket;
+    //   if that bucket contains no delta doc both ends are history docs
+    //   (→ E_hist, whose sub-run keeps the bucket minus nobody relevant);
+    //   if it contains one, then EVERY member carries that bucket key and
+    //   is 'touched' (→ the touched sub-run keeps the bucket intact,
+    //   including all four band keys of every member, so the
+    //   first-shared-band dedup stays internally consistent). Sub-run
+    //   buckets never gain members, and verification is an exact per-pair
+    //   Jaccard on unchanged shingle sets — so neither sub-run adds edges.
+    //   Star edges induce the same vertex partition as E_hist, hence
+    //   CC(E_touched ∪ star(E_hist)) == CC(E_full).
+    // Cost shape at 100 TB: the delta's bucket keys broadcast (a crawl
+    // batch is small against history), history text is NEVER re-shingled
+    // in production (the edgeBase payload is a stored snapshot — here it
+    // is computed once and pinned, the same trade as q72's edge pin), and
+    // the merged CC runs over |delta-touched edges| + one star edge per
+    // deduped history doc — O(delta + components), not O(corpus). ----
+    Q("q130_cc_incremental", (s, d) => {
+      val all = docs(s, d)
+      val isDelta = col("doc_id") % 10 === 3
+      // one kernel pass (minhash bands + shingle sets) over the corpus,
+      // pinned: every sub-run below reads these blocks, standing in for
+      // the materialized edgeBase snapshot a production run would load
+      val base = pinReleasingPrior(s"q130base:$d", edgeBase(all))
+      // 1) the PRIOR SNAPSHOT's labels: history docs, history-only edges
+      val eHist = verifiedEdgesOf(base.filter(!isDelta), s"$d#cchist",
+        256, 1000000L)
+      val histLabels = graft.operators.Dedup.connectedComponents(
+        all.filter(!isDelta), eHist)
+      // 2) buckets the new batch touches — light band-key pass, payload
+      // (shset) pruned out of the scan; every member of a touched bucket
+      // is re-verified, nothing else
+      val expl = base.select(col("doc_id"), col("bkeys"))
+        .select(col("doc_id"), col("bkeys"),
+          explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+        .select(col("doc_id"), col("band"),
+          element_at(col("bkeys"), col("band") + 1).as("bkey"))
+      val deltaBuckets = expl.filter(isDelta)
+        .select(col("band"), col("bkey")).distinct()
+      val touchedIds = expl
+        .join(broadcast(deltaBuckets), Seq("band", "bkey"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val eTouch = verifiedEdgesOf(
+        base.join(touchedIds, Seq("doc_id"), "left_semi"),
+        s"$d#cctouch", 256, 1000000L)
+      // 3) history arrives as its star compression, not its edge graph
+      val starHist = histLabels.filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("src"), col("rep").as("dst"))
+      graft.operators.Dedup.connectedComponents(all, eTouch.union(starHist))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckEdgesCtes,
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
+      FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- test-set decontamination: drop training docs that share any
     // word-8-gram with the held-out eval set (here: doc_id % 10 == 7 —
     // in production, the benchmark suite). The canonical LLM-pipeline

@@ -283,6 +283,26 @@ class DedupSpec extends AnyFunSuite {
         s"${leftover.size}: ${leftover.mkString(", ")}")
   }
 
+  test("incremental composition: star-compressed history + delta edges == full CC (q130's algebra)") {
+    // the q130 label-reuse step in isolation: history components arrive
+    // as star edges (doc → rep) instead of their raw edge graph; a delta
+    // doc BRIDGES two history components and must merge them exactly as
+    // a from-scratch run would
+    val docsDf = (1L to 9L).toDF("doc_id")
+    val histEdges = undirected(1L -> 2L, 2L -> 3L, 4L -> 5L) // {1,2,3} {4,5}
+    val histLabels = Dedup.connectedComponents((1L to 8L).toDF("doc_id"), histEdges)
+    val starHist = histLabels.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
+    val deltaEdges = Seq(9L -> 3L, 9L -> 4L).toDF("src", "dst") // the bridge
+    val incr = Dedup.connectedComponents(docsDf, deltaEdges.union(starHist))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.connectedComponents(docsDf, histEdges.union(deltaEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(incr == full, s"incremental != full: $incr vs $full")
+    assert(incr(9L) == 1L && incr(5L) == 1L, "bridge must merge both components")
+    assert(incr(6L) == 6L && incr(7L) == 7L, "untouched singletons keep themselves")
+  }
+
   test("star CC abort path releases its pinned blocks (maxRounds guard)") {
     val docsDf = (1L to 64L).toDF("doc_id")
     val edges = (1L until 64L).map(i => i -> (i + 1)).toDF("src", "dst")
