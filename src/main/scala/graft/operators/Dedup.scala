@@ -48,28 +48,32 @@ object Dedup {
     * (cached first so the materializing job doesn't compute the lineage
     * twice — once for the count, once for the checkpoint write).
     */
+  /** Arm the pin (reliable or local checkpoint) WITHOUT materializing —
+    * the caller's first action on the RDD triggers it. */
+  private def armPin(rdd: RDD[Row], sc: org.apache.spark.SparkContext,
+      checkpointDir: Option[String]): Unit = checkpointDir match {
+    case Some(dir) =>
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(existing) =>
+          // setCheckpointDir appends a UUID; a context-level dir set
+          // by someone else silently wins over the argument — make
+          // the substitution LOUD (once per requested dir) so rounds
+          // don't checkpoint to a location the caller never chose
+          val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+          if (!existing.contains(want) && warnedSubstitutions.add(dir))
+            System.err.println(s"[dedup] WARNING: SparkContext " +
+              s"checkpoint dir is already '$existing'; requested " +
+              s"'$dir' is ignored — rounds checkpoint to the existing dir")
+      }
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    case None => rdd.localCheckpoint()
+  }
+
   private def pinRdd(rdd: RDD[Row], df: DataFrame,
       checkpointDir: Option[String]): DataFrame = {
-    checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        sc.getCheckpointDir match {
-          case None => sc.setCheckpointDir(dir)
-          case Some(existing) =>
-            // setCheckpointDir appends a UUID; a context-level dir set
-            // by someone else silently wins over the argument — make
-            // the substitution LOUD (once per requested dir) so rounds
-            // don't checkpoint to a location the caller never chose
-            val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-            if (!existing.contains(want) && warnedSubstitutions.add(dir))
-              System.err.println(s"[dedup] WARNING: SparkContext " +
-                s"checkpoint dir is already '$existing'; requested " +
-                s"'$dir' is ignored — rounds checkpoint to the existing dir")
-        }
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.checkpoint()
-      case None => rdd.localCheckpoint()
-    }
+    armPin(rdd, df.sparkSession.sparkContext, checkpointDir)
     rdd.count() // eager: materialize before anything downstream replans
     df.sparkSession.createDataFrame(rdd, df.schema)
   }
@@ -187,12 +191,15 @@ object Dedup {
     *
     * Fixpoint detection: each round's edge set is pinned (same
     * checkpoint/release discipline as [[keepListToFixpoint]] — lineage
-    * would otherwise double per round) and reduced to (count,
-    * xor-of-xxhash64) by a deterministic aggregation over the
-    * pinned blocks; the round loop stops when both match the previous
-    * round. The star operations are monotone in the paper's potential
-    * function, so a stabilized edge set IS the star fixpoint — and a
-    * converged set re-emits itself, so an extra round can never corrupt.
+    * would otherwise double per round), with a (count, xor-of-mixed-hash)
+    * digest folded into the SAME materializing pass — one action per
+    * round, no second read of the pinned blocks; the loop stops when the
+    * digest matches the previous round's. The fold is deterministic
+    * (retried tasks recompute identical values — no accumulator
+    * over-count), and the star operations are monotone in the paper's
+    * potential function, so a stabilized edge set IS the star fixpoint —
+    * and a converged set re-emits itself, so an extra round can never
+    * corrupt.
     *
     * Accepts edges in either or both directions; orientation, self-loop
     * removal, and dedup happen on entry. Output contract matches
@@ -218,20 +225,27 @@ object Dedup {
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    var (e, eRdd) = pin(e0, checkpointDir)
-    // deterministic edge-set digest over the PINNED blocks: retried
-    // tasks recompute from pinned storage, so unlike an accumulator the
-    // (count, digest) pair cannot over-count — equality with the prior
-    // round is trustworthy. XOR-fold of xxhash64 over BOTH columns: the
-    // set is distinct (no cancelling duplicates), XOR is order-free, and
-    // unlike a LongType sum it cannot trip the ANSI overflow check.
-    def stats(df: DataFrame): (Long, Long) = {
-      val r = df.select(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // pin + digest in ONE action per round: the aggregate is the first
+    // action on the armed RDD, so it both materializes the checkpoint
+    // and folds the edge-set digest in the same pass — no second read of
+    // the pinned blocks per round. The digest is deterministic (task
+    // retries recompute the same deterministic lineage / pinned blocks;
+    // no accumulator over-count), XOR-folded so it is order-free over
+    // the distinct pair set, and a (count, xor) PAIR so the all-zeros
+    // empty case and hash cancellation both stay distinguishable.
+    def mix(a: Long, b: Long): Long = {
+      var h = a * 0x9E3779B97F4A7C15L + (b ^ (b >>> 31)) * 0xBF58476D1CE4E5B9L
+      h ^= h >>> 27; h *= 0x94D049BB133111EBL; h ^ (h >>> 31)
     }
-    var prev = stats(e)
+    def pinWithStats(df: DataFrame): (DataFrame, RDD[Row], (Long, Long)) = {
+      val rdd = df.rdd
+      armPin(rdd, spark.sparkContext, checkpointDir)
+      val st = rdd.aggregate((0L, 0L))(
+        (acc, r) => (acc._1 + 1L, acc._2 ^ mix(r.getLong(0), r.getLong(1))),
+        (x, y) => (x._1 + y._1, x._2 ^ y._2))
+      (spark.createDataFrame(rdd, df.schema), rdd, st)
+    }
+    var (e, eRdd, prev) = pinWithStats(e0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -252,8 +266,7 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst")) // b > m
         .union(smins.select(col("u").as("src"), col("m").as("dst"))) // u > m
         .distinct()
-      val (stepped, steppedRdd) = pin(ss, checkpointDir)
-      val cur = stats(stepped)
+      val (stepped, steppedRdd, cur) = pinWithStats(ss)
       release(eRdd)
       e = stepped; eRdd = steppedRdd
       converged = cur == prev
