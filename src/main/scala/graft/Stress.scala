@@ -141,15 +141,23 @@ object Stress {
     val starDiff = lab.join(star, col("doc_id") === col("sid"), "full")
       .filter(col("rep") =!= col("srep") ||
         col("rep").isNull || col("srep").isNull).count()
+    // the INCREMENTAL composition (q130: history star edges +
+    // delta-touched re-verify) must also land on the same labels —
+    // three independently-derived labelings of the same graph
+    val incr = SparkEntry.queries("q130_cc_incremental")(spark, dir)
+      .select(col("doc_id").as("iid"), col("rep").as("irep"))
+    val incrDiff = lab.join(incr, col("doc_id") === col("iid"), "full")
+      .filter(col("rep") =!= col("irep") ||
+        col("rep").isNull || col("irep").isNull).count()
     lab.unpersist()
     edges.unpersist()
     s"""{"docs":$n,"docs_distinct":$nDistinct,"edges_directed":$nEdges,""" +
       s""""asym_edges":$asym,"rep_gt_doc":$repGtDoc,"rep_not_self":$repNotSelf,""" +
       s""""edge_rep_mismatch":$edgeRepMismatch,"components":$components,"kept":$kept,""" +
-      s""""q128_label_diff":$starDiff,""" +
+      s""""q128_label_diff":$starDiff,"q130_label_diff":$incrDiff,""" +
       s""""ok":${asym == 0 && repGtDoc == 0 && repNotSelf == 0 &&
         edgeRepMismatch == 0 && components == kept && n == nDistinct &&
-        starDiff == 0}}"""
+        starDiff == 0 && incrDiff == 0}}"""
   }
 
   def main(args: Array[String]): Unit = {

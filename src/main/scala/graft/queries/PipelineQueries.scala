@@ -1285,6 +1285,39 @@ object PipelineQueries {
         FROM documents) t
       WHERE cap_rank <= 10 ORDER BY doc_id""")),
 
+    // ---- QUALITY-keeping keep-list: production pipelines keep the BEST
+    // doc per near-dup cluster (longest / highest-scoring), not the
+    // smallest id — min-id is the oracle-friendly canonical form, this is
+    // the shipping policy. Components come from the same star-CC rounds;
+    // the per-cluster winner is one window over the (doc, rep, quality)
+    // table — corpus-sized but 3 narrow columns, partitioned by rep
+    // (cluster ids: no hot partition beyond the largest cluster, which
+    // the dedup semantics already bound). Deterministic tie-break by
+    // doc_id keeps both engines exact. ----
+    Q("q131_keep_best_quality", (s, d) => {
+      val edges = pinReleasingPrior(s"q131edges:$d", verifiedEdges(s, d))
+      val labels = graft.operators.Dedup.connectedComponents(docs(s, d), edges)
+      val w = Window.partitionBy(col("rep"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labels.select(col("doc_id"), col("rep"))
+        .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("keep_rank", row_number().over(w))
+        .select(col("doc_id"), col("rep"), col("n_chars"),
+          (col("keep_rank") === 1).as("is_kept"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $duckEdgesCtes,
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      lab AS (SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id)
+      SELECT d.doc_id, lab.rep, d.n_chars,
+        ROW_NUMBER() OVER (PARTITION BY lab.rep
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1 AS is_kept
+      FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     // ---- INCREMENTAL near-dup components: the per-crawl-snapshot shape.
     // A production pipeline does not re-verify a 100 TB history every
     // crawl; it (a) re-verifies only BUCKETS TOUCHED by the new batch and
