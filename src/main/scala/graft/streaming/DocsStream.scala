@@ -185,6 +185,65 @@ object DocsStream {
     verifyAgainstReps(cand, history)
   }
 
+  /** `foreachBatch` sink maintaining a near-dup CLUSTER LABELING across
+    * micro-batches — the streaming form of q130's incremental
+    * composition. Each epoch folds the batch's (doc_id, dup_of) edges
+    * into the prior labeling by running
+    * [[graft.operators.Dedup.connectedComponents]] over
+    * (prior star edges ∪ batch edges): O(batch + components) per epoch,
+    * never O(everything seen). A batch that BRIDGES two existing
+    * clusters merges them — plain stateful streaming can't express that
+    * (cluster identity is a global property), which is why this is a
+    * sink-side fold, not a `flatMapGroupsWithState`.
+    *
+    * Labels persist EPOCH-VERSIONED under `labelsRoot/epoch=N`:
+    *  - the prior labeling is the largest epoch < N, so a replayed epoch
+    *    (at-least-once delivery) recomputes from the same prior and
+    *    overwrites only its own directory — idempotent by construction;
+    *  - the prior epoch's files are pruned only AFTER epoch N's write
+    *    completes (the lazy final join reads them during the write);
+    *  - the labeling covers docs that appeared in at least one edge;
+    *    absent docs are implicit singletons (`rep = doc_id`), exactly as
+    *    [[graft.operators.Dedup.connectedComponents]]'s left join treats
+    *    edgeless docs.
+    */
+  def incrementalLabelSink(labelsRoot: String)(
+      edges: DataFrame, epochId: Long): Unit = {
+    val spark = edges.sparkSession
+    val batchE = edges.select(col("doc_id").as("src"), col("dup_of").as("dst"))
+    val epochs = Option(new java.io.File(labelsRoot).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(f => f.getName.stripPrefix("epoch=").toLong)
+    val priorEpoch = epochs.filter(_ < epochId).sorted.lastOption
+    val prior = priorEpoch.map(e => spark.read.parquet(s"$labelsRoot/epoch=$e"))
+    val docsSeen = (prior.map(_.select(col("doc_id"))) ++
+        Seq(batchE.select(col("src").as("doc_id")),
+          batchE.select(col("dst").as("doc_id"))))
+      .reduce(_ union _).distinct()
+    val starPrior = prior.map(_.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("src"), col("rep").as("dst")))
+    val allEdges = starPrior.map(batchE.union).getOrElse(batchE)
+    graft.operators.Dedup.connectedComponents(docsSeen, allEdges)
+      .write.mode("overwrite").parquet(s"$labelsRoot/epoch=$epochId")
+    // prune superseded epochs now that this epoch is durable
+    (epochs.toSet - epochId).filter(_ < epochId).foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$labelsRoot/epoch=$e")
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** Latest labeling written by [[incrementalLabelSink]] (None before the
+    * first epoch commits). */
+  def latestLabels(spark: SparkSession, labelsRoot: String): Option[DataFrame] =
+    Option(new java.io.File(labelsRoot).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toLong)
+      .sorted.lastOption
+      .map(e => spark.read.parquet(s"$labelsRoot/epoch=$e"))
+
   /** Batch twin of [[nearDupVerified]] — the q118 oracle surface. */
   def nearDupVerifiedBatch(docs: DataFrame, history: DataFrame): DataFrame = {
     val b = banded(docs)

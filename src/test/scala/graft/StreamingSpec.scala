@@ -375,6 +375,55 @@ class StreamingSpec extends AnyFunSuite {
     nearDupTtlCase(Some(RocksDb), "rocksdb")
   }
 
+  test("incremental label sink: epoch-folded labels == batch CC over all " +
+      "streamed edges (ST13)") {
+    // the streaming form of q130: each epoch folds its candidate edges
+    // into the prior labeling via star-edge composition. After the
+    // stream drains, the persisted labeling must equal a from-scratch
+    // connected-components run over the batch twin's full edge set —
+    // including merges that BRIDGE clusters across micro-batches.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    val docs = Tables(spark, dir, "documents")
+    val mid = docs.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    val sd = java.nio.file.Files.createTempDirectory("docs-labelstream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-labelstage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    stage(docs.filter(col("doc_id") <= mid), "a.parquet", 1000000L)
+    stage(docs.filter(col("doc_id") > mid), "b.parquet", 2000000L)
+    val root = java.nio.file.Files.createTempDirectory("labels-root").toString
+    val q = DocsStream.nearDupCandidates(DocsStream.readStream(spark, sd.toString))
+      .writeStream.foreachBatch(DocsStream.incrementalLabelSink(root) _).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = DocsStream.latestLabels(spark, root)
+      .getOrElse(fail("no epoch written"))
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = DocsStream.nearDupCandidatesBatch(docs)
+      .select(col("doc_id").as("src"), col("dup_of").as("dst"))
+    val docsInEdges = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
+    val want = graft.operators.Dedup.connectedComponents(docsInEdges, e)
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"incremental labeling != batch CC: ${(got diff want) ++ (want diff got)}")
+    assert(got.nonEmpty, "testdata must produce near-dup edges")
+    // superseded epochs were pruned: only the final one remains
+    val epochDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSeq
+    assert(epochDirs.size == 1, s"expected one surviving epoch, got $epochDirs")
+  }
+
   test("stream defined on an EMPTY landing dir uses the declared schema; " +
       "files arriving later are processed (ADVICE r8)") {
     // production file streams are defined BEFORE data lands; the schema
