@@ -22,6 +22,30 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
   private def embs(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
 
+  /** q132's pipeline with the quantizer size as a parameter — `k` IS the
+    * scale dial (cells must stay constant-sized as the corpus grows, so
+    * k grows with n; [[graft.Stress]] measures both the right and the
+    * deliberately-wrong setting at 10×). The Q entry pins k=8 for the
+    * oracle, whose unrolled Lloyd CTEs hardcode the same k.
+    */
+  private[graft] def q132Frame(s: SparkSession, d: String, k: Int): DataFrame = {
+    val tau = 0.4
+    val cents = Models.cached(s"ivf:$d:k=$k,rounds=2")(Ivf.train(embs(s, d), k, 2))
+    val assigned = Ivf.assign(embs(s, d), cents)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cid").as("cid_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val dropped = a.join(b, col("cid") === col("cid_b") &&
+        col("vec_a") < col("vec_b"))
+      .filter(TextOps.cosine(col("ea"), col("eb")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id"))
+  }
+
   // Trained-model artifacts shared across queries ([[Models]]): one
   // Verify/Bench process trains each (dataset, hyperparameters) model
   // exactly once — q108/q109/q110/q116 share one PQ codebook set the way
@@ -2857,6 +2881,91 @@ object PipelineQueries {
         64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
         64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS height,
         1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- SemDeDup-style cluster-scoped SEMANTIC dedup (Abbas et al.,
+    // arXiv:2303.09540): q70's banded-LSH near-dup catches vectors whose
+    // hyperplane signatures collide; this is the complementary
+    // clustering-scoped form — assign every embedding to its trained IVF
+    // cell (q67's map-side literal-centroid argmax, zero shuffle), then
+    // compare pairs ONLY within a cell. A vector is dropped iff a
+    // LOWER-id cell-mate sits at cosine >= tau (SemDeDup's keep-one-per-
+    // epsilon-ball, made deterministic by the id order; the paper keeps
+    // low-centroid-similarity instead — that policy is one ORDER BY swap
+    // on the same plan, cf. q131 vs q87). Scale shape: the cell bounds
+    // pairwise work to sum(cell^2) — k grows with the corpus so the
+    // expected cell stays constant-sized, exactly the IVF sizing rule —
+    // and the self-join shuffles on cid once, with the drop-set
+    // aggregation and the anti-join reusing that exchange. No all-pairs
+    // anywhere; the hot-cell guard at 100 TB is the same salted pre-cap
+    // family as q129 (a cell too hot to pair is a cell the quantizer
+    // should split — k is the dial). ----
+    Q("q132_semantic_dedup", (s, d) => q132Frame(s, d, k = 8), Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      asg AS (SELECT vec_id, embedding, cid FROM ${duckIvfFinal(2)}),
+      dropped AS (SELECT DISTINCT y.vec_id
+        FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.4)
+      SELECT a.vec_id, a.cid FROM asg a
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY a.vec_id"""), bench = true),
+
+    // ---- deterministic STRATIFIED train/val/test split: per source,
+    // order docs by (content md5, doc_id) and cut EXACT counts —
+    // ceil(0.8n) train, ceil(0.1n) val, remainder test (integer-exact
+    // thresholds, no float ratios). Pure hash-mod splits hit ratios only
+    // in expectation and can starve a small source's val/test entirely;
+    // this guarantees every source appears in every split at the planned
+    // ratio, and the content-keyed order makes the split stable under
+    // re-crawls that renumber doc_ids. Scale shape is q95's two-level
+    // prefix sum applied per source: rank within (source, ckey-prefix
+    // bucket), broadcast the per-(source, bucket) offsets (|sources|x256
+    // rows), global per-source position = offset + in-bucket rank — the
+    // bucket is the leading 2 hex chars OF the sort key, so bucket order
+    // concatenates to exactly the single-window order, but no task ever
+    // sorts more than one bucket of one source (the naive per-source
+    // window gives the hottest domain to one task — the q129 problem). ----
+    Q("q133_stratified_split", (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+          md5(concat(lit("split|"), coalesce(col("text"), lit("")))).as("ckey"))
+        .withColumn("bucket",
+          conv(substring(col("ckey"), 1, 2), 16, 10).cast("int"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("boffset", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
+          col("boffset"))
+      val totals = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .select(col("source").as("t_source"), col("n"))
+      val wIn = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("ckey"), col("doc_id"))
+      base
+        .join(broadcast(offsets), col("source") === col("o_source") &&
+          col("bucket") === col("o_bucket"))
+        .join(broadcast(totals), col("source") === col("t_source"))
+        .withColumn("pos",
+          col("boffset") + row_number().over(wIn).cast("long"))
+        .withColumn("n_train", expr("(n * 8 + 9) DIV 10"))
+        .withColumn("n_val", expr("(n + 9) DIV 10"))
+        .select(col("doc_id"), col("source"), col("pos"),
+          when(col("pos") <= col("n_train"), lit("train"))
+            .when(col("pos") <= col("n_train") + col("n_val"), lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+          md5('split|' || coalesce(text, '')) AS ckey FROM documents),
+      p AS (SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ckey, doc_id) AS BIGINT) AS pos,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM t)
+      SELECT doc_id, source, pos,
+        CASE WHEN pos <= (8 * n + 9) // 10 THEN 'train'
+             WHEN pos <= (8 * n + 9) // 10 + (n + 9) // 10 THEN 'val'
+             ELSE 'test' END AS split
+      FROM p ORDER BY doc_id"""))
   )
 }
