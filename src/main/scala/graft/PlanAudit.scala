@@ -68,7 +68,9 @@ object PlanAudit {
     "q124_mixture_materialize" -> "two-level prefix sum per (source, md5-prefix bucket); offsets+targets broadcast",
     "q125_ann_recall" -> "two bounded top-10 artifacts; overlap join is 10×10",
     "q127_containment_inverted" -> "shingles as rows (codegen window, no interpreted HOF scan stage); posting lists built in one agg; df-cap bounds pair fan-out",
-    "q129_source_cap" -> "salted pre-cap window bounds the per-source window to K×nSalts rows — a hot domain never lands in one sort")
+    "q129_source_cap" -> "salted pre-cap window bounds the per-source window to K×nSalts rows — a hot domain never lands in one sort",
+    "q132_semantic_dedup" -> "map-side IVF assignment; pairwise bounded per cell (one cid shuffle); survivors via anti-join",
+    "q133_stratified_split" -> "two-level prefix sum per source; (source,bucket) offsets and totals broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

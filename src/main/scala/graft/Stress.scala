@@ -68,6 +68,34 @@ object Stress {
       .parquet(s"$outDir/documents.parquet")
   }
 
+  /** Scaled embeddings for the q132 semantic-dedup stress: replica r>0
+    * of a vector jitters every component by an md5-derived delta in
+    * [-0.005, 0.005] — cosine to the original stays ≈1, so each base
+    * vector becomes a factor× cluster of semantic near-dups (the
+    * embedding analogue of [[genScaled]]'s text perturbation). All
+    * derivation is md5-based: bit-reproducible.
+    */
+  private def genScaledEmbeddings(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val out = new java.io.File(s"$outDir/embeddings.parquet")
+    if (out.exists()) return
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    val jittered = base.select(col("*"), reps)
+      .withColumn("e2",
+        when(col("r") === 0, col("embedding"))
+          .otherwise(zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (conv(substring(md5(concat_ws("_", col("vec_id"), col("r"), i)),
+                1, 4), 16, 10).cast("long") % 21 - 10) * 0.0005)
+              .cast("float"))))
+      .select((col("vec_id") * factor + col("r")).as("vec_id"),
+        col("e2").as("embedding"), col("label"))
+    jittered.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
   /** q127's sampled-shingle posting census, uncapped: how hot do
     * shingles actually get at this scale, and how many groups does the
     * dfCap+1 truncation drop vs the df filter alone?
@@ -179,13 +207,15 @@ object Stress {
 
     val scaledDir = s"$root/x$factor"
     genScaled(spark, baseDir, scaledDir, factor)
+    if (sys.env.get("STRESS_SEMDEDUP").contains("1"))
+      genScaledEmbeddings(spark, baseDir, scaledDir, factor)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
 
     // STRESS_QUERIES narrows the set for targeted re-measurement after a
     // single-query optimization (the full trio is the default protocol)
     val names = sys.env.get("STRESS_QUERIES")
-      .map(_.split(",").toSeq)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)) // "" → none (semdedup-only runs)
       .getOrElse(Seq("q127_containment_inverted", "q72_neardup_keep",
         "q124_mixture_materialize"))
     Seq("base" -> baseDir, s"x$factor" -> scaledDir).foreach { case (tag, dir) =>
@@ -204,9 +234,12 @@ object Stress {
         s""""$name":{"cold_sec":${times.head._1},"warm_sec":$warmT,""" +
           s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}"""
       }
-      val census = truncationCensus(spark, dir, dfCap = 50)
-        .toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}")
+      // STRESS_CENSUS=0 skips the (corpus-sized) shingle census for
+      // targeted re-measurements that don't touch the q127 dials
+      val census = if (sys.env.get("STRESS_CENSUS").contains("0")) "{}"
+        else truncationCensus(spark, dir, dfCap = 50)
+          .toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")
       val rows = if (tag == "base") nBase else nScaled
       println(s"""STRESS {"corpus":"$tag","dir":"$dir","docs":$rows,""" +
         s""""queries":{${qs.mkString(",")}},"q127_census":$census}""")
@@ -215,6 +248,38 @@ object Stress {
       if (sys.env.get("STRESS_INVARIANTS").contains("1"))
         println(s"""STRESS_INVARIANTS {"corpus":"$tag",""" +
           s""""q87":${fixpointInvariants(spark, dir)}}""")
+      // STRESS_SEMDEDUP=1: q132's quantizer-size dial. At the scaled
+      // corpus the BASE k (cells grow factor× → pairwise grows factor²)
+      // is measured against k scaled with the corpus (cells stay
+      // constant-sized → pairwise grows ~factor) — the measured basis
+      // for the "k is the dial" sizing rule in the q132 comment.
+      if (sys.env.get("STRESS_SEMDEDUP").contains("1")) {
+        // default dial ladder: base k vs corpus-scaled k; override with
+        // STRESS_SEMDEDUP_KS=8,80 when 8×factor would make the literal
+        // centroid argmax expression itself the bottleneck (k=800 at
+        // 100× — at that size a real deployment shards assignment by
+        // probing a centroid INDEX, i.e. recursive IVF, not a literal)
+        val ks = sys.env.get("STRESS_SEMDEDUP_KS")
+          .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toInt))
+          .getOrElse(if (tag == "base") Seq(8) else Seq(8, 8 * factor))
+        val sd = ks.map { k =>
+          val times = (1 to 2).map { _ =>
+            metrics.reset()
+            val t0 = System.nanoTime()
+            queries.PipelineQueries.q132Frame(spark, dir, k)
+              .write.format("noop").mode("overwrite").save()
+            ((System.nanoTime() - t0) / 1e9,
+              metrics.shuffleWrite.get(), metrics.spill.get())
+          }
+          val kept = queries.PipelineQueries.q132Frame(spark, dir, k).count()
+          s""""k$k":{"cold_sec":${times.head._1},"warm_sec":${times.last._1},""" +
+            s""""shuffle_write_bytes":${times.last._2},""" +
+            s""""spilled_bytes":${times.last._3},"kept":$kept}"""
+        }
+        println(s"""STRESS_SEMDEDUP {"corpus":"$tag","vectors":${
+          spark.read.parquet(s"$dir/embeddings.parquet").count()},""" +
+          s""""runs":{${sd.mkString(",")}}}""")
+      }
     }
     spark.stop()
   }

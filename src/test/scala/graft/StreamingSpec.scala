@@ -464,4 +464,110 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS empty_landing")
     }
   }
+
+  /** Driver-side scalar mirror of [[graft.streaming.EmbedStream
+    * .semanticNearDup]]'s greedy leader-clustering semantics: per cell,
+    * in vec_id order, emit against the first stored exemplar within tau,
+    * else store (while under cap). An independent reimplementation — the
+    * handler must agree bit-for-bit. */
+  private def greedyMirror(assigned: Array[(Long, Long, Seq[Double])],
+      tau: Double, cap: Int): Set[(Long, Long, Long, Double)] =
+    assigned.groupBy(_._1).iterator.flatMap { case (cid, cell) =>
+      val ex = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      cell.sortBy(_._2).flatMap { case (_, id, v) =>
+        ex.iterator
+          .map { case (eid, ev) => (eid, graft.streaming.EmbedStream.cosScalar(ev, v)) }
+          .find(_._2 >= tau) match {
+          case Some((eid, c)) => Some((id, cid, eid, c))
+          case None =>
+            if (ex.length < cap) ex += ((id, v))
+            None
+        }
+      }
+    }.toSet
+
+  private def embAssigned: Array[(Long, Long, Seq[Double])] = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Ivf
+      .assign(spark.read.parquet(s"$dir/embeddings.parquet"),
+        queries.PipelineQueries.ivfCents(spark, dir))
+      .select(col("cid"), col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+  }
+
+  private def semanticParityCase(provider: Option[String], tag: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EmbedStream
+    val cents = queries.PipelineQueries.ivfCents(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
+    // two files, mtime-ordered by ascending vec_id (the ingest-order
+    // contract) + maxFilesPerTrigger=1 → exemplar state must carry
+    // across micro-batches for parity to hold
+    val sd = java.nio.file.Files.createTempDirectory("emb-stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("emb-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    stage(e.filter(col("vec_id") <= mid), "a.parquet", 1000000L)
+    stage(e.filter(col("vec_id") > mid), "b.parquet", 2000000L)
+    val q = withStateStore(provider) {
+      EmbedStream
+        .semanticNearDup(EmbedStream.readStream(spark, sd.toString), cents,
+          tau = 0.4, cap = 10000)
+        .writeStream.format("memory").queryName(s"semdedup_out_$tag")
+        .outputMode("append").start()
+    }
+    try {
+      q.processAllAvailable()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nBatches >= 2, s"expected ≥2 micro-batches, got $nBatches")
+      val stream = spark.table(s"semdedup_out_$tag")
+      val batch = EmbedStream.semanticNearDup(e, cents, tau = 0.4, cap = 10000)
+      assert(batch.count() > 0, "no semantic near-dups in testdata?")
+      assert(sortedRows(stream) == sortedRows(batch))
+      val got = stream.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == greedyMirror(embAssigned, 0.4, 10000))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS semdedup_out_$tag")
+    }
+  }
+
+  test("streaming semantic near-dup == batch twin and scalar mirror across " +
+      "micro-batches (ST14)") {
+    semanticParityCase(None, "hdfs")
+  }
+
+  test("semantic near-dup parity holds under the RocksDB state store (ST14r)") {
+    semanticParityCase(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocks")
+  }
+
+  test("semantic near-dup exemplar cap: cap=1 dedups only against the cell " +
+      "leader; cap=0 stores nothing and emits nothing (ST14c)") {
+    import graft.streaming.EmbedStream
+    val cents = queries.PipelineQueries.ivfCents(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val one = EmbedStream.semanticNearDup(e, cents, tau = 0.4, cap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mirror1 = greedyMirror(embAssigned, 0.4, 1)
+    assert(one.toSet == mirror1, "cap=1 must match the scalar mirror")
+    // with one exemplar per cell, every emission's dup_of is that cell's
+    // minimum vec_id (the leader)
+    val minByCell = embAssigned.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    one.foreach { case (_, cid, dupOf, _) =>
+      assert(dupOf == minByCell(cid),
+        s"cap=1 emission in cell $cid points at $dupOf, not the leader")
+    }
+    assert(EmbedStream.semanticNearDup(e, cents, tau = 0.4, cap = 0).count() == 0)
+  }
 }
