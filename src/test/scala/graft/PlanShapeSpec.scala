@@ -392,4 +392,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"no map-side partial aggregation for session windows:\n$p")
   }
+
+  test("q132: cell-scoped pairing — equi-join on cid, no cartesian, " +
+      "survivors via anti-join") {
+    val p = planOf("q132_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must never go all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell pairing must be an equi-join on cid, not a nested loop:\n$p")
+    assert(p.contains("LeftAnti"), s"survivors must come from an anti-join:\n$p")
+  }
+
+  test("q133: stratified split broadcasts offsets/totals; windows are " +
+      "per-(source,bucket), never a global per-source sort") {
+    val p = planOf("q133_stratified_split")
+    // both small sides (per-(source,bucket) offsets and per-source totals)
+    // must ride broadcast joins — the corpus never shuffles for them
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"offsets/totals must join via broadcast:\n$p")
+    // the only window partitioning over the corpus is (source, bucket) —
+    // a bare per-source window would give the hottest domain to one task
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"expected window operators in the plan:\n$p")
+    assert(windows.exists(w => w.contains("source") && w.contains("bucket")),
+      s"expected the in-bucket rank window keyed by (source, bucket):\n$p")
+    assert(windows.forall(w => !w.contains("source") || w.contains("bucket")),
+      s"found a corpus window partitioned by source alone:\n$p")
+  }
 }
