@@ -89,6 +89,84 @@ object Ivf {
     c
   }
 
+  /** The flat argmax cid as a composable map-side expression (the same
+    * ranking as [[assign]]: rounded cosine desc, ties → lowest cid).
+    */
+  def bestCell(cents: Centroids, emb: Column): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(TextOps.cosine(emb, litVec(cv)).as("cos"),
+        lit(-cid).as("ncid"), lit(cid).as("cid"))
+    }: _*)
+    array_max(scored).getField("cid")
+  }
+
+  /** The trained centroid table as a (vec_id, embedding) frame, so the
+    * centroids themselves can be [[train]]ed over — the input to the
+    * two-level quantizer below.
+    */
+  def centroidsAsDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Centroids): DataFrame = {
+    import spark.implicits._
+    cents.toDF("vec_id", "embedding")
+  }
+
+  /** Coarse grouping of a trained quantizer: Lloyd over the CENTROIDS
+    * (they are just a tiny (id, vector) table — [[train]] reused
+    * verbatim), plus the map from each centroid to its coarse cell.
+    * Both artifacts are driver-side literals, k×dim and k longs.
+    */
+  def coarsen(spark: org.apache.spark.sql.SparkSession, cents: Centroids,
+      k1: Int, rounds: Int): (Centroids, Map[Long, Long]) = {
+    val cdf = centroidsAsDF(spark, cents)
+    val coarse = train(cdf, k1, rounds)
+    val coarseOf = assign(cdf, coarse)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (coarse, coarseOf)
+  }
+
+  /** Two-level (recursive IVF) assignment — the large-k scale path named
+    * in PLANS.md's dial table. A flat argmax over k literal centroids
+    * costs k cosines per row and stops being a sane single expression
+    * past k ≈ 10³. Here level 1 picks the nearest COARSE centroid (k1
+    * cosines, restricted to coarse cells that own at least one centroid),
+    * and level 2 argmaxes over ONLY that cell's member centroids — per
+    * row k1 + |cell| ≈ 2√k cosines instead of k. Still one map-side
+    * projection: the corpus is never expanded, joined, or shuffled.
+    * The result is the standard IVF approximation: exact whenever the
+    * true nearest centroid's coarse cell wins level 1 (q134 reads out
+    * the agreement rate against [[assign]]).
+    */
+  def assignTwoLevel(e: DataFrame, cents: Centroids, coarse: Centroids,
+      coarseOf: Map[Long, Long]): DataFrame = {
+    val members: Map[Long, Seq[(Long, Seq[Double])]] =
+      cents.groupBy { case (cid, _) => coarseOf(cid) }
+    // level 1: argmax over the non-empty coarse cells only (an emptied
+    // coarse cell has no members to argmax at level 2)
+    val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
+    val coarseScored = array(live.map { case (ccid, cv) =>
+      struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
+        lit(-ccid).as("nccid"), lit(ccid).as("ccid"))
+    }: _*)
+    // level 2: per coarse cell, the flat argmax over its members
+    def cellBest(ccid: Long): Column = {
+      val scored = array(members(ccid).map { case (cid, cv) =>
+        struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
+          lit(-cid).as("ncid"), lit(cid).as("cid"))
+      }: _*)
+      array_max(scored).getField("cid")
+    }
+    val withCoarse = e.select(col("vec_id"), col("embedding"),
+      array_max(coarseScored).getField("ccid").as("ccid"))
+    val cases = members.keys.toSeq.sorted.map(ccid =>
+      (col("ccid") === ccid, cellBest(ccid)))
+    val cid = cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+      case (acc, (pred, v)) => acc.when(pred, v)
+    }
+    withCoarse.select(col("vec_id"), col("embedding"),
+      col("ccid"), cid.as("cid"))
+  }
+
   /** The query vector's top-`nprobe` cells by rounded cosine (multi-probe:
     * rank 1 is the home cell, rank 2+ recover near-boundary neighbors).
     * Also map-side: sort the literal-scored array (negated cosine →

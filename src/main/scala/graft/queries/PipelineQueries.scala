@@ -233,11 +233,20 @@ object PipelineQueries {
     * parameters. [[duckIvfFinal]] names the final assignment CTE,
     * [[duckIvfCents]] the trained-centroid CTE.
     */
-  private def duckIvfCtes(k: Int, rounds: Int, dim: Int): String = {
+  private def duckIvfCtes(k: Int, rounds: Int, dim: Int): String =
+    duckIvfCtesOn("embeddings", k, rounds, dim, "")
+
+  /** [[duckIvfCtes]] generalized over the source table (any relation with
+    * (vec_id, embedding)) and a CTE-name prefix, so a SECOND Lloyd run —
+    * e.g. q134's coarse quantizer trained over the centroid table — can
+    * coexist in one query.
+    */
+  private def duckIvfCtesOn(src: String, k: Int, rounds: Int, dim: Int,
+      p: String): String = {
     def assignCte(cents: String, out: String) = s"""
       ${out}_sc AS (SELECT e.vec_id, e.embedding, c.cid,
           ${duckCos("e.embedding", "c.cv")} AS cos
-        FROM embeddings e, $cents c),
+        FROM $src e, $cents c),
       $out AS (SELECT vec_id, embedding, cid, cos FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
           FROM ${out}_sc) t WHERE rn = 1)"""
@@ -251,10 +260,11 @@ object PipelineQueries {
             GROUP BY a.cid, g.i) t
           GROUP BY cid) mm ON mm.cid = p.cid)"""
     val steps = (1 to rounds).flatMap { t =>
-      Seq(assignCte(s"c${t - 1}", s"a$t"), meanCte(s"a$t", s"c${t - 1}", s"c$t"))
-    } :+ assignCte(s"c$rounds", s"a${rounds + 1}")
-    (s"""c0 AS (SELECT vec_id AS cid, [x::DOUBLE for x in embedding] AS cv
-         FROM embeddings WHERE vec_id < $k)"""
+      Seq(assignCte(s"${p}c${t - 1}", s"${p}a$t"),
+        meanCte(s"${p}a$t", s"${p}c${t - 1}", s"${p}c$t"))
+    } :+ assignCte(s"${p}c$rounds", s"${p}a${rounds + 1}")
+    (s"""${p}c0 AS (SELECT vec_id AS cid, [x::DOUBLE for x in embedding] AS cv
+         FROM $src WHERE vec_id < $k)"""
       +: steps).mkString(",\n")
   }
   private def duckIvfFinal(rounds: Int) = s"a${rounds + 1}"
@@ -2966,6 +2976,53 @@ object PipelineQueries {
         CASE WHEN pos <= (8 * n + 9) // 10 THEN 'train'
              WHEN pos <= (8 * n + 9) // 10 + (n + 9) // 10 THEN 'val'
              ELSE 'test' END AS split
-      FROM p ORDER BY doc_id"""))
+      FROM p ORDER BY doc_id""")),
+
+    // ---- TWO-LEVEL (recursive IVF) assignment — the large-k scale path
+    // the dial table names: a flat argmax over k literal centroids costs
+    // k cosines per row and stops being a sane single expression past
+    // k ≈ 10³. Level 0 is a Lloyd run over the CENTROIDS themselves
+    // (Ivf.train reused verbatim on the tiny (cid, vector) table); each
+    // vector then picks its nearest coarse cell (k1 cosines) and argmaxes
+    // over only that cell's member centroids — k1 + |cell| ≈ 2√k cosines
+    // per row, still ONE map-side projection with zero joins/shuffles
+    // over the corpus. The output reads out the IVF approximation
+    // directly: `agree` marks rows where two-level == flat (exact
+    // whenever the true nearest centroid's coarse cell wins level 1).
+    // Both Lloyd runs and both argmaxes replay in DuckDB bit-for-bit
+    // (same seeds, same Det mean convention, same rounded-cosine
+    // tie-breaks). ----
+    Q("q134_twolevel_assign", (s, d) => {
+      val cents = ivfCents(s, d)
+      val (coarse, coarseOf) =
+        Models.cached(s"ivfcoarse:$d:k=8,k1=3,rounds=2")(
+          Ivf.coarsen(s, cents, 3, 2))
+      Ivf.assignTwoLevel(embs(s, d), cents, coarse, coarseOf)
+        .withColumn("cid_flat", Ivf.bestCell(cents, col("embedding")))
+        .select(col("vec_id"), col("ccid"), col("cid"),
+          (col("cid") === col("cid_flat")).as("agree"))
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      centtbl AS (SELECT cid AS vec_id, cv AS embedding FROM ${duckIvfCents(2)}),
+      ${duckIvfCtesOn("centtbl", 3, 2, 64, "co")},
+      live AS (SELECT DISTINCT cid FROM coa3),
+      lvl1_sc AS (SELECT e.vec_id, e.embedding, c.cid AS ccid,
+          ${duckCos("e.embedding", "c.cv")} AS cos
+        FROM embeddings e,
+          (SELECT co.cid, co.cv FROM coc2 co JOIN live l ON l.cid = co.cid) c),
+      lvl1 AS (SELECT vec_id, embedding, ccid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, ccid) AS rn FROM lvl1_sc) t WHERE rn = 1),
+      lvl2_sc AS (SELECT l.vec_id, l.ccid, f.cid,
+          ${duckCos("l.embedding", "f.cv")} AS cos
+        FROM lvl1 l JOIN coa3 m ON m.cid = l.ccid
+                    JOIN ${duckIvfCents(2)} f ON f.cid = m.vec_id),
+      lvl2 AS (SELECT vec_id, ccid, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cid) AS rn FROM lvl2_sc) t WHERE rn = 1)
+      SELECT l.vec_id, l.ccid, l.cid, l.cid = a.cid AS agree
+      FROM lvl2 l JOIN ${duckIvfFinal(2)} a ON a.vec_id = l.vec_id
+      ORDER BY l.vec_id"""))
   )
 }

@@ -393,6 +393,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial aggregation for session windows:\n$p")
   }
 
+  test("q134: two-level assignment stays one map-side projection — " +
+      "no joins, no corpus expansion, ≤1 exchange for the sort") {
+    val p = planOf("q134_twolevel_assign")
+    assert(!p.contains("Join"), s"assignment must not join the corpus:\n$p")
+    assert(!p.contains("Generate"), s"assignment must not expand the corpus:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"expected only the output-sort exchange:\n$p")
+  }
+
   test("q132: cell-scoped pairing — equi-join on cid, no cartesian, " +
       "survivors via anti-join") {
     val p = planOf("q132_semantic_dedup")

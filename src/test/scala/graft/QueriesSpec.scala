@@ -212,6 +212,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 two-level assignment matches a scalar mirror of both levels") {
+    // independent driver-side re-derivation: scalar cosines (6-dec
+    // HALF_UP), level 1 over live coarse cells, level 2 over the chosen
+    // cell's members, flat argmax for the agree bit — the expression
+    // pipeline must agree row-for-row.
+    import org.apache.spark.sql.functions._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def argmax(cands: Seq[(Long, Seq[Double])], v: Seq[Double]): Long =
+      cands.map { case (cid, cv) => (cos(cv, v), -cid, cid) }.max._3
+    val cents = queries.PipelineQueries.ivfCents(spark, dir)
+    val (coarse, coarseOf) = graft.operators.Ivf.coarsen(spark, cents, 3, 2)
+    val members = cents.groupBy { case (cid, _) => coarseOf(cid) }
+    val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val expected = vecs.map { case (id, v) =>
+      val ccid = argmax(live, v)
+      val cid = argmax(members(ccid), v)
+      (id, ccid, cid, cid == argmax(cents, v))
+    }.toSet
+    val got = SparkEntry.queries("q134_twolevel_assign")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty && got.count(_._4) * 2 > got.size,
+      "two-level should agree with flat on most sf0.001 vectors")
+  }
+
   test("q133's two-level prefix sum equals the direct per-source window split") {
     // the scale claim behind q133: bucketing by the leading 2 hex chars
     // OF the sort key makes bucket order concatenate to exactly the
