@@ -207,7 +207,8 @@ object Stress {
 
     val scaledDir = s"$root/x$factor"
     genScaled(spark, baseDir, scaledDir, factor)
-    if (sys.env.get("STRESS_SEMDEDUP").contains("1"))
+    if (sys.env.get("STRESS_SEMDEDUP").contains("1") ||
+        sys.env.contains("STRESS_TWOLEVEL"))
       genScaledEmbeddings(spark, baseDir, scaledDir, factor)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
@@ -279,6 +280,30 @@ object Stress {
         println(s"""STRESS_SEMDEDUP {"corpus":"$tag","vectors":${
           spark.read.parquet(s"$dir/embeddings.parquet").count()},""" +
           s""""runs":{${sd.mkString(",")}}}""")
+      }
+      // STRESS_TWOLEVEL=k: flat vs two-level assignment cost at quantizer
+      // size k — the per-row k vs k1+|cell| cosine claim, measured
+      sys.env.get("STRESS_TWOLEVEL").map(_.toInt).foreach { k =>
+        import org.apache.spark.sql.DataFrame
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cents = queries.PipelineQueries.ivfCentsK(spark, dir, k)
+        val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+        val (coarse, coarseOf) =
+          operators.Models.cached(s"ivfcoarse:$dir:k=$k,k1=$k1,rounds=2")(
+            operators.Ivf.coarsen(spark, cents, k1, 2))
+        def time(mk: => DataFrame): Double = {
+          val runs = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            mk.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          runs.last // warm
+        }
+        val flatS = time(operators.Ivf.assign(e, cents))
+        val twoS = time(
+          operators.Ivf.assignTwoLevel(e, cents, coarse, coarseOf))
+        println(s"""STRESS_TWOLEVEL {"corpus":"$tag","vectors":${e.count()},""" +
+          s""""k":$k,"k1":$k1,"flat_warm_sec":$flatS,"twolevel_warm_sec":$twoS}""")
       }
     }
     spark.stop()

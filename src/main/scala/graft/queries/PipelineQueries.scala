@@ -30,7 +30,7 @@ object PipelineQueries {
     */
   private[graft] def q132Frame(s: SparkSession, d: String, k: Int): DataFrame = {
     val tau = 0.4
-    val cents = Models.cached(s"ivf:$d:k=$k,rounds=2")(Ivf.train(embs(s, d), k, 2))
+    val cents = ivfCentsK(s, d, k)
     val assigned = Ivf.assign(embs(s, d), cents)
       .select(col("vec_id"), col("cid"), col("embedding"))
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
@@ -52,7 +52,9 @@ object PipelineQueries {
   // q88/q101 already share one bloom filter. Keys carry every
   // hyperparameter so configurations never alias.
   private[graft] def ivfCents(s: SparkSession, d: String): Ivf.Centroids =
-    Models.cached(s"ivf:$d:k=8,rounds=2")(Ivf.train(embs(s, d), 8, 2))
+    ivfCentsK(s, d, 8)
+  private[graft] def ivfCentsK(s: SparkSession, d: String, k: Int): Ivf.Centroids =
+    Models.cached(s"ivf:$d:k=$k,rounds=2")(Ivf.train(embs(s, d), k, 2))
   private[graft] def pqBooks(s: SparkSession, d: String): Pq.Codebooks =
     Models.cached(s"pq:$d:rounds=1")(Pq.train(embs(s, d), rounds = 1))
   private[graft] def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
