@@ -79,14 +79,19 @@ object StreamStress {
     */
   def run(spark: SparkSession, corpusDir: String, ttlMs: Long,
       maxFilesPerTrigger: Int, afterDrainMs: Long, expectRows: Long,
-      tag: String): Result = {
+      tag: String,
+      mkCands: Option[(String, Int, Long) => org.apache.spark.sql.DataFrame] =
+        None): Result = {
     import org.apache.spark.sql.functions.{count, lit}
     val t0 = System.nanoTime()
     val acc = new ProgressAccumulator
     spark.streams.addListener(acc)
-    val stream = graft.streaming.DocsStream.readStream(
-      spark, corpusDir, maxFilesPerTrigger)
-    val cands = graft.streaming.DocsStream.nearDupCandidates(stream, ttlMs)
+    val cands = mkCands.map(f => f(corpusDir, maxFilesPerTrigger, ttlMs))
+      .getOrElse {
+        val stream = graft.streaming.DocsStream.readStream(
+          spark, corpusDir, maxFilesPerTrigger)
+        graft.streaming.DocsStream.nearDupCandidates(stream, ttlMs)
+      }
     val name = s"stream_stress_$tag"
     val writer = cands.writeStream
       .format("memory").queryName(name).outputMode("append")
@@ -123,8 +128,15 @@ object StreamStress {
   }
 
   def main(args: Array[String]): Unit = {
+    // STREAM_STRESS_EMBED=1: drive the EMBEDDING stream
+    // (EmbedStream.semanticNearDup) over the scaled jittered corpus
+    // instead of the document stream — state here is cells holding up
+    // to `cap` exemplar VECTORS (k×cap×dim bound), so the interesting
+    // readouts are state bytes vs that bound and TTL collapse.
+    val embedMode = sys.env.get("STREAM_STRESS_EMBED").contains("1")
     val corpus = sys.env.getOrElse("STREAM_STRESS_DIR",
-      "/tmp/graft_stress/x10/documents.parquet")
+      if (embedMode) "/tmp/graft_stress/x10/embeddings.parquet"
+      else "/tmp/graft_stress/x10/documents.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -142,21 +154,35 @@ object StreamStress {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val nDocs = spark.read.parquet(corpus).count()
 
+    // embed mode: train the corpus-scaled quantizer ONCE (a build step,
+    // like the batch q132), then both configs stream against its literal
+    val mkEmbed: Option[(String, Int, Long) => org.apache.spark.sql.DataFrame] =
+      if (!embedMode) None
+      else {
+        val k = sys.env.getOrElse("STREAM_STRESS_K", "80").toInt
+        val cap = sys.env.getOrElse("STREAM_STRESS_CAP", "1024").toInt
+        val cents = operators.Ivf.train(spark.read.parquet(corpus), k, 2)
+        Some((dir, mft, ttl) => graft.streaming.EmbedStream.semanticNearDup(
+          graft.streaming.EmbedStream.readStream(spark, dir, mft),
+          cents, tau = 0.4, cap = cap, ttlMs = ttl))
+      }
+
     // lifetime dedup: state == bucket cardinality (the upper bound)
     val unbounded = run(spark, corpus, ttlMs = 0L, maxFilesPerTrigger = 2,
-      afterDrainMs = 0L, expectRows = nDocs, tag = "ttl0")
+      afterDrainMs = 0L, expectRows = nDocs, tag = "ttl0", mkCands = mkEmbed)
     // horizon dedup: 5 s TTL ≫ one micro-batch, ≪ the post-drain wait —
     // mid-run idle buckets evict, and after the drain EVERY bucket
     // passes the horizon, so final state must collapse toward 0
     val horizon = run(spark, corpus, ttlMs = 5000L, maxFilesPerTrigger = 2,
-      afterDrainMs = 15000L, expectRows = nDocs, tag = "ttl5s")
+      afterDrainMs = 15000L, expectRows = nDocs, tag = "ttl5s", mkCands = mkEmbed)
 
     def j(r: Result): String =
       s"""{"batches":${r.batches},"input_rows":${r.inputRows},""" +
         s""""candidates":${r.candidates},"state_rows_peak":${r.stateRowsPeak},""" +
         s""""state_rows_final":${r.stateRowsFinal},"evicted":${r.evicted},""" +
         s""""state_bytes_peak":${r.stateBytesPeak},"wall_sec":${math.round(r.wallSec * 10) / 10.0}}"""
-    println(s"""STREAMSTRESS {"corpus":"$corpus","docs":$nDocs,"provider":"${spark.conf.getOption(
+    println(s"""STREAMSTRESS {"corpus":"$corpus","docs":$nDocs,""" +
+      s""""mode":"${if (embedMode) "embed" else "docs"}","provider":"${spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass").getOrElse("hdfs-default")}",""" +
       s""""ttl0":${j(unbounded)},"ttl5s":${j(horizon)}}""")
     spark.stop()
