@@ -71,7 +71,8 @@ object PlanAudit {
     "q129_source_cap" -> "salted pre-cap window bounds the per-source window to K×nSalts rows — a hot domain never lands in one sort",
     "q132_semantic_dedup" -> "map-side IVF assignment; pairwise bounded per cell (one cid shuffle); survivors via anti-join",
     "q133_stratified_split" -> "two-level prefix sum per source; (source,bucket) offsets and totals broadcast",
-    "q134_twolevel_assign" -> "recursive-IVF assignment: coarse argmax then cell argmax, one map-side projection, k1+|cell| cosines/row")
+    "q134_twolevel_assign" -> "recursive-IVF assignment: coarse argmax then cell argmax, one map-side projection, k1+|cell| cosines/row",
+    "q135_twolevel_multiprobe" -> "nprobe=2 recall knob: union-of-2-cells argmax, still join-free map-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

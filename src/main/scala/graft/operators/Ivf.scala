@@ -138,32 +138,45 @@ object Ivf {
     * the agreement rate against [[assign]]).
     */
   def assignTwoLevel(e: DataFrame, cents: Centroids, coarse: Centroids,
-      coarseOf: Map[Long, Long]): DataFrame = {
+      coarseOf: Map[Long, Long], nprobe: Int = 1): DataFrame = {
     val members: Map[Long, Seq[(Long, Seq[Double])]] =
       cents.groupBy { case (cid, _) => coarseOf(cid) }
-    // level 1: argmax over the non-empty coarse cells only (an emptied
-    // coarse cell has no members to argmax at level 2)
+    // level 1: rank the non-empty coarse cells only (an emptied coarse
+    // cell has no members to argmax at level 2); multi-probe takes the
+    // top `nprobe` — the standard IVF recall knob (probe 2 cells ⇒
+    // near-boundary vectors recover their true nearest centroid)
     val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
     val coarseScored = array(live.map { case (ccid, cv) =>
-      struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
-        lit(-ccid).as("nccid"), lit(ccid).as("ccid"))
+      struct((-TextOps.cosine(col("embedding"), litVec(cv))).as("ncos"),
+        lit(ccid).as("ccid"))
     }: _*)
-    // level 2: per coarse cell, the flat argmax over its members
-    def cellBest(ccid: Long): Column = {
-      val scored = array(members(ccid).map { case (cid, cv) =>
+    val probed = slice(array_sort(coarseScored), 1, math.min(nprobe, live.size))
+    // level 2: per probed coarse-cell SET, the flat argmax over the
+    // union of member centroids. The probe set is order-insensitive at
+    // level 2 (argmax over a union), so the dispatch key is the sorted
+    // ccid combination — C(live, nprobe) branches, each still one
+    // array_max over ≤ nprobe·|cell| literal cosines.
+    def unionBest(ccids: Seq[Long]): Column = {
+      val scored = array(ccids.flatMap(members(_)).map { case (cid, cv) =>
         struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
           lit(-cid).as("ncid"), lit(cid).as("cid"))
       }: _*)
       array_max(scored).getField("cid")
     }
-    val withCoarse = e.select(col("vec_id"), col("embedding"),
-      array_max(coarseScored).getField("ccid").as("ccid"))
-    val cases = members.keys.toSeq.sorted.map(ccid =>
-      (col("ccid") === ccid, cellBest(ccid)))
+    def withProbeFrom(src: DataFrame): DataFrame =
+      src.select(col("vec_id"), col("embedding"), probed.as("probed"))
+        .select(col("vec_id"), col("embedding"),
+          element_at(col("probed"), 1).getField("ccid").as("ccid"),
+          array_sort(transform(col("probed"), p => p.getField("ccid"))).as("pset"))
+    val combos = members.keys.toSeq.sorted
+      .combinations(math.min(nprobe, members.size)).toSeq
+    val cases = combos.map { cc =>
+      (col("pset") === array(cc.sorted.map(lit): _*), unionBest(cc))
+    }
     val cid = cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
       case (acc, (pred, v)) => acc.when(pred, v)
     }
-    withCoarse.select(col("vec_id"), col("embedding"),
+    withProbeFrom(e).select(col("vec_id"), col("embedding"),
       col("ccid"), cid.as("cid"))
   }
 

@@ -3025,6 +3025,48 @@ object PipelineQueries {
             ORDER BY cos DESC, cid) AS rn FROM lvl2_sc) t WHERE rn = 1)
       SELECT l.vec_id, l.ccid, l.cid, l.cid = a.cid AS agree
       FROM lvl2 l JOIN ${duckIvfFinal(2)} a ON a.vec_id = l.vec_id
+      ORDER BY l.vec_id""")),
+
+    // ---- q134 with MULTI-PROBE level 1 (nprobe=2): the standard IVF
+    // recall knob — near-boundary vectors whose true nearest centroid
+    // lives in the runner-up coarse cell recover it, because level 2
+    // argmaxes over the UNION of both probed cells' members (2·|cell|
+    // cosines instead of |cell|; still one map-side projection). The
+    // `agree` column reads the recall improvement directly against
+    // q134's single-probe rate. ----
+    Q("q135_twolevel_multiprobe", (s, d) => {
+      val cents = ivfCents(s, d)
+      val (coarse, coarseOf) =
+        Models.cached(s"ivfcoarse:$d:k=8,k1=3,rounds=2")(
+          Ivf.coarsen(s, cents, 3, 2))
+      Ivf.assignTwoLevel(embs(s, d), cents, coarse, coarseOf, nprobe = 2)
+        .withColumn("cid_flat", Ivf.bestCell(cents, col("embedding")))
+        .select(col("vec_id"), col("ccid"), col("cid"),
+          (col("cid") === col("cid_flat")).as("agree"))
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      centtbl AS (SELECT cid AS vec_id, cv AS embedding FROM ${duckIvfCents(2)}),
+      ${duckIvfCtesOn("centtbl", 3, 2, 64, "co")},
+      live AS (SELECT DISTINCT cid FROM coa3),
+      lvl1_sc AS (SELECT e.vec_id, e.embedding, c.cid AS ccid,
+          ${duckCos("e.embedding", "c.cv")} AS cos
+        FROM embeddings e,
+          (SELECT co.cid, co.cv FROM coc2 co JOIN live l ON l.cid = co.cid) c),
+      lvl1p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, ccid) AS rn FROM lvl1_sc),
+      home AS (SELECT vec_id, ccid FROM lvl1p WHERE rn = 1),
+      probe AS (SELECT vec_id, embedding, ccid FROM lvl1p WHERE rn <= 2),
+      lvl2_sc AS (SELECT p.vec_id, f.cid,
+          ${duckCos("p.embedding", "f.cv")} AS cos
+        FROM probe p JOIN coa3 m ON m.cid = p.ccid
+                     JOIN ${duckIvfCents(2)} f ON f.cid = m.vec_id),
+      lvl2 AS (SELECT vec_id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cid) AS rn FROM lvl2_sc) t WHERE rn = 1)
+      SELECT l.vec_id, h.ccid, l.cid, l.cid = a.cid AS agree
+      FROM lvl2 l JOIN home h ON h.vec_id = l.vec_id
+                  JOIN ${duckIvfFinal(2)} a ON a.vec_id = l.vec_id
       ORDER BY l.vec_id"""))
   )
 }

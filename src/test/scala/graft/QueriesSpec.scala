@@ -248,6 +248,47 @@ class QueriesSpec extends AnyFunSuite {
       "two-level should agree with flat on most sf0.001 vectors")
   }
 
+  test("q135 multi-probe matches a scalar mirror and can only improve recall") {
+    // nprobe=2 mirror: top-2 live coarse cells by (cos desc, ccid),
+    // argmax over the UNION of their members. Agreement with the flat
+    // argmax is provably monotone in the probe set (the flat winner is
+    // the global max under the same comparator), so q135's agree set
+    // must contain q134's.
+    import org.apache.spark.sql.functions._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def argmax(cands: Seq[(Long, Seq[Double])], v: Seq[Double]): Long =
+      cands.map { case (cid, cv) => (cos(cv, v), -cid, cid) }.max._3
+    val cents = queries.PipelineQueries.ivfCents(spark, dir)
+    val (coarse, coarseOf) = graft.operators.Ivf.coarsen(spark, cents, 3, 2)
+    val members = cents.groupBy { case (cid, _) => coarseOf(cid) }
+    val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val expected = vecs.map { case (id, v) =>
+      val ranked = live.map { case (ccid, cv) => (-cos(cv, v), ccid) }.sorted
+      val probed = ranked.take(2).map(_._2)
+      val cid = argmax(probed.flatMap(members(_)), v)
+      (id, probed.head, cid, cid == argmax(cents, v))
+    }.toSet
+    val got = SparkEntry.queries("q135_twolevel_multiprobe")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected) ++ (expected diff got)}")
+    val singleAgree = SparkEntry.queries("q134_twolevel_assign")(spark, dir)
+      .collect().filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val multiAgree = got.filter(_._4).map(_._1)
+    assert(singleAgree.subsetOf(multiAgree),
+      "multi-probe lost agreement on: " + (singleAgree diff multiAgree))
+  }
+
   test("q133's two-level prefix sum equals the direct per-source window split") {
     // the scale claim behind q133: bucketing by the leading 2 hex chars
     // OF the sort key makes bucket order concatenate to exactly the
