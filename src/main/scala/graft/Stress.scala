@@ -281,6 +281,44 @@ object Stress {
           spark.read.parquet(s"$dir/embeddings.parquet").count()},""" +
           s""""runs":{${sd.mkString(",")}}}""")
       }
+      // STRESS_TRUTH=1: planted-structure recovery. The replicated corpus
+      // has KNOWN cluster truth — replica r of base doc b is a (near-)dup
+      // of b by construction, so the true partition of the scaled corpus
+      // is the base corpus's q87 partition lifted through base_id =
+      // doc_id DIV factor. Compare q87-on-scaled against that lift by
+      // partition agreement: group by (truth_rep, scaled_rep) — the
+      // partitions are EQUAL iff the mapping is a bijection (every truth
+      // cluster maps to exactly one scaled cluster and vice versa);
+      // otherwise the split/merge counts localize the recall loss to
+      // banding (splits) or verify false-positives (merges). One narrow
+      // aggregation — no pairwise anything.
+      if (sys.env.get("STRESS_TRUTH").contains("1") && tag != "base") {
+        val scaled = SparkEntry.queries("q87_neardup_fixpoint")(spark, dir)
+          .select(col("doc_id"), col("rep"))
+        val base = SparkEntry.queries("q87_neardup_fixpoint")(spark, baseDir)
+          .select(col("doc_id").as("base_id"), col("rep").as("truth_rep"))
+        val joined = scaled
+          .withColumn("base_id", expr(s"doc_id DIV $factor"))
+          .join(base, "base_id")
+          .select(col("truth_rep"), col("rep").as("scaled_rep"))
+        val cells = joined.groupBy(col("truth_rep"), col("scaled_rep"))
+          .agg(count(lit(1)).as("n")).cache()
+        val nDocs2 = joined.count()
+        val truthClusters = cells.select(col("truth_rep")).distinct().count()
+        val scaledClusters = cells.select(col("scaled_rep")).distinct().count()
+        val splits = cells.groupBy(col("truth_rep"))
+          .agg(countDistinct(col("scaled_rep")).as("m"))
+          .filter(col("m") > 1).count()
+        val merges = cells.groupBy(col("scaled_rep"))
+          .agg(countDistinct(col("truth_rep")).as("m"))
+          .filter(col("m") > 1).count()
+        cells.unpersist()
+        println(s"""STRESS_TRUTH {"corpus":"$tag","docs":$nDocs2,""" +
+          s""""truth_clusters":$truthClusters,"scaled_clusters":$scaledClusters,""" +
+          s""""split_truth_clusters":$splits,"merged_scaled_clusters":$merges,""" +
+          s""""exact_recovery":${splits == 0 && merges == 0 &&
+            truthClusters == scaledClusters}}""")
+      }
       // STRESS_TWOLEVEL=k: flat vs two-level assignment cost at quantizer
       // size k — the per-row k vs k1+|cell| cosine claim, measured
       sys.env.get("STRESS_TWOLEVEL").map(_.toInt).foreach { k =>
