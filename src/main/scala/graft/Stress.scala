@@ -281,6 +281,75 @@ object Stress {
           spark.read.parquet(s"$dir/embeddings.parquet").count()},""" +
           s""""runs":{${sd.mkString(",")}}}""")
       }
+      // STRESS_BANDS=4,6: the recall dial the recovery section
+      // prescribes, measured. Rebuilds the near-dup labeling with a
+      // b×2-band candidate stage (2b minhashes from the same fused
+      // kernel) through a deliberately SIMPLE pipeline — banded buckets
+      // → distinct pairs → exact sorted-set Jaccard ≥ 0.5 → star CC —
+      // so the 4-vs-6 comparison isolates the band count, then runs the
+      // same planted-truth partition compare as STRESS_TRUTH.
+      if (sys.env.contains("STRESS_BANDS") && tag != "base") {
+        val baseLab = SparkEntry.queries("q87_neardup_fixpoint")(spark, baseDir)
+          .select(col("doc_id").as("base_id"), col("rep").as("truth_rep"))
+          .cache()
+        val results = sys.env("STRESS_BANDS").split(",")
+          .toSeq.filter(_.nonEmpty).map(_.toInt).map { b =>
+          val t0 = System.nanoTime()
+          val corpus = queries.Tables(spark, dir, "documents")
+          val sig = graft.functions.TextFunctions
+            .minhashSigNative(col("text"), 2 * b)
+          def mh(j: Int) = element_at(col("sig"), j + 1)
+          val bandStructs = (0 until b).map(i => struct(lit(i).as("band"),
+            concat_ws("_", mh(2 * i), mh(2 * i + 1)).as("bkey")))
+          val banded = corpus
+            .filter(size(split(col("text"), " ")) >= 3)
+            .select(col("doc_id"),
+              graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset"),
+              sig.as("sig"))
+            .select(col("doc_id"), col("shset"),
+              explode(array(bandStructs: _*)).as("bk"))
+            .select(col("doc_id"), col("shset"),
+              col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          val aS = banded.select(col("band"), col("bkey"),
+            col("doc_id").as("a"), col("shset").as("sha"))
+          val bS = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+            col("doc_id").as("bb"), col("shset").as("shb"))
+          // verify BEFORE the pair-dedup exchange: the Jaccard filter is
+          // map-side on the join output, so only the two ids ever shuffle
+          // (a pair colliding in several bands re-verifies once per band —
+          // redundant compute, but payload arrays never cross the wire;
+          // carrying shset through dropDuplicates OOM'd at 100×, the
+          // exact anti-pattern q72's bucket-local verify exists to avoid)
+          val pairs = aS.join(bS, col("band") === col("band_r") &&
+              col("bkey") === col("bkey_r") && col("a") < col("bb"))
+            .filter(graft.functions.SetFunctions
+              .jaccardSorted(col("sha"), col("shb")) >= 0.5)
+            .select(col("a"), col("bb"))
+            .dropDuplicates("a", "bb")
+          val edges = pairs.select(col("a").as("src"), col("bb").as("dst"))
+            .union(pairs.select(col("bb").as("src"), col("a").as("dst")))
+          val labels = operators.Dedup.connectedComponents(
+            corpus.select(col("doc_id")), edges)
+          val joined = labels
+            .withColumn("base_id", expr(s"doc_id DIV $factor"))
+            .join(baseLab, "base_id")
+            .select(col("truth_rep"), col("rep").as("scaled_rep"))
+          val cells = joined.groupBy(col("truth_rep"), col("scaled_rep"))
+            .agg(count(lit(1)).as("n")).cache()
+          val splits = cells.groupBy(col("truth_rep"))
+            .agg(countDistinct(col("scaled_rep")).as("m"))
+            .filter(col("m") > 1).count()
+          val merges = cells.groupBy(col("scaled_rep"))
+            .agg(countDistinct(col("truth_rep")).as("m"))
+            .filter(col("m") > 1).count()
+          cells.unpersist()
+          s""""b$b":{"splits":$splits,"merges":$merges,""" +
+            s""""wall_sec":${(System.nanoTime() - t0) / 1e9}}"""
+        }
+        baseLab.unpersist()
+        println(s"""STRESS_BANDS {"corpus":"$tag",""" +
+          s""""runs":{${results.mkString(",")}}}""")
+      }
       // STRESS_TRUTH=1: planted-structure recovery. The replicated corpus
       // has KNOWN cluster truth — replica r of base doc b is a (near-)dup
       // of b by construction, so the true partition of the scaled corpus
