@@ -72,7 +72,8 @@ object PlanAudit {
     "q132_semantic_dedup" -> "map-side IVF assignment; pairwise bounded per cell (one cid shuffle); survivors via anti-join",
     "q133_stratified_split" -> "two-level prefix sum per source; (source,bucket) offsets and totals broadcast",
     "q134_twolevel_assign" -> "recursive-IVF assignment: coarse argmax then cell argmax, one map-side projection, k1+|cell| cosines/row",
-    "q135_twolevel_multiprobe" -> "nprobe=2 recall knob: union-of-2-cells argmax, still join-free map-side")
+    "q135_twolevel_multiprobe" -> "nprobe=2 recall knob: union-of-2-cells argmax, still join-free map-side",
+    "q136_semdedup_keep_hard" -> "q132's plan with the keep priority swapped to (centroid cos, id) — the SemDeDup paper policy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

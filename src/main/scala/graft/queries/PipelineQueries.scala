@@ -3067,6 +3067,42 @@ object PipelineQueries {
       SELECT l.vec_id, h.ccid, l.cid, l.cid = a.cid AS agree
       FROM lvl2 l JOIN home h ON h.vec_id = l.vec_id
                   JOIN ${duckIvfFinal(2)} a ON a.vec_id = l.vec_id
-      ORDER BY l.vec_id"""))
+      ORDER BY l.vec_id""")),
+
+    // ---- q132 with SemDeDup's PAPER keep policy (arXiv:2303.09540 §3:
+    // within each epsilon-ball keep the point with LOWEST cosine to the
+    // cluster centroid — the "hardest" / most diverse example — where
+    // q132 keeps the lowest id, the oracle-canonical form). Exactly the
+    // q131-vs-q87 relationship: swap the keep PRIORITY, same plan. The
+    // priority key is (assignment cos asc, vec_id asc); a vector is
+    // dropped iff a cell-mate within tau precedes it in that order.
+    // Deterministic on both engines because the cosine is the 6-dec
+    // rounded assignment cosine both already replay. ----
+    Q("q136_semdedup_keep_hard", (s, d) => {
+      val tau = 0.4
+      val assigned = Ivf.assign(embs(s, d), ivfCents(s, d))
+        .select(col("vec_id"), col("cid"), col("embedding"), col("cos"))
+      val a = assigned.select(col("cid").as("cid_a"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("cos").as("cos_a"))
+      val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("cos").as("cos_b"))
+      val dropped = a.join(b, col("cid_a") === col("cid_b") &&
+          (col("cos_a") < col("cos_b") ||
+            (col("cos_a") === col("cos_b") && col("vec_a") < col("vec_b"))))
+        .filter(TextOps.cosine(col("ea"), col("eb")) >= tau)
+        .select(col("vec_b").as("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid"), col("cos").as("centroid_cos"))
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      asg AS (SELECT vec_id, embedding, cid, cos FROM ${duckIvfFinal(2)}),
+      dropped AS (SELECT DISTINCT y.vec_id
+        FROM asg x JOIN asg y ON x.cid = y.cid
+          AND (x.cos < y.cos OR (x.cos = y.cos AND x.vec_id < y.vec_id))
+        WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.4)
+      SELECT a.vec_id, a.cid, a.cos AS centroid_cos FROM asg a
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY a.vec_id"""))
   )
 }

@@ -248,6 +248,42 @@ class QueriesSpec extends AnyFunSuite {
       "two-level should agree with flat on most sf0.001 vectors")
   }
 
+  test("q136 keep-hard policy matches a scalar mirror with (cos, id) priority") {
+    // the SemDeDup paper policy: priority = (assignment cos asc, id asc);
+    // a vector is dropped iff a same-cell mate within tau PRECEDES it.
+    import org.apache.spark.sql.functions._
+    val tau = 0.4
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val assigned = graft.operators.Ivf
+      .assign(spark.read.parquet(s"$dir/embeddings.parquet"),
+        queries.PipelineQueries.ivfCents(spark, dir))
+      .select(col("vec_id"), col("cid"), col("cos"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[Double](3)))
+    def precedes(aCos: Double, aId: Long, bCos: Double, bId: Long): Boolean =
+      aCos < bCos || (aCos == bCos && aId < bId)
+    val expectedKept = assigned.groupBy(_._2).valuesIterator.flatMap { cell =>
+      cell.collect { case (id, _, c, v)
+          if !cell.exists(o => precedes(o._3, o._1, c, id) && cos(o._4, v) >= tau) => id }
+    }.toSet
+    val got = SparkEntry.queries("q136_semdedup_keep_hard")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expectedKept,
+      s"diff: ${(got diff expectedKept) ++ (expectedKept diff got)}")
+    // the policies must actually differ somewhere on the corpus — else
+    // this query is q132 under another name and the test is vacuous
+    val lowId = SparkEntry.queries("q132_semantic_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got != lowId, "keep-hard chose identical reps to keep-low-id")
+  }
+
   test("q135 multi-probe matches a scalar mirror and can only improve recall") {
     // nprobe=2 mirror: top-2 live coarse cells by (cos desc, ccid),
     // argmax over the UNION of their members. Agreement with the flat
