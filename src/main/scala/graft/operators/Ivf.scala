@@ -35,6 +35,64 @@ object Ivf {
 
   private def litVec(cv: Seq[Double]): Column = array(cv.map(lit): _*)
 
+  /** Past this many centroids the inlined-literal scoring expressions
+    * below switch to the data-driven form: the centroid table enters the
+    * plan as ONE `array<struct<cid,cv>>` `Literal` node scored via
+    * `transform` + the native [[TextOps.dot]] kernel. Below it, the
+    * unrolled per-centroid literal form is kept — it whole-stage-
+    * codegens, which the higher-order-function form does not, and at
+    * small k that fusion wins. Both forms rank by the same rounded
+    * cosine with the same tie-break, so results are bit-identical
+    * (spec-locked); only the ENCODING changes. The unrolled tree is
+    * O(k·dim) expression nodes and stops compiling past k ≈ 10³; the
+    * literal-payload tree is O(1) nodes at any k.
+    */
+  private[graft] val InlineFormMaxK = 64
+
+  /** `array<struct<ncos,cid>>` scored against `emb` — negated rounded
+    * cosine first so an ascending `array_sort` ranks (cos desc, cid asc).
+    * Inline form: one expression subtree per centroid (whole-stage-
+    * codegens; O(k·dim) tree nodes).
+    */
+  private[graft] def rankedCellsInline(cents: Centroids, emb: Column): Column =
+    array(cents.map { case (cid, cv) =>
+      struct((-TextOps.cosine(emb, litVec(cv))).as("ncos"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** [[rankedCellsInline]]'s data-driven twin: the centroid table enters
+    * the plan as ONE `array<struct<_1,_2>>` `Literal` node scored via
+    * `transform` — O(1) tree nodes at any k (a literal's payload is
+    * data, not code). Bit-identical results (spec-locked).
+    */
+  private[graft] def rankedCellsData(cents: Centroids, emb: Column): Column =
+    transform(typedLit(cents.map { case (cid, cv) => (cid, cv) }), c =>
+      struct((-TextOps.cosine(emb, c.getField("_2"))).as("ncos"),
+        c.getField("_1").as("cid")))
+
+  private[graft] def rankedCells(cents: Centroids, emb: Column): Column =
+    if (cents.size <= InlineFormMaxK) rankedCellsInline(cents, emb)
+    else rankedCellsData(cents, emb)
+
+  /** The argmax `struct<cos,ncid,cid>` against `emb` — `array_max` ranks
+    * (cos desc, cid asc) via the negated-cid field. Same inline/data
+    * encoding split as [[rankedCells]].
+    */
+  private[graft] def bestStructInline(cents: Centroids, emb: Column): Column =
+    array_max(array(cents.map { case (cid, cv) =>
+      struct(TextOps.cosine(emb, litVec(cv)).as("cos"),
+        lit(-cid).as("ncid"), lit(cid).as("cid"))
+    }: _*))
+
+  private[graft] def bestStructData(cents: Centroids, emb: Column): Column =
+    array_max(transform(typedLit(cents.map { case (cid, cv) => (cid, cv) }),
+      c => struct(TextOps.cosine(emb, c.getField("_2")).as("cos"),
+        (-c.getField("_1")).as("ncid"), c.getField("_1").as("cid"))))
+
+  private[graft] def bestStruct(cents: Centroids, emb: Column): Column =
+    if (cents.size <= InlineFormMaxK) bestStructInline(cents, emb)
+    else bestStructData(cents, emb)
+
   /** Deterministic seed centroids: the embeddings of `vec_id < k`. */
   def seedCentroids(e: DataFrame, k: Int): DataFrame =
     e.filter(col("vec_id") < k)
@@ -52,15 +110,11 @@ object Ivf {
     * over the corpus — zero joins, zero shuffles (the struct max ranks by
     * (cos desc, cid asc) via the negated-cid field).
     */
-  def assign(e: DataFrame, cents: Centroids): DataFrame = {
-    val scored = array(cents.map { case (cid, cv) =>
-      struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
-        lit(-cid).as("ncid"), lit(cid).as("cid"))
-    }: _*)
-    e.select(col("vec_id"), col("embedding"), array_max(scored).as("best"))
+  def assign(e: DataFrame, cents: Centroids): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        bestStruct(cents, col("embedding")).as("best"))
       .select(col("vec_id"), col("embedding"),
         col("best.cid").as("cid"), col("best.cos").as("cos"))
-  }
 
   /** Element-wise mean per cluster. Components are rounded to 6 decimals
     * and summed as exact decimals (Det.davg pattern) → the division is
@@ -92,13 +146,8 @@ object Ivf {
   /** The flat argmax cid as a composable map-side expression (the same
     * ranking as [[assign]]: rounded cosine desc, ties → lowest cid).
     */
-  def bestCell(cents: Centroids, emb: Column): Column = {
-    val scored = array(cents.map { case (cid, cv) =>
-      struct(TextOps.cosine(emb, litVec(cv)).as("cos"),
-        lit(-cid).as("ncid"), lit(cid).as("cid"))
-    }: _*)
-    array_max(scored).getField("cid")
-  }
+  def bestCell(cents: Centroids, emb: Column): Column =
+    bestStruct(cents, emb).getField("cid")
 
   /** The trained centroid table as a (vec_id, embedding) frame, so the
     * centroids themselves can be [[train]]ed over — the input to the
@@ -131,53 +180,52 @@ object Ivf {
     * past k ≈ 10³. Here level 1 picks the nearest COARSE centroid (k1
     * cosines, restricted to coarse cells that own at least one centroid),
     * and level 2 argmaxes over ONLY that cell's member centroids — per
-    * row k1 + |cell| ≈ 2√k cosines instead of k. Still one map-side
-    * projection: the corpus is never expanded, joined, or shuffled.
-    * The result is the standard IVF approximation: exact whenever the
-    * true nearest centroid's coarse cell wins level 1 (q134 reads out
-    * the agreement rate against [[assign]]).
+    * row k1 + nprobe·|cell| ≈ 2√k cosines instead of k. Still one
+    * map-side projection: the corpus is never expanded, joined, or
+    * shuffled. The result is the standard IVF approximation: exact
+    * whenever the true nearest centroid's coarse cell wins level 1
+    * (q134 reads out the agreement rate against [[assign]]).
+    *
+    * ENCODING, deliberately data-not-code: both model artifacts enter
+    * the plan as SINGLE `Literal` nodes — the live coarse table as one
+    * `array<struct<ccid,cv>>` literal, the member index as one
+    * `map<ccid, array<struct<cid,cv>>>` literal — and the scoring is
+    * `transform`/`array_max` over them with the native [[TextOps.dot]]
+    * kernel doing the per-element work. The expression TREE is O(1)
+    * nodes regardless of k/k1 (a literal's payload is data, not code),
+    * so the operator compiles unchanged at the k≈10⁶·k1≈10³ the dial
+    * table prescribes for 100 TB; per-row evaluated cost stays
+    * k1 + nprobe·|cell|. (The previous form inlined every member
+    * centroid as expression literals under a C(k1,nprobe)-branch
+    * when-chain — ~O(k·k1·dim) tree nodes, uncompilable past k≈10³.)
+    * Multi-probe needs no probe-set dispatch at all: argmax over the
+    * union of probed cells == max of the per-cell argmaxes under the
+    * same (cos desc, cid asc) comparator, so level 2 is a transform
+    * over the probed ccids with one `element_at` map lookup each.
     */
   def assignTwoLevel(e: DataFrame, cents: Centroids, coarse: Centroids,
       coarseOf: Map[Long, Long], nprobe: Int = 1): DataFrame = {
     val members: Map[Long, Seq[(Long, Seq[Double])]] =
       cents.groupBy { case (cid, _) => coarseOf(cid) }
-    // level 1: rank the non-empty coarse cells only (an emptied coarse
+    // level 1 ranks the non-empty coarse cells only (an emptied coarse
     // cell has no members to argmax at level 2); multi-probe takes the
     // top `nprobe` — the standard IVF recall knob (probe 2 cells ⇒
     // near-boundary vectors recover their true nearest centroid)
     val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
-    val coarseScored = array(live.map { case (ccid, cv) =>
-      struct((-TextOps.cosine(col("embedding"), litVec(cv))).as("ncos"),
-        lit(ccid).as("ccid"))
-    }: _*)
-    val probed = slice(array_sort(coarseScored), 1, math.min(nprobe, live.size))
-    // level 2: per probed coarse-cell SET, the flat argmax over the
-    // union of member centroids. The probe set is order-insensitive at
-    // level 2 (argmax over a union), so the dispatch key is the sorted
-    // ccid combination — C(live, nprobe) branches, each still one
-    // array_max over ≤ nprobe·|cell| literal cosines.
-    def unionBest(ccids: Seq[Long]): Column = {
-      val scored = array(ccids.flatMap(members(_)).map { case (cid, cv) =>
-        struct(TextOps.cosine(col("embedding"), litVec(cv)).as("cos"),
-          lit(-cid).as("ncid"), lit(cid).as("cid"))
-      }: _*)
-      array_max(scored).getField("cid")
-    }
-    def withProbeFrom(src: DataFrame): DataFrame =
-      src.select(col("vec_id"), col("embedding"), probed.as("probed"))
-        .select(col("vec_id"), col("embedding"),
-          element_at(col("probed"), 1).getField("ccid").as("ccid"),
-          array_sort(transform(col("probed"), p => p.getField("ccid"))).as("pset"))
-    val combos = members.keys.toSeq.sorted
-      .combinations(math.min(nprobe, members.size)).toSeq
-    val cases = combos.map { cc =>
-      (col("pset") === array(cc.sorted.map(lit): _*), unionBest(cc))
-    }
-    val cid = cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
-      case (acc, (pred, v)) => acc.when(pred, v)
-    }
-    withProbeFrom(e).select(col("vec_id"), col("embedding"),
-      col("ccid"), cid.as("cid"))
+    val memberLit = typedLit(members)
+    val probed = slice(array_sort(rankedCells(live, col("embedding"))),
+      1, math.min(nprobe, live.size))
+    // level 2: the winning (cos, ncid, cid) struct within one probed
+    // cell — a map lookup plus |cell| native cosines
+    def cellBest(ccid: Column): Column =
+      array_max(transform(element_at(memberLit, ccid), m =>
+        struct(TextOps.cosine(col("embedding"), m.getField("_2")).as("cos"),
+          (-m.getField("_1")).as("ncid"), m.getField("_1").as("cid"))))
+    e.select(col("vec_id"), col("embedding"), probed.as("probed"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("probed"), 1).getField("cid").as("ccid"),
+        array_max(transform(col("probed"), p => cellBest(p.getField("cid"))))
+          .getField("cid").as("cid"))
   }
 
   /** The query vector's top-`nprobe` cells by rounded cosine (multi-probe:
@@ -185,12 +233,9 @@ object Ivf {
     * Also map-side: sort the literal-scored array (negated cosine →
     * ascending sort ranks cos desc, ties cid asc), take `nprobe`.
     */
-  def probeCells(queryVec: DataFrame, cents: Centroids, nprobe: Int): DataFrame = {
-    val scored = array(cents.map { case (cid, cv) =>
-      struct((-TextOps.cosine(col("qv"), litVec(cv))).as("ncos"), lit(cid).as("cid"))
-    }: _*)
+  def probeCells(queryVec: DataFrame, cents: Centroids, nprobe: Int): DataFrame =
     queryVec.select(col("qid"), col("qv"),
-        explode(slice(array_sort(scored), 1, nprobe)).as("pc"))
+        explode(slice(array_sort(rankedCells(cents, col("qv"))), 1, nprobe))
+          .as("pc"))
       .select(col("qid"), col("qv"), col("pc.cid").as("cid"))
-  }
 }

@@ -101,6 +101,65 @@ class IvfSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(c3 == Seq(1.0, 0.0), s"empty cluster 3 must keep its seed, got $c3")
   }
 
+  test("inline and data-driven scoring encodings are bit-identical") {
+    // the size-threshold dispatch in rankedCells/bestStruct must be
+    // semantics-free: the data-driven form (one Literal payload +
+    // transform) has to reproduce the codegen'd inline form row-for-row,
+    // including rounded-cosine ties — otherwise the k > InlineFormMaxK
+    // regime silently changes assignments
+    val cents = Ivf.train(e, 8, 2)
+    def viaForm(f: (Ivf.Centroids, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Seq[(Long, Long, Double)] =
+      e.select(col("vec_id"), f(cents, col("embedding")).as("best"))
+        .select(col("vec_id"), col("best.cid"), col("best.cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(viaForm(Ivf.bestStructInline) == viaForm(Ivf.bestStructData))
+    def rankedForm(f: (Ivf.Centroids, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Seq[(Long, Seq[Long])] =
+      e.select(col("vec_id"),
+          transform(slice(array_sort(f(cents, col("embedding"))), 1, 3),
+            p => p.getField("cid")).as("top"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+    assert(rankedForm(Ivf.rankedCellsInline) == rankedForm(Ivf.rankedCellsData))
+  }
+
+  test("two-level assignment at k=80 (past InlineFormMaxK) matches a " +
+      "scalar mirror — the data-driven encoding carries the large-k path") {
+    // k=80 > InlineFormMaxK forces BOTH levels through the single-Literal
+    // form (training included); the scalar mirror re-derives level 1 over
+    // live coarse cells and level 2 over the union of the 2 probed cells'
+    // members, so this locks the exact semantics at the scale regime the
+    // operator exists for — the regime the old C(k1,nprobe) literal
+    // when-chain could not compile
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cents = Ivf.train(e, 80, 2)
+    val (coarse, coarseOf) = Ivf.coarsen(spark, cents, 9, 2)
+    val members = cents.groupBy { case (cid, _) => coarseOf(cid) }
+    val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val expected = vecs.map { case (id, v) =>
+      val ranked = live.map { case (ccid, cv) => (-cos(cv, v), ccid) }.sorted
+      val probed = ranked.take(2).map(_._2)
+      val cid = probed.flatMap(members(_))
+        .map { case (c, cv) => (cos(cv, v), -c, c) }.max._3
+      (id, probed.head, cid)
+    }.toSet
+    val got = Ivf.assignTwoLevel(e, cents, coarse, coarseOf, nprobe = 2)
+      .select(col("vec_id"), col("ccid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("k and dim are free parameters (k=5 over a 2-dim corpus trains clean)") {
     import spark.implicits._
     val vecs = (0L until 40L).map { i =>
