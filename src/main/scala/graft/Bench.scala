@@ -101,6 +101,30 @@ object Bench {
     // capture every round since r5 (BENCH_r0{5,6,7}.json all carry
     // parsed:null with a 2000-char tail of WindowExec noise)
     spark.sparkContext.setLogLevel("ERROR")
+    // quiet-box gate: the r9 driver artifact carried drift_warns:10 with
+    // load 2.83 at start — the self-adjudication NAMED the inflation but
+    // the headline numbers still shipped contaminated. Wait (bounded) for
+    // the 1-min load to fall below the threshold and for competing JVMs
+    // to drain before any timing, re-reading after each sleep; if the box
+    // never quiets inside the budget, time anyway but stamp the artifact
+    // `degraded:true` — so a driver artifact is either clean or
+    // self-labeled, never silently inflated. The gate runs BEFORE the
+    // warm-up and cache probes so those also see the quiet box.
+    val quietLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.0").toDouble
+    val quietBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "300").toInt
+    def boxBusy(): Boolean = {
+      val l = loadAvg(); val j = competingJvms()
+      // unreadable /proc (-1) never blocks the gate
+      (l >= 0 && l > quietLoad) || j > 0
+    }
+    val quietT0 = System.nanoTime()
+    while (boxBusy() &&
+        (System.nanoTime() - quietT0) / 1e9 < quietBudgetSec)
+      Thread.sleep(5000)
+    val quietWaitSec = (System.nanoTime() - quietT0) / 1e9
+    val degraded = boxBusy()
     // warm the JVM/IO once so headline timings measure the queries, not
     // class-loading
     SparkEntry.queries.get("q06_forecast_revenue")
@@ -246,7 +270,8 @@ object Bench {
     val env = s""""env":{"load_start":$loadStart,"load_end":${loadAvg()},""" +
       s""""competing_jvms_start":$jvmsStart,"competing_jvms_end":${competingJvms()},""" +
       s""""cpu_governor":"${cpuGovernor()}","cpu_steal_pct":${f3(stealPct)},""" +
-      s""""scan_probe_cold":${f3(scanCold)},"scan_probe_warm":${f3(scanWarm)}},""" +
+      s""""scan_probe_cold":${f3(scanCold)},"scan_probe_warm":${f3(scanWarm)},""" +
+      s""""quiet_wait_sec":${f3(quietWaitSec)},"degraded":$degraded},""" +
       s""""drift_vs_prior":$driftJson,"testdata":${testdataFingerprint(sfDir)}"""
     // sink:noop marks the measurement methodology — numbers before this
     // field existed were count()-based and under-measured projection
@@ -272,6 +297,7 @@ object Bench {
     // drift_warns stays a bare count on stdout (the driver tail is
     // bounded); the per-query prior/now pairs are in the detail file
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sink":"noop",""" +
-      s""""queries":$qs,"drift_warns":${driftWarns.length},"sf":"$sfDir","detail":"bench_detail.json"}""")
+      s""""queries":$qs,"drift_warns":${driftWarns.length},"degraded":$degraded,""" +
+      s""""sf":"$sfDir","detail":"bench_detail.json"}""")
   }
 }

@@ -167,24 +167,35 @@ object StreamStress {
           cents, tau = 0.4, cap = cap, ttlMs = ttl))
       }
 
+    // cap-overflow census (embed mode): admissions that lost all dedup
+    // memory at a full cell — the recall trade the cap dial buys state
+    // bounds with, now a number in the artifact instead of a silent loss
+    def overflowNow(): Long =
+      if (embedMode) graft.streaming.EmbedStream.capOverflows(spark).value
+      else -1L
+    val of0 = overflowNow()
     // lifetime dedup: state == bucket cardinality (the upper bound)
     val unbounded = run(spark, corpus, ttlMs = 0L, maxFilesPerTrigger = 2,
       afterDrainMs = 0L, expectRows = nDocs, tag = "ttl0", mkCands = mkEmbed)
+    val of1 = overflowNow()
     // horizon dedup: 5 s TTL ≫ one micro-batch, ≪ the post-drain wait —
     // mid-run idle buckets evict, and after the drain EVERY bucket
     // passes the horizon, so final state must collapse toward 0
     val horizon = run(spark, corpus, ttlMs = 5000L, maxFilesPerTrigger = 2,
       afterDrainMs = 15000L, expectRows = nDocs, tag = "ttl5s", mkCands = mkEmbed)
+    val of2 = overflowNow()
 
-    def j(r: Result): String =
+    def j(r: Result, overflow: Long): String =
       s"""{"batches":${r.batches},"input_rows":${r.inputRows},""" +
         s""""candidates":${r.candidates},"state_rows_peak":${r.stateRowsPeak},""" +
         s""""state_rows_final":${r.stateRowsFinal},"evicted":${r.evicted},""" +
-        s""""state_bytes_peak":${r.stateBytesPeak},"wall_sec":${math.round(r.wallSec * 10) / 10.0}}"""
+        s""""state_bytes_peak":${r.stateBytesPeak},"cap_overflow":$overflow,""" +
+        s""""wall_sec":${math.round(r.wallSec * 10) / 10.0}}"""
     println(s"""STREAMSTRESS {"corpus":"$corpus","docs":$nDocs,""" +
       s""""mode":"${if (embedMode) "embed" else "docs"}","provider":"${spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass").getOrElse("hdfs-default")}",""" +
-      s""""ttl0":${j(unbounded)},"ttl5s":${j(horizon)}}""")
+      s""""ttl0":${j(unbounded, if (embedMode) of1 - of0 else -1L)},""" +
+      s""""ttl5s":${j(horizon, if (embedMode) of2 - of1 else -1L)}}""")
     spark.stop()
   }
 }

@@ -2927,8 +2927,11 @@ object PipelineQueries {
     // ceil(0.8n) train, ceil(0.1n) val, remainder test (integer-exact
     // thresholds, no float ratios). Pure hash-mod splits hit ratios only
     // in expectation and can starve a small source's val/test entirely;
-    // this guarantees every source appears in every split at the planned
-    // ratio, and the content-keyed order makes the split stable under
+    // here the quota arithmetic is exact, so a source gets val/test rows
+    // once n is large enough for the ceil quotas to leave a remainder
+    // (test needs n > ceil(0.8n)+ceil(0.1n) — first at n=10; a tiny
+    // source, n<=3, still lands entirely in train, a boundary QueriesSpec
+    // pins), and the content-keyed order makes the split stable under
     // re-crawls that renumber doc_ids. Scale shape is q95's two-level
     // prefix sum applied per source: rank within (source, ckey-prefix
     // bucket), broadcast the per-(source, bucket) offsets (|sources|x256

@@ -58,6 +58,22 @@ object EmbedStream {
     if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
 
+  /** Cap-overflow admissions: vectors that matched no exemplar AND found
+    * their cell full — admitted with NO dedup memory (the documented
+    * leader-clustering trade at the cap boundary). Silent, that trade
+    * lets a mis-sized cap degrade recall invisibly; this per-session
+    * named accumulator makes it a number an operator can alarm on
+    * (visible in the UI / StreamingQueryProgress custom metrics path,
+    * and read directly via [[capOverflows]]`.value`). One accumulator
+    * per SparkContext — micro-batches add task-side, values merge
+    * driver-side across the stream's lifetime.
+    */
+  private val overflowAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  def capOverflows(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    overflowAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("embedstream.cap_overflow"))
+
   /** Emits (vec_id, cid, dup_of, cosine) for each vector within `tau`
     * of a stored exemplar in its cell. Works on batch frames too (the
     * batch twin used by the parity spec). State per cell: up to `cap`
@@ -67,6 +83,7 @@ object EmbedStream {
       cap: Int, ttlMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val overflow = capOverflows(spark)
     Ivf.assign(stream, cents)
       .select(col("cid"), col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Long, Seq[Double])]
@@ -90,8 +107,10 @@ object EmbedStream {
                 case Some((eid, c)) => out += ((id, cid, eid, c))
                 case None =>
                   if (exemplars.length < cap) exemplars :+= (id, v)
-                // else: admitted without memory — the documented
-                // leader-clustering recall trade at the cap boundary
+                  // admitted without memory — the documented leader-
+                  // clustering recall trade at the cap boundary, COUNTED
+                  // so a mis-sized cap is observable, not silent
+                  else overflow.add(1L)
               }
             }
             state.update(exemplars)

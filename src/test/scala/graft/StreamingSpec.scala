@@ -570,4 +570,42 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(EmbedStream.semanticNearDup(e, cents, tau = 0.4, cap = 0).count() == 0)
   }
+
+  test("cap-overflow admissions are counted, matching the scalar mirror " +
+      "(ST14o)") {
+    // a vector that matches no exemplar AND finds its cell full is
+    // admitted with no dedup memory — the leader-clustering recall trade.
+    // The accumulator must count exactly those, so a mis-sized cap is a
+    // number, not a silent recall loss.
+    import graft.streaming.EmbedStream
+    val cents = queries.PipelineQueries.ivfCents(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def expectedOverflow(cap: Int): Long =
+      embAssigned.groupBy(_._1).valuesIterator.map { cell =>
+        val ex = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+        var n = 0L
+        cell.sortBy(_._2).foreach { case (_, id, v) =>
+          ex.iterator
+            .map { case (_, ev) => EmbedStream.cosScalar(ev, v) }
+            .find(_ >= 0.4) match {
+            case Some(_) => ()
+            case None => if (ex.length < cap) ex += ((id, v)) else n += 1
+          }
+        }
+        n
+      }.sum
+    val acc = EmbedStream.capOverflows(spark)
+    def measured(cap: Int): Long = {
+      val before = acc.value
+      EmbedStream.semanticNearDup(e, cents, tau = 0.4, cap = cap)
+        .write.format("noop").mode("overwrite").save()
+      acc.value - before
+    }
+    val exp1 = expectedOverflow(1)
+    assert(exp1 > 0, "cap=1 on this corpus should overflow somewhere")
+    assert(measured(1) == exp1)
+    // unbounded cap ⇒ zero overflow (every unmatched vector is admitted
+    // WITH memory)
+    assert(measured(10000) == 0L)
+  }
 }
