@@ -127,6 +127,63 @@ object StreamStress {
     }
   }
 
+  /** STREAM_STRESS_LABELS=1: the ST13 path at scale — drive the corpus
+    * through [[graft.streaming.DocsStream.nearDupCandidates]] with the
+    * epoch-versioned [[graft.streaming.DocsStream.incrementalLabelSink]],
+    * then check the drained labeling against a from-scratch connected-
+    * components run over the batch twin's full edge set. Readouts: epoch
+    * count, per-epoch sink wall (the incremental-CC cost curve), final
+    * label rows, surviving epoch dirs (must be 1 — superseded epochs
+    * pruned), and the exact-match bit.
+    */
+  private def labelsMode(spark: SparkSession, corpus: String, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.streaming.DocsStream
+    val t0 = System.nanoTime()
+    val root = java.nio.file.Files.createTempDirectory("labels-stress").toString
+    val epochWalls = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val sink = DocsStream.incrementalLabelSink(root) _
+    val q = DocsStream
+      .nearDupCandidates(DocsStream.readStream(spark, corpus, 2))
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val e0 = System.nanoTime()
+        sink(df, epoch)
+        epochWalls.add((System.nanoTime() - e0) / 1e9)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val streamWall = (System.nanoTime() - t0) / 1e9
+    val labels = DocsStream.latestLabels(spark, root)
+      .getOrElse(sys.error("no epoch written"))
+    val labelRows = labels.count()
+    val epochDirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("epoch="))
+    // drained == from-scratch: the same check ST13 locks at sf0.001,
+    // here over the scaled corpus (anti-join both ways == 0 diffs)
+    val e = DocsStream.nearDupCandidatesBatch(spark.read.parquet(corpus))
+      .select(col("doc_id").as("src"), col("dup_of").as("dst"))
+    val docsInEdges = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
+    val want = operators.Dedup.connectedComponents(docsInEdges, e)
+    val diff = labels.join(want, Seq("doc_id", "rep"), "left_anti").count() +
+      want.join(labels, Seq("doc_id", "rep"), "left_anti").count()
+    val walls = {
+      var w = List.empty[Double]
+      val it = epochWalls.iterator(); while (it.hasNext) w ::= it.next()
+      w.reverse
+    }
+    def f2(d: Double) = math.round(d * 100) / 100.0
+    println(s"""STREAMSTRESS_LABELS {"corpus":"$corpus","docs":$nDocs,""" +
+      s""""epochs":${walls.size},"label_rows":$labelRows,""" +
+      s""""epoch_dirs_final":$epochDirs,"label_diff":$diff,""" +
+      s""""epoch_wall_first_sec":${f2(walls.headOption.getOrElse(-1.0))},""" +
+      s""""epoch_wall_last_sec":${f2(walls.lastOption.getOrElse(-1.0))},""" +
+      s""""epoch_wall_max_sec":${f2(if (walls.isEmpty) -1.0 else walls.max)},""" +
+      s""""stream_wall_sec":${f2(streamWall)},""" +
+      s""""ok":${diff == 0 && epochDirs == 1}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     // STREAM_STRESS_EMBED=1: drive the EMBEDDING stream
     // (EmbedStream.semanticNearDup) over the scaled jittered corpus
@@ -153,6 +210,12 @@ object StreamStress {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val nDocs = spark.read.parquet(corpus).count()
+
+    if (sys.env.get("STREAM_STRESS_LABELS").contains("1")) {
+      labelsMode(spark, corpus, nDocs)
+      spark.stop()
+      return
+    }
 
     // embed mode: train the corpus-scaled quantizer ONCE (a build step,
     // like the batch q132), then both configs stream against its literal

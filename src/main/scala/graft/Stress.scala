@@ -409,8 +409,13 @@ object Stress {
         val flatS = time(operators.Ivf.assign(e, cents))
         val twoS = time(
           operators.Ivf.assignTwoLevel(e, cents, coarse, coarseOf))
+        // the broadcast-handle encoding (member payload off the task
+        // binary) must cost the same wall — its win is shipped bytes
+        val twoBcS = time(
+          operators.Ivf.assignTwoLevelBc(e, cents, coarse, coarseOf))
         println(s"""STRESS_TWOLEVEL {"corpus":"$tag","vectors":${e.count()},""" +
-          s""""k":$k,"k1":$k1,"flat_warm_sec":$flatS,"twolevel_warm_sec":$twoS}""")
+          s""""k":$k,"k1":$k1,"flat_warm_sec":$flatS,"twolevel_warm_sec":$twoS,""" +
+          s""""twolevel_bc_warm_sec":$twoBcS}""")
       }
     }
     spark.stop()

@@ -228,6 +228,42 @@ object Ivf {
           .getField("cid").as("cid"))
   }
 
+  /** [[assignTwoLevel]] with the member index riding a real
+    * `Broadcast` variable instead of the plan — the huge-k tier. The
+    * `typedLit` encoding above keeps the expression TREE O(1) nodes, but
+    * the literal's PAYLOAD still serializes into each stage's task
+    * binary: O(k·dim) bytes (512 KB at k=10³ — Spark already logs the
+    * large-task-binary warning there — 0.5–13 GB at the k≈10⁶–10⁷ the
+    * dial table prescribes for 10¹¹ vectors). Here level 2's member
+    * table is a torrent-broadcast fetched once per EXECUTOR and shared
+    * by its tasks ([[graft.functions.CellArgmaxBroadcast]] serializes
+    * only the handle), with member norms precomputed at build — the
+    * same lifecycle as a broadcast-hash-join relation but still one
+    * map-side projection: no join, no corpus expansion, no
+    * re-aggregation exchange. Level 1's coarse table stays a literal
+    * payload (k1 ≈ √k ⇒ ~2.5 MB at k=10⁷ — task-binary-safe).
+    * Bit-identical to [[assignTwoLevel]] (spec-locked).
+    */
+  def assignTwoLevelBc(e: DataFrame, cents: Centroids, coarse: Centroids,
+      coarseOf: Map[Long, Long], nprobe: Int = 1): DataFrame = {
+    val members: Map[Long, Seq[(Long, Seq[Double])]] =
+      cents.groupBy { case (cid, _) => coarseOf(cid) }
+    val live = coarse.filter { case (ccid, _) => members.contains(ccid) }
+    val bc = e.sparkSession.sparkContext.broadcast(
+      members.map { case (cc, ms) =>
+        cc -> graft.functions.CellMembers.build(ms)
+      })
+    val probed = slice(array_sort(rankedCells(live, col("embedding"))),
+      1, math.min(nprobe, live.size))
+    e.select(col("vec_id"), col("embedding"), probed.as("probed"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("probed"), 1).getField("cid").as("ccid"),
+        array_max(transform(col("probed"), p =>
+          graft.functions.BroadcastArgmax.cellArgmax(bc,
+            p.getField("cid"), col("embedding"))))
+          .getField("cid").as("cid"))
+  }
+
   /** The query vector's top-`nprobe` cells by rounded cosine (multi-probe:
     * rank 1 is the home cell, rank 2+ recover near-boundary neighbors).
     * Also map-side: sort the literal-scored array (negated cosine →

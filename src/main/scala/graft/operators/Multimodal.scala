@@ -34,6 +34,8 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
   final case class MediaFeatures(doc_id: Long, kind: String, features: Array[Double])
+  final case class ImageMeta(doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, mean_luma: Double, ok: Boolean)
 
   /** Attach the opaque media column + kind to the documents table (the
     * testdata has no real media, so the blob is the utf-8 text — same
@@ -106,6 +108,57 @@ object Multimodal {
         batch.map { r =>
           val (w, h, f) = decodeStub(r.media)
           MediaMeta(r.doc_id, r.kind, r.media.length.toLong, w, h, f)
+        }
+      }
+    }
+  }
+
+  /** The codec seam carrying a REAL decoder: `javax.imageio` ships with
+    * the JDK (PNG/BMP/GIF/JPEG readers, zero native deps), so this stage
+    * decodes actual image bytes to real width/height plus a pixel
+    * statistic (mean Rec.601 luma, rounded to 3 decimals) — proving the
+    * batched-`mapPartitions` plumbing the stub stages test carries an
+    * actual codec unchanged: same batch shape, same map-side zero-shuffle
+    * plan, same encoder discipline. An un-decodable blob yields
+    * `ok = false` with zeroed fields rather than a thrown task — at
+    * corpus scale a corrupt image is a DATA error to filter on, not a
+    * job error (one bad blob in 10¹¹ must not kill a stage). The oracle
+    * queries (q53/q75) stay on the deterministic stubs — DuckDB can't
+    * decode PNGs; this stage is spec-locked against generated images
+    * instead ([[graft.MultimodalSpec]]).
+    */
+  def decodeImageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-task: keep ImageIO off its disk-backed stream cache — these
+      // are in-memory byte arrays; a temp file per record is pure churn
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val bad = ImageMeta(r.doc_id, r.kind, r.media.length.toLong,
+            0, 0, 0.0, ok = false)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media))
+            if (img == null) bad
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              ImageMeta(r.doc_id, r.kind, r.media.length.toLong, w, h,
+                math.round(sum / (w.toLong * h) * 1000) / 1000.0, ok = true)
+            }
+          } catch { case _: Exception => bad }
         }
       }
     }

@@ -27,12 +27,34 @@ object PipelineQueries {
     * k grows with n; [[graft.Stress]] measures both the right and the
     * deliberately-wrong setting at 10×). The Q entry pins k=8 for the
     * oracle, whose unrolled Lloyd CTEs hardcode the same k.
+    *
+    * Past [[Ivf.InlineFormMaxK]] centroids the assignment routes through
+    * the two-level (recursive IVF) path with nprobe=2 — k1+2·|cell|
+    * cosines per row instead of k, the dial table's prescribed shape for
+    * corpus-scaled k (measured 10.1× over flat at k=1000/100×). The
+    * keep/drop semantics are unchanged — only which cell a near-boundary
+    * vector lands in can differ (the standard IVF approximation, 96.6%
+    * flat-agreement at nprobe=2), which shifts the cell-scoping recall
+    * boundary q70/ST14 already backstop. The oracle's k=8 stays on the
+    * exact flat argmax.
     */
+  private[graft] def q132Assigned(s: SparkSession, d: String, k: Int): DataFrame = {
+    val cents = ivfCentsK(s, d, k)
+    val assigned =
+      if (k <= Ivf.InlineFormMaxK) Ivf.assign(embs(s, d), cents)
+      else {
+        val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+        val (coarse, coarseOf) =
+          Models.cached(s"ivfcoarse:$d:k=$k,k1=$k1,rounds=2")(
+            Ivf.coarsen(s, cents, k1, 2))
+        Ivf.assignTwoLevel(embs(s, d), cents, coarse, coarseOf, nprobe = 2)
+      }
+    assigned.select(col("vec_id"), col("cid"), col("embedding"))
+  }
+
   private[graft] def q132Frame(s: SparkSession, d: String, k: Int): DataFrame = {
     val tau = 0.4
-    val cents = ivfCentsK(s, d, k)
-    val assigned = Ivf.assign(embs(s, d), cents)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+    val assigned = q132Assigned(s, d, k)
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"))
     val b = assigned.select(col("cid").as("cid_b"),

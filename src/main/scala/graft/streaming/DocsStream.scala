@@ -23,10 +23,16 @@ import graft.operators.TextOps
   * representative, so state tracks the horizon's churn, not the
   * stream's lifetime.
   *
-  * Ordering contract: candidates match the batch twin when doc_ids
-  * arrive in increasing order (the natural ingest order — ids are
-  * assigned at ingest). Within a micro-batch the handler sorts, so only
-  * CROSS-batch regressions of id order can diverge.
+  * Ordering contract: candidates match the batch twin EXACTLY when
+  * doc_ids arrive in increasing order (the natural ingest order — ids
+  * are assigned at ingest). Within a micro-batch the handler sorts, so
+  * only CROSS-batch regressions of id order can perturb emissions —
+  * and under those, [[nearDupCandidates]] emits a rep-relink edge when
+  * a later batch displaces a bucket's stored rep with a smaller id, so
+  * the edge set's CONNECTED COMPONENTS (what the incremental labeling
+  * consumes) equal the batch twin's under ANY arrival order; only the
+  * edge orientation/multiplicity can differ. Spec-locked both ways:
+  * ordered staging (bit-parity) and reversed staging (label parity).
   */
 object DocsStream {
 
@@ -124,7 +130,17 @@ object DocsStream {
             val out = Array.newBuilder[(Long, Int, Long)]
             ids.foreach { id =>
               if (minSeen < id) out += ((id, band, minSeen))
-              else if (id < minSeen) minSeen = id
+              else if (id < minSeen) {
+                // a smaller id DISPLACES the stored rep: link old rep →
+                // new rep, or every doc anchored to the old rep silently
+                // disconnects from docs anchored to the new one. Under
+                // id-ordered arrival this never fires (bit-parity with
+                // the batch twin unchanged); out-of-order arrival —
+                // unsorted crawl splits, the normal production case —
+                // is exactly what the 10× labels stress caught.
+                if (minSeen != Long.MaxValue) out += ((minSeen, band, id))
+                minSeen = id
+              }
             }
             state.update(minSeen)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
@@ -153,6 +169,19 @@ object DocsStream {
     * as a passenger column — per-(band, bucket) state stays ONE long;
     * the representative's shingles come from the `history` corpus table
     * via a stream-static equi-join (candidates-sized per micro-batch).
+    *
+    * Out-of-order arrival boundary (deliberate asymmetry with
+    * [[nearDupCandidates]]'s rep-relink): when a later batch displaces a
+    * bucket's rep with a smaller id, the (old rep, new rep) pair is NOT
+    * emitted here — verifying it needs the old rep's shingles, which are
+    * neither in-batch nor in state (state is one long by design), and an
+    * unverified emission would break this stream's "confirmed pairs
+    * only" contract. The effect is OVER-KEEPING (both reps survive a
+    * downstream keep-list) — a bounded recall loss, never a false drop,
+    * and exactly the property the TTL horizon re-seed already has.
+    * Consumers building cluster LABELS should consume
+    * [[nearDupCandidates]] (connectivity-exact under any order) rather
+    * than this keep-list stream.
     */
   def nearDupVerified(stream: DataFrame, history: DataFrame,
       ttlMs: Long = 0L): DataFrame = {

@@ -303,6 +303,52 @@ class DedupSpec extends AnyFunSuite {
     assert(incr(6L) == 6L && incr(7L) == 7L, "untouched singletons keep themselves")
   }
 
+  test("planted-structure recovery at 10x: zero merges, strays within " +
+      "the analytic MinHash bound (gated: GRAFT_STRESS=1)") {
+    // the r9 STRESS_TRUTH result, promoted from a harness readout to a
+    // locked property: replica r of base doc b is a near-dup of b by
+    // construction, so the true partition of the 10x corpus is the base
+    // q87 partition lifted through base_id = doc_id DIV 10. A kernel or
+    // pipeline change that introduces false merges (verify too loose) or
+    // excess strays (signature recall degraded) now FAILS A TEST instead
+    // of surfacing a round later in the measurement harness.
+    //   merges == 0 — the verify threshold admits no false fusion, ever;
+    //   splits <= 8 — measured 2; the analytic expectation is the
+    //     MinHash recall curve (per-pair all-4-band miss ~(1-s^2)^4,
+    //     ~1.7% at the shortest 10-token docs, falling to 1.8e-4 by 50
+    //     tokens), which over ~45k perturbed replicas puts the expected
+    //     stray count in low single digits; 8 is 4x the measurement,
+    //     far below any real recall regression.
+    assume(sys.env.get("GRAFT_STRESS").contains("1"),
+      "set GRAFT_STRESS=1 to run the 10x planted-recovery gate")
+    val factor = 10
+    val scaledDir = s"/tmp/graft_stress/x$factor"
+    val baseDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$scaledDir/documents.parquet").exists(),
+      "stress corpus missing - run tools/stress_sf1.sh first")
+    val scaled = SparkEntry.queries("q87_neardup_fixpoint")(spark, scaledDir)
+      .select(col("doc_id"), col("rep"))
+    val base = SparkEntry.queries("q87_neardup_fixpoint")(spark, baseDir)
+      .select(col("doc_id").as("base_id"), col("rep").as("truth_rep"))
+    val cells = scaled
+      .withColumn("base_id", expr(s"doc_id DIV $factor"))
+      .join(base, "base_id")
+      .groupBy(col("truth_rep"), col("rep").as("scaled_rep"))
+      .agg(count(lit(1)).as("n")).cache()
+    try {
+      val merges = cells.groupBy(col("scaled_rep"))
+        .agg(countDistinct(col("truth_rep")).as("m"))
+        .filter(col("m") > 1).count()
+      val splits = cells.groupBy(col("truth_rep"))
+        .agg(countDistinct(col("scaled_rep")).as("m"))
+        .filter(col("m") > 1).count()
+      info(s"splits=$splits merges=$merges")
+      assert(merges == 0, s"false fusion: $merges merged scaled clusters")
+      assert(splits <= 8,
+        s"stray count $splits exceeds the analytic MinHash bound (<=8)")
+    } finally cells.unpersist()
+  }
+
   test("star CC abort path releases its pinned blocks (maxRounds guard)") {
     val docsDf = (1L to 64L).toDF("doc_id")
     val edges = (1L until 64L).map(i => i -> (i + 1)).toDF("src", "dst")

@@ -160,6 +160,27 @@ class IvfSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"diff: ${(got diff expected) ++ (expected diff got)}")
   }
 
+  test("broadcast-handle two-level assignment is bit-identical to the " +
+      "literal-payload form (k=80, nprobe=2)") {
+    // same semantics, different TRANSPORT: assignTwoLevelBc ships the
+    // member table as a torrent-broadcast handle instead of a literal
+    // payload in the task binary — the tier for k where O(k·dim) bytes
+    // per stage stops being shippable. Row-for-row equality locks the
+    // native scan kernel (fold order, HALF_UP rounding, tie-break)
+    // against the transform/typedLit form.
+    val cents = Ivf.train(e, 80, 2)
+    val (coarse, coarseOf) = Ivf.coarsen(spark, cents, 9, 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select(col("vec_id"), col("ccid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val lit2 = rows(Ivf.assignTwoLevel(e, cents, coarse, coarseOf, nprobe = 2))
+    val bc2 = rows(Ivf.assignTwoLevelBc(e, cents, coarse, coarseOf, nprobe = 2))
+    assert(lit2 == bc2)
+    val lit1 = rows(Ivf.assignTwoLevel(e, cents, coarse, coarseOf))
+    val bc1 = rows(Ivf.assignTwoLevelBc(e, cents, coarse, coarseOf))
+    assert(lit1 == bc1)
+  }
+
   test("k and dim are free parameters (k=5 over a 2-dim corpus trains clean)") {
     import spark.implicits._
     val vecs = (0L until 40L).map { i =>

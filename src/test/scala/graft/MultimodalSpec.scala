@@ -58,6 +58,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxBatch <= Multimodal.BatchSize)
   }
 
+  test("real image decode via javax.imageio: exact dims + pixel stats, " +
+      "corrupt blobs flagged not thrown, partition-invariant, map-side") {
+    import spark.implicits._
+    // generate real PNGs in-memory: solid-color images whose mean luma
+    // is known exactly (Rec.601 of the fill color), plus one garbage
+    // blob — the seam must decode the real ones and FLAG the bad one
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def luma(rgb: Int): Double =
+      math.round((0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) * 1000) / 1000.0
+    val white = 0xffffff; val red = 0xff0000; val grey = 0x808080
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png(17, 9, white)),
+      Multimodal.MediaRow(2L, "image", png(64, 64, red)),
+      Multimodal.MediaRow(3L, "image", png(3, 200, grey)),
+      Multimodal.MediaRow(4L, "image", Array[Byte](1, 2, 3, 4)))
+    val df = spark.createDataset(rows).toDF()
+    val got = Multimodal.decodeImageMeta(df).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got(1L).ok && got(1L).width == 17 && got(1L).height == 9 &&
+      got(1L).mean_luma == luma(white))
+    assert(got(2L).ok && got(2L).width == 64 && got(2L).height == 64 &&
+      got(2L).mean_luma == luma(red))
+    assert(got(3L).ok && got(3L).width == 3 && got(3L).height == 200 &&
+      got(3L).mean_luma == luma(grey))
+    assert(!got(4L).ok && got(4L).width == 0 && got(4L).n_bytes == 4,
+      "garbage bytes must flag ok=false, not throw")
+    // partition invariance: the stage is pure per-record
+    val g7 = Multimodal.decodeImageMeta(df.repartition(7)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(g7 == got)
+    // map-side: no exchange in the single-partition plan (repartition
+    // above is input staging, not the stage's own shuffle)
+    val p = Multimodal.decodeImageMeta(df).toDF()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"image decode must not shuffle:\n$p")
+  }
+
   test("resize stage: exact byte budget, deterministic, map-side") {
     val resized = Multimodal.resizeMedia(media, 64, 64)
     val p = resized.toDF().queryExecution.executedPlan.toString

@@ -173,6 +173,49 @@ class QueriesSpec extends AnyFunSuite {
       s"diff: ${(got diff expectedKept) ++ (expectedKept diff got)}")
   }
 
+  test("q132Frame routes k > InlineFormMaxK through the two-level " +
+      "assignment (scalar drop-set mirror at k=80)") {
+    // the scale path: above the inline-form ceiling the pipeline must
+    // assign via the recursive-IVF path (nprobe=2), not the flat argmax.
+    // The mirror re-derives the drop set from the TWO-LEVEL assignments;
+    // the premise check asserts flat and two-level actually disagree
+    // somewhere at this k, so a silent fall-back to flat would fail.
+    import org.apache.spark.sql.functions._
+    val tau = 0.4
+    val k = 80
+    val cents = queries.PipelineQueries.ivfCentsK(spark, dir, k)
+    val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+    val (coarse, coarseOf) = graft.operators.Ivf.coarsen(spark, cents, k1, 2)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val twoLevel = graft.operators.Ivf
+      .assignTwoLevel(e, cents, coarse, coarseOf, nprobe = 2)
+      .select(col("vec_id"), col("cid"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val flat = graft.operators.Ivf.assign(e, cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoLevel.exists { case (id, cid, _) => flat(id) != cid },
+      "premise broken: two-level agrees with flat everywhere at k=80, " +
+        "routing would be unobservable")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expectedKept = twoLevel.groupBy(_._2).valuesIterator.flatMap { cell =>
+      val sorted = cell.sortBy(_._1)
+      sorted.collect { case (id, _, v)
+          if !sorted.exists(o => o._1 < id && cos(o._3, v) >= tau) => id }
+    }.toSet
+    val got = queries.PipelineQueries.q132Frame(spark, dir, k)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expectedKept,
+      s"diff: ${(got diff expectedKept) ++ (expectedKept diff got)}")
+  }
+
   test("q132 scopes comparisons to the cell: cross-cell near-dups both survive") {
     // the documented recall boundary (and the scale guarantee in the
     // same breath): vectors in DIFFERENT cells are never paired, however

@@ -424,6 +424,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(epochDirs.size == 1, s"expected one surviving epoch, got $epochDirs")
   }
 
+  test("out-of-order arrival: rep-relink edges keep the labeling equal " +
+      "to batch CC when a later batch brings SMALLER doc_ids (ST13r)") {
+    // the 10× labels stress caught this: crawl splits are NOT id-ordered,
+    // and without the relink edge a bucket's early docs disconnect from
+    // its later (smaller-id) docs. Staging the corpus in REVERSED id
+    // order forces every bucket whose min sits in the second file to
+    // displace its stored rep — the drained labeling must still equal
+    // the from-scratch batch CC exactly.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    val docs = Tables(spark, dir, "documents")
+    val mid = docs.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    val sd = java.nio.file.Files.createTempDirectory("docs-labelrev")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-labelrevstage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // REVERSED: the high-id half lands first
+    stage(docs.filter(col("doc_id") > mid), "a.parquet", 1000000L)
+    stage(docs.filter(col("doc_id") <= mid), "b.parquet", 2000000L)
+    val root = java.nio.file.Files.createTempDirectory("labels-rev-root").toString
+    val q = DocsStream.nearDupCandidates(DocsStream.readStream(spark, sd.toString))
+      .writeStream.foreachBatch(DocsStream.incrementalLabelSink(root) _).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = DocsStream.latestLabels(spark, root)
+      .getOrElse(fail("no epoch written"))
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = DocsStream.nearDupCandidatesBatch(docs)
+      .select(col("doc_id").as("src"), col("dup_of").as("dst"))
+    val docsInEdges = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
+    val want = graft.operators.Dedup.connectedComponents(docsInEdges, e)
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"reversed-arrival labeling != batch CC: " +
+      s"${((got diff want) ++ (want diff got)).take(20)}")
+  }
+
   test("stream defined on an EMPTY landing dir uses the declared schema; " +
       "files arriving later are processed (ADVICE r8)") {
     // production file streams are defined BEFORE data lands; the schema
