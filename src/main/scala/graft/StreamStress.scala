@@ -225,9 +225,19 @@ object StreamStress {
         val k = sys.env.getOrElse("STREAM_STRESS_K", "80").toInt
         val cap = sys.env.getOrElse("STREAM_STRESS_CAP", "1024").toInt
         val cents = operators.Ivf.train(spark.read.parquet(corpus), k, 2)
+        // same routing dial as the batch q132 pipeline: corpus-scaled k
+        // assigns through the two-level path (k1 + nprobe·|cell| cosines
+        // per arriving vector instead of k)
+        val twoLevel =
+          if (k <= operators.Ivf.InlineFormMaxK) None
+          else {
+            val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+            val (coarse, coarseOf) = operators.Ivf.coarsen(spark, cents, k1, 2)
+            Some((coarse, coarseOf, 2))
+          }
         Some((dir, mft, ttl) => graft.streaming.EmbedStream.semanticNearDup(
           graft.streaming.EmbedStream.readStream(spark, dir, mft),
-          cents, tau = 0.4, cap = cap, ttlMs = ttl))
+          cents, tau = 0.4, cap = cap, ttlMs = ttl, twoLevel = twoLevel))
       }
 
     // cap-overflow census (embed mode): admissions that lost all dedup

@@ -78,13 +78,25 @@ object EmbedStream {
     * of a stored exemplar in its cell. Works on batch frames too (the
     * batch twin used by the parity spec). State per cell: up to `cap`
     * (id, vector) exemplars.
+    *
+    * `twoLevel = Some((coarse, coarseOf, nprobe))` routes the map-side
+    * cell assignment through [[Ivf.assignTwoLevel]] — the same dial as
+    * the batch q132 pipeline: past k ≈ 10³ the flat argmax pays k
+    * cosines per arriving vector, two-level pays k1 + nprobe·|cell|.
+    * Only WHICH cell a near-boundary vector lands in can change (the
+    * standard IVF approximation); the exemplar state machine, the cap
+    * law, and the k-rows state bound are untouched.
     */
   def semanticNearDup(stream: DataFrame, cents: Ivf.Centroids, tau: Double,
-      cap: Int, ttlMs: Long = 0L): DataFrame = {
+      cap: Int, ttlMs: Long = 0L,
+      twoLevel: Option[(Ivf.Centroids, Map[Long, Long], Int)] = None): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val overflow = capOverflows(spark)
-    Ivf.assign(stream, cents)
+    twoLevel.fold(Ivf.assign(stream, cents)) {
+        case (coarse, coarseOf, nprobe) =>
+          Ivf.assignTwoLevel(stream, cents, coarse, coarseOf, nprobe)
+      }
       .select(col("cid"), col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Long, Seq[Double])]
       .groupByKey(_._1)

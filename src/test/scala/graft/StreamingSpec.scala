@@ -617,6 +617,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(EmbedStream.semanticNearDup(e, cents, tau = 0.4, cap = 0).count() == 0)
   }
 
+  test("semantic near-dup with two-level assignment routing matches the " +
+      "scalar mirror over two-level cells (ST14t)") {
+    // the large-k dial for the STREAM: assignment routes through
+    // Ivf.assignTwoLevel; the exemplar state machine must behave
+    // identically over the (approximate) cell labels — mirrored by
+    // running greedyMirror on the two-level assignments
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EmbedStream
+    val k = 80
+    val cents = queries.PipelineQueries.ivfCentsK(spark, dir, k)
+    val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+    val (coarse, coarseOf) = graft.operators.Ivf.coarsen(spark, cents, k1, 2)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val assigned = graft.operators.Ivf
+      .assignTwoLevel(e, cents, coarse, coarseOf, nprobe = 2)
+      .select(col("cid"), col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val got = EmbedStream
+      .semanticNearDup(e, cents, tau = 0.4, cap = 10000,
+        twoLevel = Some((coarse, coarseOf, 2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == greedyMirror(assigned, 0.4, 10000))
+  }
+
   test("cap-overflow admissions are counted, matching the scalar mirror " +
       "(ST14o)") {
     // a vector that matches no exemplar AND finds its cell full is
