@@ -203,8 +203,23 @@ object Ivf {
     * same (cos desc, cid asc) comparator, so level 2 is a transform
     * over the probed ccids with one `element_at` map lookup each.
     */
+  /** Past this many member-payload BYTES the literal encoding delegates
+    * to [[assignTwoLevelBc]]: a Literal's payload serializes into every
+    * stage's task binary, and ~4 MB is where that starts to dominate
+    * scheduler traffic (Spark warns at 1 MB). Below it the literal form
+    * is kept so plans stay self-contained (no broadcast lifecycle).
+    * The two transports are bit-identical (IvfSpec lock), so this
+    * dispatch is semantics-free; callers at known-huge k can call
+    * [[assignTwoLevelBc]] directly.
+    */
+  private[graft] val LiteralPayloadMaxBytes = 4L << 20
+
   def assignTwoLevel(e: DataFrame, cents: Centroids, coarse: Centroids,
       coarseOf: Map[Long, Long], nprobe: Int = 1): DataFrame = {
+    val payloadBytes = cents.iterator
+      .map { case (_, cv) => 8L + 8L * cv.length }.sum
+    if (payloadBytes > LiteralPayloadMaxBytes)
+      return assignTwoLevelBc(e, cents, coarse, coarseOf, nprobe)
     val members: Map[Long, Seq[(Long, Seq[Double])]] =
       cents.groupBy { case (cid, _) => coarseOf(cid) }
     // level 1 ranks the non-empty coarse cells only (an emptied coarse
@@ -225,7 +240,9 @@ object Ivf {
       .select(col("vec_id"), col("embedding"),
         element_at(col("probed"), 1).getField("cid").as("ccid"),
         array_max(transform(col("probed"), p => cellBest(p.getField("cid"))))
-          .getField("cid").as("cid"))
+          .as("best"))
+      .select(col("vec_id"), col("embedding"), col("ccid"),
+        col("best.cid").as("cid"), col("best.cos").as("cos"))
   }
 
   /** [[assignTwoLevel]] with the member index riding a real
@@ -261,7 +278,9 @@ object Ivf {
         array_max(transform(col("probed"), p =>
           graft.functions.BroadcastArgmax.cellArgmax(bc,
             p.getField("cid"), col("embedding"))))
-          .getField("cid").as("cid"))
+          .as("best"))
+      .select(col("vec_id"), col("embedding"), col("ccid"),
+        col("best.cid").as("cid"), col("best.cos").as("cos"))
   }
 
   /** The query vector's top-`nprobe` cells by rounded cosine (multi-probe:

@@ -49,12 +49,37 @@ object PipelineQueries {
             Ivf.coarsen(s, cents, k1, 2))
         Ivf.assignTwoLevel(embs(s, d), cents, coarse, coarseOf, nprobe = 2)
       }
-    assigned.select(col("vec_id"), col("cid"), col("embedding"))
+    // `cos` is the winning rounded cosine to the ASSIGNED centroid under
+    // either path — the priority key the q136 keep-hard policy ranks on
+    assigned.select(col("vec_id"), col("cid"), col("cos"), col("embedding"))
+  }
+
+  /** q136's pipeline with the quantizer size as a parameter — same
+    * routing dial as [[q132Frame]] (two-level assignment past
+    * [[Ivf.InlineFormMaxK]]); the keep PRIORITY is the SemDeDup paper's
+    * (assignment cos asc, vec_id asc) instead of lowest-id. The Q entry
+    * pins k=8 for the oracle.
+    */
+  private[graft] def q136Frame(s: SparkSession, d: String, k: Int): DataFrame = {
+    val tau = 0.4
+    val assigned = q132Assigned(s, d, k)
+    val a = assigned.select(col("cid").as("cid_a"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("cos").as("cos_a"))
+    val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("cos").as("cos_b"))
+    val dropped = a.join(b, col("cid_a") === col("cid_b") &&
+        (col("cos_a") < col("cos_b") ||
+          (col("cos_a") === col("cos_b") && col("vec_a") < col("vec_b"))))
+      .filter(TextOps.cosine(col("ea"), col("eb")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("cos").as("centroid_cos"))
+      .orderBy(col("vec_id"))
   }
 
   private[graft] def q132Frame(s: SparkSession, d: String, k: Int): DataFrame = {
     val tau = 0.4
-    val assigned = q132Assigned(s, d, k)
+    val assigned = q132Assigned(s, d, k).drop("cos")
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"))
     val b = assigned.select(col("cid").as("cid_b"),
@@ -3103,23 +3128,7 @@ object PipelineQueries {
     // dropped iff a cell-mate within tau precedes it in that order.
     // Deterministic on both engines because the cosine is the 6-dec
     // rounded assignment cosine both already replay. ----
-    Q("q136_semdedup_keep_hard", (s, d) => {
-      val tau = 0.4
-      val assigned = Ivf.assign(embs(s, d), ivfCents(s, d))
-        .select(col("vec_id"), col("cid"), col("embedding"), col("cos"))
-      val a = assigned.select(col("cid").as("cid_a"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("cos").as("cos_a"))
-      val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("cos").as("cos_b"))
-      val dropped = a.join(b, col("cid_a") === col("cid_b") &&
-          (col("cos_a") < col("cos_b") ||
-            (col("cos_a") === col("cos_b") && col("vec_a") < col("vec_b"))))
-        .filter(TextOps.cosine(col("ea"), col("eb")) >= tau)
-        .select(col("vec_b").as("vec_id")).distinct()
-      assigned.join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("cid"), col("cos").as("centroid_cos"))
-        .orderBy(col("vec_id"))
-    }, Some(s"""
+    Q("q136_semdedup_keep_hard", (s, d) => q136Frame(s, d, k = 8), Some(s"""
       WITH ${duckIvfCtes(8, 2, 64)},
       asg AS (SELECT vec_id, embedding, cid, cos FROM ${duckIvfFinal(2)}),
       dropped AS (SELECT DISTINCT y.vec_id
