@@ -3137,6 +3137,70 @@ object PipelineQueries {
         WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.4)
       SELECT a.vec_id, a.cid, a.cos AS centroid_cos FROM asg a
       WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
-      ORDER BY a.vec_id"""))
+      ORDER BY a.vec_id""")),
+
+    // ---- corpus-trained bigram LANGUAGE-MODEL predictability score —
+    // the KenLM-shaped quality gate of real curation pipelines (score
+    // each doc under an n-gram LM; outliers are boilerplate or garbage),
+    // in the repo's LOG-FREE deterministic form: ln()/exp() are not
+    // cross-engine-reproducible (the q89/q102 lesson), so the score is
+    // the average add-one-smoothed bigram probability in ppm —
+    // p(w2|w1) = (c12+1)/(c1+V), every term an exact integer ratio whose
+    // IEEE division both engines round identically; per-bigram values
+    // are 6-dec-rounded and summed as exact decimals (the Det.davg
+    // convention), so the per-doc mean is order-independent and
+    // bit-identical with ordinary partial aggregation (no ordered
+    // collect_list re-agg needed). Scale shape: unigram/bigram counts
+    // are partial-aggregated explodes (the q89 canonical vocabulary
+    // join); scoring joins shuffle on the bigram key, where the counted
+    // LM side is already collapsed to distinct bigrams — the small side
+    // AQE broadcasts when it fits, the standard LM-scoring shape at
+    // 100 TB (train on a sample, score everywhere). V rides a broadcast
+    // cross join (one row). Docs with < 2 tokens emit no bigrams and
+    // drop out identically in both engines. ----
+    Q("q137_bigram_predictability", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val toks = docs(s, d).select(col("doc_id"), ws.as("ws"))
+      val uni = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+      val vDf = uni.agg(countDistinct(col("w")).as("v"))
+      val c1 = uni.groupBy(col("w").as("w1k")).agg(count(lit(1)).as("n1"))
+      val bigrams = toks.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val c2 = bigrams.groupBy(col("w1").as("w1c"), col("w2").as("w2c"))
+        .agg(count(lit(1)).as("n12"))
+      val p = (col("n12") + lit(1.0)) / (col("n1") + col("v"))
+      bigrams
+        .join(c1, col("w1") === col("w1k"))
+        .join(c2, col("w1") === col("w1c") && col("w2") === col("w2c"))
+        .crossJoin(broadcast(vDf))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(round(p * lit(1e6), 6).cast("decimal(24,6)"))
+            .cast("double") / count(lit(1)), 6).as("avg_p_ppm"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      uni AS (SELECT unnest(ws) AS w FROM toks),
+      v AS (SELECT count(DISTINCT w) AS v FROM uni),
+      c1 AS (SELECT w AS w1k, count(*) AS n1 FROM uni GROUP BY 1),
+      bge AS (SELECT doc_id,
+          unnest([ws[i] for i in generate_series(1, len(ws) - 1)]) AS w1,
+          unnest([ws[i + 1] for i in generate_series(1, len(ws) - 1)]) AS w2
+        FROM toks WHERE len(ws) >= 2),
+      c2 AS (SELECT w1 AS w1c, w2 AS w2c, count(*) AS n12
+             FROM bge GROUP BY 1, 2),
+      sc AS (SELECT g.doc_id,
+          round(((c2.n12 + 1.0) / (c1.n1 + v.v)) * 1e6, 6) AS pppm
+        FROM bge g JOIN c1 ON c1.w1k = g.w1
+                   JOIN c2 ON c2.w1c = g.w1 AND c2.w2c = g.w2
+                   CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(CAST(pppm AS DECIMAL(24, 6))) AS DOUBLE) / count(*), 6)
+          AS avg_p_ppm
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
   )
 }

@@ -216,6 +216,39 @@ class QueriesSpec extends AnyFunSuite {
       s"diff: ${(got diff expectedKept) ++ (expectedKept diff got)}")
   }
 
+  test("q137 bigram predictability matches a scalar LM mirror") {
+    // independent driver-side re-derivation: split-on-space tokens,
+    // add-one-smoothed bigram probabilities over exact integer counts,
+    // per-bigram ppm rounded to 6 decimals, exact-decimal mean — the
+    // vocabulary-join pipeline must agree row-for-row (including docs
+    // with repeated-space empty tokens and <2-token docs dropping out)
+    import org.apache.spark.sql.functions._
+    val texts = queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    val docToks = texts.collect { case (id, Some(t)) => id -> t.split(" ", -1).toSeq }
+    val vocab = docToks.flatMap(_._2).toSet
+    val c1 = docToks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val allBigrams = docToks.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.size).toMap
+    def ppm(b: (String, String)): BigDecimal = {
+      val p = (c2(b) + 1.0) / (c1(b._1) + vocab.size)
+      BigDecimal(p * 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = docToks.collect { case (id, ws) if ws.length >= 2 =>
+      val bs = ws.zip(ws.drop(1))
+      // exact-decimal sum, then the division happens in DOUBLE (the
+      // same IEEE op the query and the oracle perform)
+      val avg = bs.map(ppm).sum.toDouble / bs.length
+      (id, bs.length.toLong,
+        BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q137_bigram_predictability")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
+  }
+
   test("q132 scopes comparisons to the cell: cross-cell near-dups both survive") {
     // the documented recall boundary (and the scale guarantee in the
     // same breath): vectors in DIFFERENT cells are never paired, however
