@@ -73,7 +73,8 @@ object PlanAudit {
     "q133_stratified_split" -> "two-level prefix sum per source; (source,bucket) offsets and totals broadcast",
     "q134_twolevel_assign" -> "recursive-IVF assignment: coarse argmax then cell argmax, one map-side projection, k1+|cell| cosines/row",
     "q135_twolevel_multiprobe" -> "nprobe=2 recall knob: union-of-2-cells argmax, still join-free map-side",
-    "q136_semdedup_keep_hard" -> "q132's plan with the keep priority swapped to (centroid cos, id) — the SemDeDup paper policy")
+    "q136_semdedup_keep_hard" -> "q132's plan with the keep priority swapped to (centroid cos, id) — the SemDeDup paper policy",
+    "q137_bigram_predictability" -> "bigram-LM scoring: partial-aggregated count explodes, vocabulary equi-joins on the bigram key, 1-row V broadcast; decimal partial sums keep the doc re-agg one exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -403,6 +403,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"expected only the output-sort exchange:\n$p")
   }
 
+  test("q137: LM scoring is vocabulary equi-joins + partial-aggregated " +
+      "counts; the only nested loop is the 1-row V broadcast") {
+    val p = planOf("q137_bigram_predictability")
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring must never go cartesian:\n$p")
+    // the V table is ONE row — its cross join must ride a broadcast
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row V broadcast may nest-loop:\n$p")
+    // unigram/bigram counts and the per-doc decimal sum must partially
+    // aggregate before their exchanges (map-side combine — the property
+    // that keeps the explode shuffles bounded by DISTINCT keys)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial aggregation in the LM count/score pipeline:\n$p")
+  }
+
   test("q132: cell-scoped pairing — equi-join on cid, no cartesian, " +
       "survivors via anti-join") {
     val p = planOf("q132_semantic_dedup")
