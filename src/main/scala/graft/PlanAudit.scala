@@ -74,7 +74,8 @@ object PlanAudit {
     "q134_twolevel_assign" -> "recursive-IVF assignment: coarse argmax then cell argmax, one map-side projection, k1+|cell| cosines/row",
     "q135_twolevel_multiprobe" -> "nprobe=2 recall knob: union-of-2-cells argmax, still join-free map-side",
     "q136_semdedup_keep_hard" -> "q132's plan with the keep priority swapped to (centroid cos, id) — the SemDeDup paper policy",
-    "q137_bigram_predictability" -> "bigram-LM scoring: partial-aggregated count explodes, vocabulary equi-joins on the bigram key, 1-row V broadcast; decimal partial sums keep the doc re-agg one exchange")
+    "q137_bigram_predictability" -> "bigram-LM scoring: partial-aggregated count explodes, vocabulary equi-joins on the bigram key, 1-row V broadcast; decimal partial sums keep the doc re-agg one exchange",
+    "q138_hard_negatives" -> "hard-negative mining: cell equi-join (~nprobe·n²/k pairs, never all-pairs); bounded TopKScored partial-aggregates the per-anchor cut map-side — the anchor exchange moves ≤5 rows per (anchor, task), no pair-set window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

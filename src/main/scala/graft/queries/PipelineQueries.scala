@@ -3201,6 +3201,64 @@ object PipelineQueries {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         round(CAST(sum(CAST(pppm AS DECIMAL(24, 6))) AS DOUBLE) / count(*), 6)
           AS avg_p_ppm
-      FROM sc GROUP BY 1 ORDER BY doc_id"""))
+      FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- hard-negative mining (contrastive-training data op): for each
+    // anchor vector, the top-5 most-cosine-similar vectors carrying a
+    // DIFFERENT label. IVF-bucketed, never all-pairs: candidates are
+    // keyed by their home cell (map-side bestCell — no join to build),
+    // anchors probe their top-2 cells (the q68 multi-probe recall knob,
+    // here applied to EVERY row), and the only pairwise work is the
+    // per-cell join — ~nprobe·n²/k scored pairs instead of n². The
+    // per-anchor cut runs through the bounded TopKScored aggregate, so
+    // the selection partial-aggregates map-side and the anchor exchange
+    // moves ≤ 5 rows per (anchor, task) — a window row_number() here
+    // would shuffle every scored pair to the anchor's partition first.
+    // A candidate lives in exactly one home cell, so no (anchor, neg)
+    // pair is scored twice. Determinism: min-k under the total
+    // (-cosine, neg_id) order is partition-independent; the oracle
+    // replays it as a ROW_NUMBER window over the same bucketed pairs. ----
+    Q("q138_hard_negatives", (s, d) => {
+      val e = embs(s, d)
+      val cents = ivfCents(s, d)
+      val anchors = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"),
+          explode(slice(array_sort(Ivf.rankedCells(cents, col("embedding"))),
+            1, 2)).as("pc"))
+        .select(col("qid"), col("qlabel"), col("qv"), col("pc.cid").as("cid"))
+      val cand = e.select(col("vec_id").as("neg_id"), col("label").as("nlabel"),
+        col("embedding").as("nv"), Ivf.bestCell(cents, col("embedding")).as("cid"))
+      anchors.join(cand, Seq("cid"))
+        .filter(col("qlabel") =!= col("nlabel") && col("qid") =!= col("neg_id"))
+        .select(col("qid"),
+          struct((-TextOps.cosine(col("qv"), col("nv"))).as("ncos"),
+            col("neg_id").as("nid")).as("sn"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.scored(col("sn"), 5).as("negs"))
+        .select(col("qid").as("anchor_id"), posexplode(col("negs")))
+        .select(col("anchor_id"), (col("pos") + 1).as("neg_rank"),
+          col("col.nid").as("neg_id"), (-col("col.ncos")).as("cosine"))
+        .orderBy(col("anchor_id"), col("neg_rank"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      probe_sc AS (SELECT e.vec_id AS qid, e.label AS qlabel,
+          e.embedding AS qv, c.cid, ${duckCos("e.embedding", "c.cv")} AS cos
+        FROM embeddings e, ${duckIvfCents(2)} c),
+      probe AS (SELECT qid, qlabel, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM probe_sc) t WHERE rn <= 2),
+      cand AS (SELECT a.vec_id AS neg_id, e.label AS nlabel,
+          a.embedding AS nv, a.cid
+        FROM ${duckIvfFinal(2)} a JOIN embeddings e ON e.vec_id = a.vec_id),
+      pairs AS (SELECT p.qid, c.neg_id, ${duckCos("p.qv", "c.nv")} AS cosine
+        FROM probe p JOIN cand c ON p.cid = c.cid
+        WHERE p.qlabel <> c.nlabel AND p.qid <> c.neg_id)
+      SELECT qid AS anchor_id, neg_rank, neg_id, cosine FROM (
+        SELECT qid, neg_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neg_id)
+            AS neg_rank
+        FROM pairs) t
+      WHERE neg_rank <= 5
+      ORDER BY anchor_id, neg_rank"""))
   )
 }

@@ -445,4 +445,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.forall(w => !w.contains("source") || w.contains("bucket")),
       s"found a corpus window partitioned by source alone:\n$p")
   }
+
+  test("q138: hard negatives are cell-bucketed (equi-join on cid, no " +
+      "cartesian) and the per-anchor cut partial-aggregates, not a window") {
+    val p = planOf("q138_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairing must be the cell equi-join:\n$p")
+    // the top-5 cut must run through the bounded aggregate with a
+    // map-side partial (ObjectHashAggregate partial_topk_scored), so
+    // the anchor exchange moves <=k rows per (anchor, task) — a window
+    // row_number() here would shuffle every scored pair instead
+    assert(p.contains("topk_scored"), s"expected the TopKScored aggregate:\n$p")
+    assert(p.contains("partial_topk_scored"),
+      s"top-k aggregate must partial-aggregate map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the per-anchor cut must not be a window over all scored pairs:\n$p")
+  }
 }
