@@ -12,6 +12,7 @@ object Explain {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

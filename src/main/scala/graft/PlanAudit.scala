@@ -75,7 +75,9 @@ object PlanAudit {
     "q135_twolevel_multiprobe" -> "nprobe=2 recall knob: union-of-2-cells argmax, still join-free map-side",
     "q136_semdedup_keep_hard" -> "q132's plan with the keep priority swapped to (centroid cos, id) — the SemDeDup paper policy",
     "q137_bigram_predictability" -> "bigram-LM scoring: partial-aggregated count explodes, vocabulary equi-joins on the bigram key, 1-row V broadcast; decimal partial sums keep the doc re-agg one exchange",
-    "q138_hard_negatives" -> "hard-negative mining: cell equi-join (~nprobe·n²/k pairs, never all-pairs); bounded TopKScored partial-aggregates the per-anchor cut map-side — the anchor exchange moves ≤5 rows per (anchor, task), no pair-set window")
+    "q138_hard_negatives" -> "hard-negative mining: cell equi-join (~nprobe·n²/k pairs, never all-pairs); bounded TopKScored partial-aggregates the per-anchor cut map-side — the anchor exchange moves ≤5 rows per (anchor, task), no pair-set window",
+    "q139_jl_projection_rerank" -> "JL two-stage: 16-plane projection map-side, TakeOrdered shortlist; audited rerank stage reads exactly 50 rows via pushed In(vec_id) — no join, no corpus re-scan",
+    "q140_quality_calibrate" -> "per-source ECDF calibration: score quantized to a 4-dec grid so the histogram is ≤10⁴ rows/source by construction; windows run over the histogram only, percentiles broadcast back map-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -83,6 +85,7 @@ object PlanAudit {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

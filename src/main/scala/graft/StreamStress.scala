@@ -201,6 +201,7 @@ object StreamStress {
       // RocksDB instance count; 8 matches a per-executor share of a
       // real deployment better than 32 local threads would
       .config("spark.sql.shuffle.partitions", "8")
+      .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

@@ -196,6 +196,7 @@ object Stress {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -208,7 +209,8 @@ object Stress {
     val scaledDir = s"$root/x$factor"
     genScaled(spark, baseDir, scaledDir, factor)
     if (sys.env.get("STRESS_SEMDEDUP").contains("1") ||
-        sys.env.contains("STRESS_TWOLEVEL"))
+        sys.env.contains("STRESS_TWOLEVEL") ||
+        sys.env.contains("STRESS_HARDNEG"))
       genScaledEmbeddings(spark, baseDir, scaledDir, factor)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
@@ -416,6 +418,34 @@ object Stress {
         println(s"""STRESS_TWOLEVEL {"corpus":"$tag","vectors":${e.count()},""" +
           s""""k":$k,"k1":$k1,"flat_warm_sec":$flatS,"twolevel_warm_sec":$twoS,""" +
           s""""twolevel_bc_warm_sec":$twoBcS}""")
+      }
+      // STRESS_HARDNEG=k: q138's per-anchor cut — the bounded TopKScored
+      // aggregate vs the row_number() window baseline, at quantizer size
+      // k (the cell-size dial: pair volume is ~nprobe·n²/k). The claim
+      // under test: the aggregate's map-side partials bound the anchor
+      // exchange at kTop rows per (anchor, task), so its shuffle bytes
+      // stay flat while the window form shuffles EVERY scored pair.
+      sys.env.get("STRESS_HARDNEG").map(_.toInt).foreach { k =>
+        import org.apache.spark.sql.DataFrame
+        val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val cents = queries.PipelineQueries.ivfCentsK(spark, dir, k)
+        def time(mk: => DataFrame): (Double, Long, Long) = {
+          val runs = (1 to 2).map { _ =>
+            metrics.reset()
+            val t0 = System.nanoTime()
+            mk.write.format("noop").mode("overwrite").save()
+            ((System.nanoTime() - t0) / 1e9,
+              metrics.shuffleWrite.get(), metrics.spill.get())
+          }
+          runs.last
+        }
+        val (aggS, aggSh, aggSp) = time(queries.PipelineQueries
+          .hardNegatives(spark, dir, cents, nprobe = 2, kTop = 5))
+        val (winS, winSh, winSp) = time(queries.PipelineQueries
+          .hardNegatives(spark, dir, cents, nprobe = 2, kTop = 5, viaWindow = true))
+        println(s"""STRESS_HARDNEG {"corpus":"$tag","vectors":$nVec,"k":$k,""" +
+          s""""agg_warm_sec":$aggS,"agg_shuffle_bytes":$aggSh,"agg_spill":$aggSp,""" +
+          s""""win_warm_sec":$winS,"win_shuffle_bytes":$winSh,"win_spill":$winSp}""")
       }
     }
     spark.stop()

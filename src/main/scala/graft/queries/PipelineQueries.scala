@@ -102,6 +102,49 @@ object PipelineQueries {
     ivfCentsK(s, d, 8)
   private[graft] def ivfCentsK(s: SparkSession, d: String, k: Int): Ivf.Centroids =
     Models.cached(s"ivf:$d:k=$k,rounds=2")(Ivf.train(embs(s, d), k, 2))
+
+  /** q138's body, parameterized for the stress harness: per-anchor top
+    * `kTop` different-label neighbors over cell-bucketed candidates.
+    * `viaWindow` swaps the bounded [[graft.functions.TopK]] aggregate
+    * for the row_number() window baseline it exists to out-shuffle —
+    * semantically identical (min-k ≡ rank ≤ k under the same total
+    * order), kept ONLY so `STRESS_HARDNEG` can measure the gap.
+    */
+  private[graft] def hardNegatives(s: SparkSession, d: String,
+      cents: Ivf.Centroids, nprobe: Int, kTop: Int,
+      viaWindow: Boolean = false): DataFrame = {
+    val e = embs(s, d)
+    val anchors = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"),
+        explode(slice(array_sort(Ivf.rankedCells(cents, col("embedding"))),
+          1, nprobe)).as("pc"))
+      .select(col("qid"), col("qlabel"), col("qv"), col("pc.cid").as("cid"))
+    val cand = e.select(col("vec_id").as("neg_id"), col("label").as("nlabel"),
+      col("embedding").as("nv"), Ivf.bestCell(cents, col("embedding")).as("cid"))
+    val pairs = anchors.join(cand, Seq("cid"))
+      .filter(col("qlabel") =!= col("nlabel") && col("qid") =!= col("neg_id"))
+    if (viaWindow) {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("neg_id"))
+      pairs.select(col("qid"),
+          TextOps.cosine(col("qv"), col("nv")).as("cosine"), col("neg_id"))
+        .withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= kTop)
+        .select(col("qid").as("anchor_id"), col("neg_rank"), col("neg_id"),
+          col("cosine"))
+        .orderBy(col("anchor_id"), col("neg_rank"))
+    } else {
+      pairs.select(col("qid"),
+          struct((-TextOps.cosine(col("qv"), col("nv"))).as("ncos"),
+            col("neg_id").as("nid")).as("sn"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.scored(col("sn"), kTop).as("negs"))
+        .select(col("qid").as("anchor_id"), posexplode(col("negs")))
+        .select(col("anchor_id"), (col("pos") + 1).as("neg_rank"),
+          col("col.nid").as("neg_id"), (-col("col.ncos")).as("cosine"))
+        .orderBy(col("anchor_id"), col("neg_rank"))
+    }
+  }
   private[graft] def pqBooks(s: SparkSession, d: String): Pq.Codebooks =
     Models.cached(s"pq:$d:rounds=1")(Pq.train(embs(s, d), rounds = 1))
   private[graft] def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
@@ -3218,28 +3261,9 @@ object PipelineQueries {
     // pair is scored twice. Determinism: min-k under the total
     // (-cosine, neg_id) order is partition-independent; the oracle
     // replays it as a ROW_NUMBER window over the same bucketed pairs. ----
-    Q("q138_hard_negatives", (s, d) => {
-      val e = embs(s, d)
-      val cents = ivfCents(s, d)
-      val anchors = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("embedding").as("qv"),
-          explode(slice(array_sort(Ivf.rankedCells(cents, col("embedding"))),
-            1, 2)).as("pc"))
-        .select(col("qid"), col("qlabel"), col("qv"), col("pc.cid").as("cid"))
-      val cand = e.select(col("vec_id").as("neg_id"), col("label").as("nlabel"),
-        col("embedding").as("nv"), Ivf.bestCell(cents, col("embedding")).as("cid"))
-      anchors.join(cand, Seq("cid"))
-        .filter(col("qlabel") =!= col("nlabel") && col("qid") =!= col("neg_id"))
-        .select(col("qid"),
-          struct((-TextOps.cosine(col("qv"), col("nv"))).as("ncos"),
-            col("neg_id").as("nid")).as("sn"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopK.scored(col("sn"), 5).as("negs"))
-        .select(col("qid").as("anchor_id"), posexplode(col("negs")))
-        .select(col("anchor_id"), (col("pos") + 1).as("neg_rank"),
-          col("col.nid").as("neg_id"), (-col("col.ncos")).as("cosine"))
-        .orderBy(col("anchor_id"), col("neg_rank"))
-    }, Some(s"""
+    Q("q138_hard_negatives",
+      (s, d) => hardNegatives(s, d, ivfCents(s, d), nprobe = 2, kTop = 5),
+      Some(s"""
       WITH ${duckIvfCtes(8, 2, 64)},
       probe_sc AS (SELECT e.vec_id AS qid, e.label AS qlabel,
           e.embedding AS qv, c.cid, ${duckCos("e.embedding", "c.cv")} AS cos
@@ -3259,6 +3283,122 @@ object PipelineQueries {
             AS neg_rank
         FROM pairs) t
       WHERE neg_rank <= 5
-      ORDER BY anchor_id, neg_rank"""))
+      ORDER BY anchor_id, neg_rank"""), bench = true),
+
+    // ---- Johnson–Lindenstrauss random-projection prefilter with exact
+    // rerank: project every embedding to 16 dims through md5-derived
+    // hyperplanes (the JL lemma preserves pairwise distances within
+    // 1±ε, so projected-L2 ranking is a faithful shortlist signal),
+    // take the stage-1 top-50 by projected distance, then rerank ONLY
+    // the shortlist by exact cosine. Scale shape: the projection is one
+    // map-side codegen'd expression (16 literal-plane dots — a 4×
+    // per-row arithmetic cut vs full-dim scoring, and the same trick
+    // cuts 4096-dim production embeddings 100×+); stage 1 is
+    // TakeOrdered (per-partition top-50 partials, never a global
+    // sort); stage 2 reads exactly 50 rows via In-pushdown point
+    // lookups (q119's two-stage pattern). The projected column
+    // composes with the IVF/LSH operators for the banded scale path —
+    // here stage 1 is the q46-analogue brute baseline over 16 dims.
+    // Planes are TextOps.hyperplane (md5-derived) so the oracle
+    // replays the projection bit-for-bit; per-coordinate rounding to 6
+    // keeps the fold cross-engine exact. ----
+    Q("q139_jl_projection_rerank", (s, d) => {
+      val pdim = 16
+      val planes = (0 until pdim).map(j => TextOps.hyperplane(200 + j, 64))
+      def projArr(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array(planes.map(p =>
+          round(TextOps.dot(v, array(p.map(lit): _*)), 6)): _*)
+      val e = embs(s, d)
+      val qp = e.filter(col("vec_id") === 1)
+        .select(projArr(col("embedding")).as("qp"))
+      val shortlist = e.filter(col("vec_id") =!= 1)
+        .select(col("vec_id"), projArr(col("embedding")).as("pr"))
+        .crossJoin(broadcast(qp))
+        .select(col("vec_id"),
+          round(aggregate(
+            zip_with(col("pr"), col("qp"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 6).as("projl2"))
+        .orderBy(col("projl2"), col("vec_id")).limit(50)
+        .collect().map(_.getLong(0)).toSeq
+      val qvLit = array(queryVec(s, d, qid = 1).map(lit): _*)
+      e.filter(col("vec_id").isin(shortlist: _*))
+        .select(col("vec_id"),
+          TextOps.cosine(col("embedding"), qvLit).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    }, Some {
+      def duckProj(emb: String, p: Int): String =
+        s"""round(list_sum([$emb[i]::DOUBLE *
+          ((CAST(concat('0x', substr(md5('${p}_' || (i-1)), 1, 8)) AS BIGINT)
+            % 2001) - 1000) / 1000.0
+          for i in generate_series(1, len($emb))]), 6)"""
+      s"""
+      WITH pe AS (SELECT vec_id, embedding,
+          [${(0 until 16).map(j => duckProj("embedding", 200 + j)).mkString(",\n           ")}]
+            AS pr
+        FROM embeddings),
+      q AS (SELECT embedding AS qv, pr AS qp FROM pe WHERE vec_id = 1),
+      dists AS (SELECT pe.vec_id,
+          round(list_sum([(pe.pr[i] - q.qp[i]) * (pe.pr[i] - q.qp[i])
+                          for i in generate_series(1, 16)]), 6) AS projl2
+        FROM pe, q WHERE pe.vec_id <> 1),
+      short AS (SELECT vec_id FROM dists ORDER BY projl2, vec_id LIMIT 50)
+      SELECT e.vec_id, ${duckCos("e.embedding", "q.qv")} AS cosine
+      FROM embeddings e JOIN short USING (vec_id), q
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+    }),
+
+    // ---- per-source quality calibration (ECDF normalization): raw
+    // quality scores are incomparable across heterogeneous sources (a
+    // 0.6 from a curated source ≠ a 0.6 from a crawl), so a global
+    // quality cut systematically starves some sources; the standard fix
+    // is to rank-normalize WITHIN source and cut on the percentile.
+    // Scale shape: the score is quantized onto an integer 10⁴-step
+    // grid (`floor(round(score, 6)·10⁴)` — round-6 is the proven
+    // cross-engine-identical form, and floor of the identical product
+    // has no half-up tie boundary the way a round(·, 4) would), so the
+    // per-(source, grid) histogram is ≤ 10⁴ rows per source BY
+    // CONSTRUCTION regardless of corpus size — the ECDF windows run
+    // over that bounded histogram (one tiny exchange), never over the
+    // corpus, and the calibrated percentiles broadcast-join back onto
+    // the map side. The corpus itself is scored map-side and shuffles
+    // only into the histogram group-by's partial-aggregated exchange.
+    // A per-source window over raw docs — the naive form — would give
+    // the hottest source's whole corpus to one task. ----
+    Q("q140_quality_calibrate", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        floor(round(lit(0.3) * (size(filter(ws, w => w.isin("the", "a"))) / size(ws)) +
+          lit(0.7) * least(size(ws), lit(200)) / 200.0, 6) * 1e4).as("qgrid"))
+      val hist = scored.groupBy(col("source"), col("qgrid"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.partitionBy(col("source")).orderBy(col("qgrid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("source"))
+      val cal = hist
+        .withColumn("cumn", sum(col("n")).over(cum))
+        .withColumn("total", sum(col("n")).over(tot))
+        .select(col("source").as("csource"), col("qgrid").as("cqgrid"),
+          round(col("cumn") / col("total"), 6).as("pct"))
+      scored.join(broadcast(cal),
+          col("source") === col("csource") && col("qgrid") === col("cqgrid"))
+        .select(col("doc_id"), col("source"), col("qgrid"), col("pct"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH scored AS (SELECT doc_id, source,
+          CAST(floor(round(
+            0.3 * (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+                   / len(string_split(text, ' ')))
+            + 0.7 * least(len(string_split(text, ' ')), 200) / 200.0, 6) * 10000)
+            AS BIGINT) AS qgrid
+        FROM documents),
+      hist AS (SELECT source, qgrid, count(*) AS n FROM scored GROUP BY 1, 2),
+      cal AS (SELECT source, qgrid,
+          round(sum(n) OVER (PARTITION BY source ORDER BY qgrid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            / (sum(n) OVER (PARTITION BY source)), 6) AS pct
+        FROM hist)
+      SELECT s.doc_id, s.source, s.qgrid, c.pct
+      FROM scored s JOIN cal c ON c.source = s.source AND c.qgrid = s.qgrid
+      ORDER BY s.doc_id"""))
   )
 }

@@ -95,6 +95,7 @@ object ClusterSmoke {
       .master(master)
       .appName("graft-cluster-smoke")
       .config("spark.sql.shuffle.partitions", "8")
+      .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.extraClassPath", cp)

@@ -446,6 +446,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"found a corpus window partitioned by source alone:\n$p")
   }
 
+  test("q139: JL rerank reads ONLY the shortlist via pushed In(vec_id); " +
+      "no join in the rerank stage") {
+    val p = planOf("q139_jl_projection_rerank")
+    // stage 2 (the audited plan): a single pruned point-lookup scan —
+    // the shortlist rides an In filter to parquet, never a join
+    assert(p.contains("PushedFilters:") && p.contains("In(vec_id"),
+      s"shortlist must push In(vec_id) to the scan:\n$p")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").foreach { j =>
+      assert(!p.contains(j), s"rerank stage must not join:\n$p")
+    }
+  }
+
+  test("q140: calibration windows run over the bounded histogram and the " +
+      "percentiles broadcast back; the corpus is never windowed") {
+    val p = planOf("q140_quality_calibrate")
+    // the corpus-side join must be broadcast (cal is ≤10⁴ rows/source)
+    assert(p.contains("BroadcastHashJoin"),
+      s"calibrated percentiles must broadcast-join back:\n$p")
+    // every window sits above the histogram aggregate, so each window
+    // operator's subtree must contain the group-by — locked by the
+    // partial agg being present and no window taking raw doc text
+    assert(p.contains("partial_count"),
+      s"histogram must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested loop anywhere in calibration:\n$p")
+  }
+
   test("q138: hard negatives are cell-bucketed (equi-join on cid, no " +
       "cartesian) and the per-anchor cut partial-aggregates, not a window") {
     val p = planOf("q138_hard_negatives")
