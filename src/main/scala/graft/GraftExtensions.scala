@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CountMinSketchMd5, DotProduct}
+import graft.functions.{CountMinSketchMd5, DotProduct, TopKScored}
 
 /** Session-extension entry point so deployments get graft's custom
   * expressions in every session without imperative registration:
@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (exprs.length > i) exprs(i).eval(null).asInstanceOf[Number].intValue
           else default
         CountMinSketchMd5(exprs.head, intArg(1, 4), intArg(2, 64))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("topk_scored"),
+      new ExpressionInfo(classOf[TopKScored].getName, "topk_scored"),
+      { exprs =>
+        require(exprs.length == 2,
+          s"topk_scored(struct<double,long>_col, k) got ${exprs.length} args")
+        TopKScored(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue)
       }))
     // Table-valued function leg: `SELECT * FROM frame_samples(n, k)`
     // yields the deterministic frame-sampling indices of

@@ -23,6 +23,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sk.sum == 3 * 4) // each row increments one counter per depth row
   }
 
+  test("injected topk_scored aggregate resolves in SQL") {
+    val top = spark.sql(
+      """SELECT g, topk_scored(named_struct('s', s, 'i', i), 2) AS t
+         FROM VALUES (1, -0.9D, 10L), (1, -0.7D, 11L), (1, -0.9D, 3L),
+                     (2, -0.5D, 20L)
+         AS v(g, s, i) GROUP BY g ORDER BY g""")
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getDouble(0), x.getLong(1))))
+    assert(top.toSeq == Seq(
+      1 -> Seq((-0.9, 3L), (-0.9, 10L)),
+      2 -> Seq((-0.5, 20L))))
+  }
+
   test("margin-expansion rule: with_m90(c) expands to c, c_m90 in SQL") {
     import spark.implicits._
     Seq(("g1", 10.0, 1.5, 99.0), ("g2", 20.0, 2.5, 99.0))
