@@ -16,12 +16,15 @@ package graft
   * bounded aggregate exists to avoid. Measured at the 10× hard-negative
   * stress (k=20, 20k anchors/task): threshold 128 → 509 MB spill and
   * the aggregate LOSING to the window form; raised → zero spill,
-  * bounded map memory (entries × O(k) bytes). 1M entries × ~200 B/entry
-  * for k=5 caps the worst-case map at ~200 MB/task — sized for the
-  * 4 GB-heap executors the dial tables assume; the fallback remains as
-  * a backstop past it.
+  * bounded map memory (entries × O(k) bytes). Sizing uses the LARGEST
+  * bounded buffer in the library (CollectPairsCapped at q127's
+  * dfCap+1 = 51 pairs ≈ 850 B/entry): 2¹⁸ entries caps the worst-case
+  * map at ~210 MB/task — sized for the 4 GB-heap executors the dial
+  * tables assume — while still holding every real per-task group count
+  * the stress suite observed (q138's partials peaked at ~40k groups/
+  * task); the sort fallback remains as a backstop past it.
   */
 object GraftConf {
   val ObjAggFallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-  val ObjAggFallbackEntries = (1 << 20).toString
+  val ObjAggFallbackEntries = (1 << 18).toString
 }
