@@ -114,20 +114,41 @@ object PipelineQueries {
       cents: Ivf.Centroids, nprobe: Int, kTop: Int,
       viaWindow: Boolean = false): DataFrame = {
     val e = embs(s, d)
+    // Per-side norms are computed ONCE per vector and carried through
+    // the join, so each scored pair costs one dot product instead of
+    // three (the projections sit on opposite sides of the join, which
+    // CollapseProject does not cross). Bit-identical to the fused
+    // cosine: the same sqrt results feed the same multiply/divide.
     val anchors = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qv"),
+        sqrt(TextOps.norm2(col("embedding"))).as("qn"),
         explode(slice(array_sort(Ivf.rankedCells(cents, col("embedding"))),
           1, nprobe)).as("pc"))
-      .select(col("qid"), col("qlabel"), col("qv"), col("pc.cid").as("cid"))
-    val cand = e.select(col("vec_id").as("neg_id"), col("label").as("nlabel"),
-      col("embedding").as("nv"), Ivf.bestCell(cents, col("embedding")).as("cid"))
+      .select(col("qid"), col("qlabel"), col("qv"), col("qn"),
+        col("pc.cid").as("cid"))
+    val cand0 = e.select(col("vec_id").as("neg_id"), col("label").as("nlabel"),
+      col("embedding").as("nv"), sqrt(TextOps.norm2(col("embedding"))).as("nn"),
+      Ivf.bestCell(cents, col("embedding")).as("cid"))
+    // Under a broadcast join the pair stage inherits the candidate
+    // SCAN's partitioning; a small single-row-group input (the driver
+    // testdata is one row group per file) would serialize the whole
+    // ~nprobe·n²/k scoring onto ONE task. Re-split tiny scans to the
+    // session's parallelism — the candidate rows are narrow, so the
+    // round-robin exchange is noise. Every real multi-split corpus
+    // skips this branch, and at scale the anchors outgrow the broadcast
+    // threshold anyway: the join shuffles both sides on cid and the
+    // pair stage parallelizes across the k cells (the quantizer dial).
+    val par = s.sparkContext.defaultParallelism
+    val cand = if (cand0.rdd.getNumPartitions < par)
+      cand0.repartition(par) else cand0
+    val pairCos = round(TextOps.dot(col("qv"), col("nv")) /
+      (col("qn") * col("nn")), 6)
     val pairs = anchors.join(cand, Seq("cid"))
       .filter(col("qlabel") =!= col("nlabel") && col("qid") =!= col("neg_id"))
     if (viaWindow) {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("neg_id"))
-      pairs.select(col("qid"),
-          TextOps.cosine(col("qv"), col("nv")).as("cosine"), col("neg_id"))
+      pairs.select(col("qid"), pairCos.as("cosine"), col("neg_id"))
         .withColumn("neg_rank", row_number().over(w))
         .filter(col("neg_rank") <= kTop)
         .select(col("qid").as("anchor_id"), col("neg_rank"), col("neg_id"),
@@ -135,8 +156,7 @@ object PipelineQueries {
         .orderBy(col("anchor_id"), col("neg_rank"))
     } else {
       pairs.select(col("qid"),
-          struct((-TextOps.cosine(col("qv"), col("nv"))).as("ncos"),
-            col("neg_id").as("nid")).as("sn"))
+          struct((-pairCos).as("ncos"), col("neg_id").as("nid")).as("sn"))
         .groupBy(col("qid"))
         .agg(graft.functions.TopK.scored(col("sn"), kTop).as("negs"))
         .select(col("qid").as("anchor_id"), posexplode(col("negs")))
@@ -3260,7 +3280,14 @@ object PipelineQueries {
     // A candidate lives in exactly one home cell, so no (anchor, neg)
     // pair is scored twice. Determinism: min-k under the total
     // (-cosine, neg_id) order is partition-independent; the oracle
-    // replays it as a ROW_NUMBER window over the same bucketed pairs. ----
+    // replays it as a ROW_NUMBER window over the same bucketed pairs.
+    // At corpus-scale k (the dial table's k ≈ n/250 regime, where the
+    // flat per-row k-cosine probe stops being sane), the composition is
+    // mechanical: assign candidates via Ivf.assignTwoLevel (identical
+    // (cid) semantics up to the measured IVF approximation) and take
+    // anchor probes from the two-level ranked coarse cells — the
+    // oracle-scale form here keeps the exact flat probe so the DuckDB
+    // replay stays closed-form. ----
     Q("q138_hard_negatives",
       (s, d) => hardNegatives(s, d, ivfCents(s, d), nprobe = 2, kTop = 5),
       Some(s"""
