@@ -3426,6 +3426,195 @@ object PipelineQueries {
         FROM hist)
       SELECT s.doc_id, s.source, s.qgrid, c.pct
       FROM scored s JOIN cal c ON c.source = s.source AND c.qgrid = s.qgrid
-      ORDER BY s.doc_id"""))
+      ORDER BY s.doc_id""")),
+
+    // ---- DSIR-style data selection via importance resampling (Xie et
+    // al., arXiv:2302.03169): score every raw doc by how target-like
+    // its hashed-n-gram profile is, then sample proportionally to the
+    // importance weight. Features are bigrams hashed into B=1024
+    // buckets (md5-derived so the oracle replays the hash); the target
+    // distribution is the `lang='en'` slice, the raw distribution the
+    // whole corpus; both are add-1-smoothed bucket frequencies. The
+    // paper's weight is Σ log(p_t[b]/p_r[b]) — ln() is not
+    // cross-engine-reproducible (the q49/q137 precedent), so the
+    // shipped score is the repo's LOG-FREE form: the ARITHMETIC mean of
+    // the per-occurrence likelihood ratios (round-6 per term, exact
+    // decimal sum), which preserves the "target-like features ⇒ high
+    // weight" selection signal without a transcendental. The resample
+    // is likewise log-free: instead of Gumbel-top-k (log again),
+    // Bernoulli sampling with keep probability imp/rmax — u·rmax <
+    // imp, where u is an md5-derived uniform (exact 24-bit fraction)
+    // and rmax the max bucket ratio (an upper bound on any doc's mean,
+    // so the probability is well-formed) — the Poisson-sampling
+    // variant of importance resampling. Scale shape: the bucket table
+    // is ≤B rows BY CONSTRUCTION (the feature agg partial-aggregates
+    // into ≤B groups per task before its tiny exchange) and
+    // broadcast-joins back; ratios are computed in double from the
+    // start (long products of corpus-scale counts would overflow; the
+    // IEEE multiply/divide chain is identically rounded in both
+    // engines); the only corpus-sized exchange is the per-doc score
+    // agg over narrow (doc_id, ratio) rows. Docs with <2 tokens have
+    // no features and drop out, as in the paper's n-gram model. ----
+    Q("q141_dsir_resample", (s, d) => {
+      val nB = 1024
+      val ws = TextOps.tokens(col("text"))
+      val toks = docs(s, d).select(col("doc_id"), col("lang"), ws.as("ws"))
+      val feats = toks.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => conv(substring(md5(concat(lit("dsir|"), a, lit("|"), b)),
+            1, 8), 16, 10).cast("long") % nB)).as("b"))
+      val tot = feats.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      val ratio = feats.groupBy(col("b").as("bb"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("bt"),
+          count(lit(1)).as("br"))
+        .crossJoin(broadcast(tot))
+        .select(col("bb"), round(
+          (col("bt").cast("double") + 1.0) * (col("nr").cast("double") + nB) /
+          ((col("br").cast("double") + 1.0) * (col("nt").cast("double") + nB)),
+          6).as("ratio"))
+      val rmax = ratio.agg(max(col("ratio")).as("rmax"))
+      val u = (conv(substring(md5(concat(lit("dsirk|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % 16777216L).cast("double") / 16777216.0
+      feats.join(broadcast(ratio), col("b") === col("bb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          round(sum(col("ratio").cast("decimal(24,6)")).cast("double") /
+            count(lit(1)), 6).as("imp"))
+        .crossJoin(broadcast(rmax))
+        .filter(u * col("rmax") < col("imp"))
+        .select(col("doc_id"), col("n_feats"), col("imp"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents),
+      bge AS (SELECT doc_id, lang,
+          CAST(concat('0x', substr(md5('dsir|' || w1 || '|' || w2), 1, 8))
+            AS BIGINT) % 1024 AS b
+        FROM (SELECT doc_id, lang,
+            unnest([ws[i] for i in generate_series(1, len(ws) - 1)]) AS w1,
+            unnest([ws[i + 1] for i in generate_series(1, len(ws) - 1)]) AS w2
+          FROM toks WHERE len(ws) >= 2)),
+      tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+          count(*) AS nr FROM bge),
+      ratio AS (SELECT b AS bb, round(
+          (CAST(bt AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + 1024) /
+          ((CAST(br AS DOUBLE) + 1.0) * (CAST(nt AS DOUBLE) + 1024)), 6)
+            AS ratio
+        FROM (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bt,
+            count(*) AS br FROM bge GROUP BY 1), tot),
+      rmax AS (SELECT max(ratio) AS rmax FROM ratio),
+      sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          round(CAST(sum(CAST(CAST(r.ratio AS VARCHAR) AS DECIMAL(24, 6)))
+            AS DOUBLE) / count(*), 6) AS imp
+        FROM bge g JOIN ratio r ON r.bb = g.b GROUP BY 1)
+      SELECT doc_id, n_feats, imp FROM sc, rmax
+      WHERE (CAST(concat('0x', substr(md5('dsirk|' || CAST(doc_id AS VARCHAR)),
+          1, 8)) AS BIGINT) % 16777216) / 16777216.0 * rmax < imp
+      ORDER BY doc_id""")),
+
+    // ---- margin-based pair mining (Artetxe & Schwenk ratio margin,
+    // arXiv:1811.01136 — the bitext-mining criterion, equally the
+    // standard for image↔caption pair mining): a candidate pair is
+    // accepted not on raw cosine but on cosine NORMALIZED by both
+    // endpoints' neighborhood density — margin = cos(x,y) / ((avgNN_k(x)
+    // + avgNN_k(y))/2) — which suppresses hub vectors that are close to
+    // everything. Sides are the deterministic even/odd vec_id split
+    // (two embedding spaces of one corpus). Candidate generation is the
+    // q138 IVF shape: candidates keyed by home cell map-side, anchors
+    // probe their top-2 cells, the only pairwise work is the per-cell
+    // join (~nprobe·n²/k pairs, never all-pairs), per-side norms
+    // precomputed. Each endpoint's avgNN_k runs over its CANDIDATE
+    // neighBORS (the ANN-candidate approximation of true kNN, as in
+    // production margin mining) through the bounded TopKScored
+    // aggregate — map-side partials move ≤k rows per (vector, task),
+    // never a per-pair window sort — then explode + Det-style decimal
+    // mean (the explode preserves the agg's hash partitioning: no
+    // extra exchange). Normalizer tables are one narrow row per
+    // vector, shuffle-joined back onto the pairs on their keys; the
+    // best pair per anchor is a struct-max agg (margin desc, ties →
+    // lowest tgt_id), accepted at the standard margin > 1 cut. ----
+    Q("q142_bitext_margin", (s, d) => {
+      val cents = ivfCents(s, d)
+      val e = embs(s, d)
+      val anchors = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(TextOps.norm2(col("embedding"))).as("qn"),
+          explode(slice(array_sort(Ivf.rankedCells(cents, col("embedding"))),
+            1, 2)).as("pc"))
+        .select(col("qid"), col("qv"), col("qn"), col("pc.cid").as("cid"))
+      val cand = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+          sqrt(TextOps.norm2(col("embedding"))).as("bn"),
+          Ivf.bestCell(cents, col("embedding")).as("cid"))
+      val pairs = anchors.join(cand, Seq("cid"))
+        .select(col("qid"), col("bid"),
+          round(TextOps.dot(col("qv"), col("bv")) / (col("qn") * col("bn")), 6)
+            .as("cosine"))
+      def nbAvg(key: String, other: String, out: String): DataFrame =
+        pairs.select(col(key).as("k"),
+            struct((-col("cosine")).as("ncos"), col(other).as("nid")).as("sn"))
+          .groupBy(col("k"))
+          .agg(graft.functions.TopK.scored(col("sn"), 4).as("t"))
+          .select(col("k"), explode(col("t")).as("x"))
+          .groupBy(col("k"))
+          // NOT rounded: the decimal sum → double cast → IEEE divide
+          // chain is already bit-identical cross-engine, and round-6
+          // HERE would land on exact .xxxxxx5 half-way points (the
+          // count is usually 4 — a power of two — so the quotient is a
+          // short exact decimal) where the engines' rounding modes
+          // disagree. Only the final margin (a quotient with no finite
+          // decimal form) is rounded.
+          .agg((sum((-col("x.ncos")).cast("decimal(24,6)"))
+            .cast("double") / count(lit(1))).as(out))
+      val na = nbAvg("qid", "bid", "na").withColumnRenamed("k", "qk")
+      val nb = nbAvg("bid", "qid", "nb").withColumnRenamed("k", "bk")
+      pairs.join(na, col("qid") === col("qk"))
+        .join(nb, col("bid") === col("bk"))
+        .select(col("qid"), col("bid"), col("cosine"),
+          round(col("cosine") / ((col("na") + col("nb")) / 2), 6).as("margin"))
+        .groupBy(col("qid"))
+        .agg(max(struct(col("margin"), (-col("bid")).as("nbid"),
+          col("bid"), col("cosine"))).as("best"))
+        .filter(col("best.margin") > 1.0)
+        .select(col("qid").as("src_id"), col("best.bid").as("tgt_id"),
+          col("best.cosine").as("cosine"), col("best.margin").as("margin"))
+        .orderBy(col("src_id"))
+    }, Some(s"""
+      WITH ${duckIvfCtes(8, 2, 64)},
+      probe_sc AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+          ${duckCos("e.embedding", "c.cv")} AS cos
+        FROM embeddings e, ${duckIvfCents(2)} c WHERE e.vec_id % 2 = 0),
+      probe AS (SELECT qid, qv, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos DESC, cid) AS rn
+          FROM probe_sc) t WHERE rn <= 2),
+      cand AS (SELECT a.vec_id AS bid, e.embedding AS bv, a.cid
+        FROM ${duckIvfFinal(2)} a JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id % 2 = 1),
+      pairs AS (SELECT p.qid, c.bid, ${duckCos("p.qv", "c.bv")} AS cosine
+        FROM probe p JOIN cand c ON p.cid = c.cid),
+      na AS (SELECT qid, CAST(sum(CAST(CAST(cosine AS VARCHAR)
+            AS DECIMAL(24, 6))) AS DOUBLE) / count(*) AS na
+        FROM (SELECT qid, cosine, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, bid) AS rn FROM pairs) t
+        WHERE rn <= 4 GROUP BY 1),
+      nb AS (SELECT bid, CAST(sum(CAST(CAST(cosine AS VARCHAR)
+            AS DECIMAL(24, 6))) AS DOUBLE) / count(*) AS nb
+        FROM (SELECT bid, cosine, ROW_NUMBER() OVER (PARTITION BY bid
+            ORDER BY cosine DESC, qid) AS rn FROM pairs) t
+        WHERE rn <= 4 GROUP BY 1),
+      m AS (SELECT p.qid, p.bid, p.cosine,
+          round(p.cosine / ((na.na + nb.nb) / 2), 6) AS margin
+        FROM pairs p JOIN na ON na.qid = p.qid JOIN nb ON nb.bid = p.bid)
+      SELECT qid AS src_id, bid AS tgt_id, cosine, margin FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY margin DESC, bid) AS rn FROM m) t
+      WHERE rn = 1 AND margin > 1.0
+      ORDER BY src_id"""))
   )
 }

@@ -488,4 +488,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"),
       s"the per-anchor cut must not be a window over all scored pairs:\n$p")
   }
+
+  test("q141: the DSIR bucket-ratio table broadcast-joins back onto the " +
+      "feature stream; the bucket agg partial-aggregates map-side") {
+    val p = planOf("q141_dsir_resample")
+    // the ≤1024-row ratio table must ride a broadcast, never shuffle
+    // the corpus-sized feature stream on the bucket key
+    assert(p.contains("BroadcastHashJoin"),
+      s"ratio table must broadcast-join onto features:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in DSIR:\n$p")
+    // the only BNLJ allowed is the documented 1-row scalar broadcast
+    // (tot / rmax), never a corpus-sized side
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in DSIR should sort-merge (ratio/scalars broadcast):\n$p")
+  }
+
+  test("q142: margin normalizers run through the bounded TopKScored " +
+      "aggregate, and the best-pair cut is an aggregate, not a window") {
+    val p = planOf("q142_bitext_margin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairing must be the cell equi-join:\n$p")
+    assert(p.contains("partial_topk_scored"),
+      s"avgNN_k must partial-aggregate through TopKScored map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"neither the normalizers nor the best-pair cut may window over " +
+        s"all scored pairs:\n$p")
+  }
 }

@@ -449,4 +449,107 @@ class QueriesSpec extends AnyFunSuite {
         s"positions for $src are not 1..n")
     }
   }
+
+  test("q141 DSIR resample matches a scalar mirror (buckets, ratios, " +
+      "Bernoulli keep)") {
+    // independent driver-side re-derivation of the whole pipeline:
+    // md5-hashed bigram buckets, add-1-smoothed likelihood ratios in
+    // the query's exact double-op order, exact-decimal mean, and the
+    // u·rmax < imp Bernoulli keep — set-equal including which docs
+    // are sampled OUT
+    import org.apache.spark.sql.functions._
+    val nB = 1024
+    def md5hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = texts.flatMap { case (id, lang, t) =>
+      val ws = t.split(" ", -1)
+      ws.zip(ws.drop(1)).map { case (a, b) =>
+        (id, lang, md5hex8(s"dsir|$a|$b") % nB)
+      }
+    }
+    val nt = feats.count(_._2 == "en").toDouble
+    val nr = feats.length.toDouble
+    val ratio = feats.groupBy(_._3).view.mapValues { fs =>
+      val bt = fs.count(_._2 == "en").toDouble
+      val br = fs.length.toDouble
+      r6((bt + 1.0) * (nr + nB) / ((br + 1.0) * (nt + nB)))
+    }.toMap
+    val rmax = ratio.values.max
+    val expected = feats.groupBy(_._1).collect { case (id, fs) =>
+      val imp = r6(fs.map(f => BigDecimal(ratio(f._3)).setScale(6)).sum.toDouble
+        / fs.length)
+      val u = (md5hex8(s"dsirk|$id") % 16777216L).toDouble / 16777216.0
+      (id, fs.length.toLong, imp, u * rmax < imp)
+    }.collect { case (id, n, imp, true) => (id, n, imp) }.toSet
+    val got = SparkEntry.queries("q141_dsir_resample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
+    // the sampler genuinely drops docs (it is a resample, not a rename)
+    assert(got.size < feats.groupBy(_._1).size)
+  }
+
+  test("q142 margin mining: TopKScored normalizers equal the window form " +
+      "and accepted pairs clear the margin cut") {
+    // the bounded-aggregate normalizer (the scale path) must produce
+    // the same avgNN_k — and therefore the same accepted pairs — as
+    // the naive row_number window over all scored pairs
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cents = queries.PipelineQueries.ivfCents(spark, dir)
+    val e = queries.Tables(spark, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(operators.TextOps.norm2(col("embedding"))).as("qn"),
+        explode(slice(array_sort(
+          operators.Ivf.rankedCells(cents, col("embedding"))), 1, 2)).as("pc"))
+      .select(col("qid"), col("qv"), col("qn"), col("pc.cid").as("cid"))
+    val cand = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+        sqrt(operators.TextOps.norm2(col("embedding"))).as("bn"),
+        operators.Ivf.bestCell(cents, col("embedding")).as("cid"))
+    val pairs = anchors.join(cand, Seq("cid"))
+      .select(col("qid"), col("bid"),
+        round(operators.TextOps.dot(col("qv"), col("bv")) /
+          (col("qn") * col("bn")), 6).as("cosine"))
+      .cache()
+    def winAvg(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cosine").desc, col(other))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .groupBy(col(key).as("k"))
+        .agg((sum(col("cosine").cast("decimal(24,6)")).cast("double") /
+          count(lit(1))).as(out))
+    }
+    val naW = winAvg("qid", "bid", "na").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nbW = winAvg("bid", "qid", "nb").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // window-form margins → window-form best pair per anchor
+    val best = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (q, b, c) =>
+        val m = BigDecimal(c / ((naW(q) + nbW(b)) / 2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (q, b, c, m)
+      }
+      .groupBy(_._1).view.mapValues(_.maxBy(x => (x._4, -x._2))).values
+      .filter(_._4 > 1.0)
+      .map { case (q, b, c, m) => (q, b, c, m) }.toSet
+    val got = SparkEntry.queries("q142_bitext_margin")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    pairs.unpersist()
+    assert(best.nonEmpty && got == best,
+      s"diff: ${((got diff best) ++ (best diff got)).take(10)}")
+  }
 }
