@@ -210,7 +210,8 @@ object Stress {
     genScaled(spark, baseDir, scaledDir, factor)
     if (sys.env.get("STRESS_SEMDEDUP").contains("1") ||
         sys.env.contains("STRESS_TWOLEVEL") ||
-        sys.env.contains("STRESS_HARDNEG"))
+        sys.env.contains("STRESS_HARDNEG") ||
+        sys.env.contains("STRESS_MARGIN"))
       genScaledEmbeddings(spark, baseDir, scaledDir, factor)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
@@ -446,6 +447,25 @@ object Stress {
         println(s"""STRESS_HARDNEG {"corpus":"$tag","vectors":$nVec,"k":$k,""" +
           s""""agg_warm_sec":$aggS,"agg_shuffle_bytes":$aggSh,"agg_spill":$aggSp,""" +
           s""""win_warm_sec":$winS,"win_shuffle_bytes":$winSh,"win_spill":$winSp}""")
+      }
+      // STRESS_MARGIN=k: q142's ratio-margin mining at quantizer size k
+      // (the oracle query pins k=8; pair volume is ~nprobe·n²/k so the
+      // corpus-scaled k is the production dial, as in q132/q138)
+      sys.env.get("STRESS_MARGIN").map(_.toInt).foreach { k =>
+        val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val cents = queries.PipelineQueries.ivfCentsK(spark, dir, k)
+        val runs = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          queries.PipelineQueries.marginMining(spark, dir, cents)
+            .write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        val (warmS, shW, sp) = runs.last
+        println(s"""STRESS_MARGIN {"corpus":"$tag","vectors":$nVec,"k":$k,""" +
+          s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
+          s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
       }
     }
     spark.stop()

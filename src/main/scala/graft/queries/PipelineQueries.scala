@@ -3538,8 +3538,17 @@ object PipelineQueries {
     // vector, shuffle-joined back onto the pairs on their keys; the
     // best pair per anchor is a struct-max agg (margin desc, ties →
     // lowest tgt_id), accepted at the standard margin > 1 cut. ----
-    Q("q142_bitext_margin", (s, d) => {
-      val cents = ivfCents(s, d)
+    Q("q142_bitext_margin", (s, d) => marginMining(s, d, ivfCents(s, d)),
+      Some(q142OracleSql))
+  )
+
+  /** q142's pipeline at an arbitrary quantizer size — the oracle-scale
+    * query pins k=8; `STRESS_MARGIN=k` times the same code at the
+    * corpus-scaled k the dial table prescribes (cell size, hence pair
+    * volume ~nprobe·n²/k, is the dial exactly as in q132/q138).
+    */
+  private[graft] def marginMining(s: SparkSession, d: String,
+      cents: Ivf.Centroids): DataFrame = {
       val e = embs(s, d)
       val anchors = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -3584,7 +3593,9 @@ object PipelineQueries {
         .select(col("qid").as("src_id"), col("best.bid").as("tgt_id"),
           col("best.cosine").as("cosine"), col("best.margin").as("margin"))
         .orderBy(col("src_id"))
-    }, Some(s"""
+  }
+
+  private def q142OracleSql: String = s"""
       WITH ${duckIvfCtes(8, 2, 64)},
       probe_sc AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
           ${duckCos("e.embedding", "c.cv")} AS cos
@@ -3615,6 +3626,5 @@ object PipelineQueries {
         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
           ORDER BY margin DESC, bid) AS rn FROM m) t
       WHERE rn = 1 AND margin > 1.0
-      ORDER BY src_id"""))
-  )
+      ORDER BY src_id"""
 }
