@@ -164,6 +164,60 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(doc_id: Long, kind: String, n_bytes: Long,
+      sample_rate: Int, channels: Int, n_frames: Long, rms: Double, ok: Boolean)
+
+  /** The codec seam carrying a REAL audio decoder — the audio leg of the
+    * triad, mirroring [[decodeImageMeta]]: `javax.sound.sampled` ships
+    * with the JDK (WAV/AIFF/AU readers, zero native deps), so this stage
+    * parses actual audio containers to real (sample_rate, channels,
+    * n_frames) plus a sample statistic (RMS amplitude of 16-bit signed
+    * PCM normalized to [-1, 1], rounded to 6 decimals; non-16-bit-PCM
+    * encodings report container metadata with rms = 0). Same contract as
+    * the image stage: batched `mapPartitions`, map-side zero-shuffle
+    * plan, and an un-decodable blob yields `ok = false` with zeroed
+    * fields rather than a thrown task — a corrupt clip in 10¹¹ is a DATA
+    * error to filter on, not a job error. The oracle queries (q53/q75)
+    * stay on the deterministic stubs — DuckDB can't parse WAV; this
+    * stage is spec-locked against generated PCM ([[graft.MultimodalSpec]]).
+    */
+  def decodeAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val bad = AudioMeta(r.doc_id, r.kind, r.media.length.toLong,
+            0, 0, 0L, 0.0, ok = false)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.media))
+            try {
+              val fmt = in.getFormat
+              val pcm16 = fmt.getSampleSizeInBits == 16 && fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              val rms = if (!pcm16) 0.0 else {
+                val bb = java.nio.ByteBuffer.wrap(in.readAllBytes()).order(
+                  if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                var sum = 0.0
+                var n = 0L
+                while (bb.remaining() >= 2) {
+                  val v = bb.getShort / 32768.0
+                  sum += v * v
+                  n += 1
+                }
+                if (n == 0L) 0.0 else math.sqrt(sum / n)
+              }
+              AudioMeta(r.doc_id, r.kind, r.media.length.toLong,
+                fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
+                math.round(rms * 1e6) / 1e6, ok = true)
+            } finally in.close()
+          } catch { case _: Exception => bad }
+        }
+      }
+    }
+  }
+
   /** Batched feature-extraction stage: binary → fixed-dim embedding. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -104,6 +104,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"image decode must not shuffle:\n$p")
   }
 
+  test("real audio decode via javax.sound: exact format + RMS, " +
+      "corrupt blobs flagged not thrown, partition-invariant, map-side") {
+    import spark.implicits._
+    // generate real WAVs in-memory: 16-bit signed PCM whose RMS is known
+    // in closed form (constant DC level → RMS == |level|/32768; a
+    // two-level square wave → RMS == sqrt(mean of squares)), plus one
+    // garbage blob — the seam must parse the real ones and FLAG the bad
+    def wav(rate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val bytes = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bytes.putShort)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes.array()), fmt,
+        samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val dc = Array.fill[Short](400)(16384)           // RMS = 0.5 exactly
+    val square = Array.tabulate[Short](600)(i =>     // half ±8192, half ∓…
+      if (i % 2 == 0) 8192 else -8192)               // RMS = 0.25 exactly
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(8000f, 1, dc)),
+      Multimodal.MediaRow(2L, "audio", wav(44100f, 2, square)),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](9, 9, 9, 9)))
+    val df = spark.createDataset(rows).toDF()
+    val got = Multimodal.decodeAudioMeta(df).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got(1L).ok && got(1L).sample_rate == 8000 && got(1L).channels == 1 &&
+      got(1L).n_frames == 400L && got(1L).rms == 0.5)
+    assert(got(2L).ok && got(2L).sample_rate == 44100 && got(2L).channels == 2 &&
+      got(2L).n_frames == 300L && got(2L).rms == 0.25)
+    assert(!got(3L).ok && got(3L).sample_rate == 0 && got(3L).n_bytes == 4,
+      "garbage bytes must flag ok=false, not throw")
+    // partition invariance: the stage is pure per-record
+    val g7 = Multimodal.decodeAudioMeta(df.repartition(7)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(g7 == got)
+    // map-side: no exchange in the single-partition plan
+    val p = Multimodal.decodeAudioMeta(df).toDF()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"audio decode must not shuffle:\n$p")
+  }
+
   test("resize stage: exact byte budget, deterministic, map-side") {
     val resized = Multimodal.resizeMedia(media, 64, 64)
     val p = resized.toDF().queryExecution.executedPlan.toString
