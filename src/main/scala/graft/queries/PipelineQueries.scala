@@ -3539,7 +3539,85 @@ object PipelineQueries {
     // best pair per anchor is a struct-max agg (margin desc, ties →
     // lowest tgt_id), accepted at the standard margin > 1 cut. ----
     Q("q142_bitext_margin", (s, d) => marginMining(s, d, ivfCents(s, d)),
-      Some(q142OracleSql))
+      Some(q142OracleSql)),
+
+    // ---- bootstrapped quality classifier (the CCNet/GPT-3 curation
+    // archetype, Wenzek et al. arXiv:1911.00359 §4.4): train a
+    // discriminative token model from CHEAP HEURISTIC labels on a train
+    // split, then score the ENTIRE corpus with it — the step that turns
+    // a hand-rule gate into a learned filter. Labels bootstrap from the
+    // q97 gate (per-source type-token-ratio percent-rank ≥ 0.5) over
+    // the doc_id%5≠0 split; the model is per-token add-1-smoothed class
+    // posteriors. The fastText-shaped score Σ log(p(w|pos)/p(w|neg)) is
+    // a transcendental — not cross-engine-reproducible (the q137/q141
+    // precedent) — so the shipped score is the repo's LOG-FREE form:
+    // each token contributes its 6-dec-rounded posterior
+    // P(pos|w) = (cp+1)/(cp+cn+2) (an exact integer ratio both engines
+    // divide identically; an unseen token contributes the prior 0.5 via
+    // the left join), and the doc score is the exact-decimal MEAN
+    // posterior (Det.davg convention — order-independent, ordinary
+    // partial aggregation). Scale shape: the label window partitions by
+    // source (never a global sort); both count passes are partial-
+    // aggregated explodes; scoring joins on the token key where the
+    // vocabulary side is already collapsed to |V| rows (AQE broadcasts
+    // it when it fits) — train on a sample, score everywhere, the
+    // production classifier shape at 100 TB. ----
+    Q("q143_quality_classifier", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), ws.as("ws"))
+      val labeled = base.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("ttr", size(array_distinct(col("ws"))) / size(col("ws")))
+        .withColumn("pos", percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("ttr"))) >= 0.5)
+      val occ = labeled.select(explode(col("ws")).as("w"), col("pos"))
+      val vocab = occ.groupBy(col("w").as("vw"))
+        .agg(round((sum(when(col("pos"), 1L).otherwise(0L)).cast("double")
+            + 1.0) / (count(lit(1)).cast("double") + 2.0), 6).as("q"))
+      // the keep cut is the voting scorer's actual decision boundary —
+      // the positive-class prior at token-OCCURRENCE level (a doc whose
+      // mean posterior beats the prior carries net positive evidence);
+      // a fixed 0.5 would be the boundary only for a balanced corpus
+      val prior = occ.agg(round((sum(when(col("pos"), 1L).otherwise(0L))
+          .cast("double") + 1.0) / (count(lit(1)).cast("double") + 2.0), 6)
+        .as("prior"))
+      base.select(col("doc_id"), explode(col("ws")).as("w"))
+        .join(vocab, col("w") === col("vw"), "left")
+        .select(col("doc_id"), coalesce(col("q"), lit(0.5)).as("q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("q").cast("decimal(24,6)")).cast("double") /
+            count(lit(1)), 6).as("clf_score"))
+        .crossJoin(broadcast(prior))
+        .withColumn("is_kept", col("clf_score") >= col("prior"))
+        .select(col("doc_id"), col("n_toks"), col("clf_score"), col("is_kept"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                 FROM documents),
+      tr AS (SELECT doc_id, source, ws,
+               len(list_distinct(ws)) / len(ws) AS ttr
+             FROM t WHERE doc_id % 5 <> 0),
+      lab AS (SELECT doc_id, ws,
+               (percent_rank() OVER (PARTITION BY source ORDER BY ttr)
+                 >= 0.5) AS pos
+             FROM tr),
+      occ AS (SELECT unnest(ws) AS w, pos FROM lab),
+      vocab AS (SELECT w AS vw, round(
+               (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+                 / (CAST(count(*) AS DOUBLE) + 2.0), 6) AS q
+             FROM occ GROUP BY 1),
+      prior AS (SELECT round(
+               (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+                 / (CAST(count(*) AS DOUBLE) + 2.0), 6) AS prior FROM occ),
+      sc AS (SELECT e.doc_id, coalesce(v.q, 0.5) AS q
+             FROM (SELECT doc_id, unnest(ws) AS w FROM t) e
+             LEFT JOIN vocab v ON v.vw = e.w),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               round(CAST(sum(CAST(CAST(q AS VARCHAR) AS DECIMAL(24, 6)))
+                 AS DOUBLE) / count(*), 6) AS clf_score
+             FROM sc GROUP BY 1)
+      SELECT doc_id, n_toks, clf_score, clf_score >= prior AS is_kept
+      FROM agg, prior ORDER BY doc_id"""))
   )
 
   /** q142's pipeline at an arbitrary quantizer size — the oracle-scale

@@ -249,6 +249,52 @@ class QueriesSpec extends AnyFunSuite {
       s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
   }
 
+  test("q143 quality classifier matches a scalar mirror") {
+    // independent driver-side re-derivation of the whole bootstrap:
+    // q97-gate labels (per-source ttr percent-rank) on the doc_id%5≠0
+    // split, add-1-smoothed token posteriors, exact-decimal mean score
+    // over EVERY doc (held-out docs score through the same vocab; unseen
+    // tokens contribute the 0.5 prior)
+    import org.apache.spark.sql.functions._
+    val docRows = queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = docRows.filter(_._1 % 5 != 0)
+      .map { case (id, src, ws) => (id, src, ws, ws.distinct.size.toDouble / ws.size) }
+    // SQL percent_rank: (rank - 1) / (n - 1), rank = 1 + count strictly below
+    val pos: Map[Long, Boolean] = train.groupBy(_._2).flatMap { case (_, g) =>
+      g.map { case (id, _, _, ttr) =>
+        val rank = 1 + g.count(_._4 < ttr)
+        val pr = if (g.size == 1) 0.0 else (rank - 1).toDouble / (g.size - 1)
+        id -> (pr >= 0.5)
+      }
+    }
+    val allOcc = train.flatMap { case (id, _, ws, _) => ws.map(_ -> pos(id)) }
+    val counts = allOcc.groupBy(_._1).view.mapValues { occ =>
+        val cp = occ.count(_._2); (cp, occ.size - cp)
+      }.toMap
+    def q(w: String): BigDecimal = {
+      val (cp, cn) = counts.getOrElse(w, (0, 0))
+      BigDecimal((cp + 1.0) / (cp + cn + 2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    // the keep cut: positive-class prior at token-occurrence level
+    val prior = BigDecimal((allOcc.count(_._2) + 1.0) / (allOcc.size + 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docRows.map { case (id, _, ws) =>
+      val score = ws.map(q).sum.toDouble / ws.size // decimal sum, IEEE divide
+      val r6 = BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.size.toLong, r6, r6 >= prior)
+    }.toSet
+    val got = SparkEntry.queries("q143_quality_classifier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(expected.nonEmpty && got == expected,
+      s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
+    // the bootstrap must actually discriminate: both classes present
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("q132 scopes comparisons to the cell: cross-cell near-dups both survive") {
     // the documented recall boundary (and the scale guarantee in the
     // same breath): vectors in DIFFERENT cells are never paired, however
