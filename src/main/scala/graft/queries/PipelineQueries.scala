@@ -3548,50 +3548,37 @@ object PipelineQueries {
     // a hand-rule gate into a learned filter. Labels bootstrap from the
     // q97 gate (per-source type-token-ratio percent-rank ≥ 0.5) over
     // the doc_id%5≠0 split; the model is per-token add-1-smoothed class
-    // posteriors. The fastText-shaped score Σ log(p(w|pos)/p(w|neg)) is
-    // a transcendental — not cross-engine-reproducible (the q137/q141
-    // precedent) — so the shipped score is the repo's LOG-FREE form:
-    // each token contributes its 6-dec-rounded posterior
-    // P(pos|w) = (cp+1)/(cp+cn+2) (an exact integer ratio both engines
-    // divide identically; an unseen token contributes the prior 0.5 via
-    // the left join), and the doc score is the exact-decimal MEAN
-    // posterior (Det.davg convention — order-independent, ordinary
-    // partial aggregation). Scale shape: the label window partitions by
-    // source (never a global sort); both count passes are partial-
-    // aggregated explodes; scoring joins on the token key where the
-    // vocabulary side is already collapsed to |V| rows (AQE broadcasts
-    // it when it fits) — train on a sample, score everywhere, the
-    // production classifier shape at 100 TB. ----
-    Q("q143_quality_classifier", (s, d) => {
-      val ws = TextOps.tokens(col("text"))
-      val base = docs(s, d).select(col("doc_id"), col("source"), ws.as("ws"))
-      val labeled = base.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("ttr", size(array_distinct(col("ws"))) / size(col("ws")))
-        .withColumn("pos", percent_rank().over(
-          Window.partitionBy(col("source")).orderBy(col("ttr"))) >= 0.5)
-      val occ = labeled.select(explode(col("ws")).as("w"), col("pos"))
-      val vocab = occ.groupBy(col("w").as("vw"))
-        .agg(round((sum(when(col("pos"), 1L).otherwise(0L)).cast("double")
-            + 1.0) / (count(lit(1)).cast("double") + 2.0), 6).as("q"))
-      // the keep cut is the voting scorer's actual decision boundary —
-      // the positive-class prior at token-OCCURRENCE level (a doc whose
-      // mean posterior beats the prior carries net positive evidence);
-      // a fixed 0.5 would be the boundary only for a balanced corpus
-      val prior = occ.agg(round((sum(when(col("pos"), 1L).otherwise(0L))
-          .cast("double") + 1.0) / (count(lit(1)).cast("double") + 2.0), 6)
-        .as("prior"))
-      base.select(col("doc_id"), explode(col("ws")).as("w"))
-        .join(vocab, col("w") === col("vw"), "left")
-        .select(col("doc_id"), coalesce(col("q"), lit(0.5)).as("q"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"),
-          round(sum(col("q").cast("decimal(24,6)")).cast("double") /
-            count(lit(1)), 6).as("clf_score"))
-        .crossJoin(broadcast(prior))
-        .withColumn("is_kept", col("clf_score") >= col("prior"))
-        .select(col("doc_id"), col("n_toks"), col("clf_score"), col("is_kept"))
-        .orderBy(col("doc_id"))
-    }, Some("""
+    // posteriors over HASHED features — fastText's own hashing trick
+    // (Joulin et al. arXiv:1607.01759: features live in a fixed table
+    // of 2²⁰ md5 buckets), which makes the MODEL bounded BY
+    // CONSTRUCTION regardless of corpus vocabulary (the q140-grid /
+    // q141-bucket house pattern). The fastText-shaped score
+    // Σ log(p(b|pos)/p(b|neg)) is a transcendental — not cross-engine-
+    // reproducible (the q137/q141 precedent) — so the shipped score is
+    // the repo's LOG-FREE form: each token contributes its bucket's
+    // 6-dec-rounded posterior P(pos|b) = (cp+1)/(cp+cn+2) (an exact
+    // integer ratio both engines divide identically; an unseen bucket
+    // contributes the 0.5 prior), and the doc score is the exact-mean
+    // posterior. The keep cut is the voting scorer's actual decision
+    // boundary — the positive-class prior at token-OCCURRENCE level
+    // (a fixed 0.5 would be the boundary only for a balanced corpus).
+    //
+    // Scale shape — train once, apply map-side: training runs the label
+    // window (partitioned by source, never a global sort) and one
+    // bounded aggregation (≤2²⁰ groups per task by construction), then
+    // the ≤2²⁰-bucket posterior table collects ONCE into a 4 MB dense
+    // array ([[graft.functions.ClfModel]], the IVF-centroid / PQ-
+    // codebook artifact class) and rides a torrent broadcast. Scoring
+    // is a single map-side projection — per doc, ONE native expression
+    // over its token array ([[graft.functions.DocMeanPosterior]]) with
+    // exact long-micros summation; the corpus is never exploded,
+    // joined, or shuffled to apply the model. (Both join-shaped
+    // alternatives were MEASURED worse at 1000×: vocab-side SMJ sorts
+    // the 2.5G-row token stream — 3.0 GB spill — and even shuffle-hash
+    // leaves the post-join per-doc re-agg hashing 5M groups/task,
+    // 1.6 GB spill. The compositional join twin is kept as
+    // [[Clf.joinForm]], bit-parity spec-locked.) ----
+    Q("q143_quality_classifier", (s, d) => Clf.modelForm(s, d), Some("""
       WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
                  FROM documents),
       tr AS (SELECT doc_id, source, ws,
@@ -3601,8 +3588,10 @@ object PipelineQueries {
                (percent_rank() OVER (PARTITION BY source ORDER BY ttr)
                  >= 0.5) AS pos
              FROM tr),
-      occ AS (SELECT unnest(ws) AS w, pos FROM lab),
-      vocab AS (SELECT w AS vw, round(
+      occ AS (SELECT CAST(concat('0x', substr(md5('clf|' || w), 1, 8))
+                 AS BIGINT) % 1048576 AS b, pos
+             FROM (SELECT unnest(ws) AS w, pos FROM lab)),
+      vocab AS (SELECT b AS vb, round(
                (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
                  / (CAST(count(*) AS DOUBLE) + 2.0), 6) AS q
              FROM occ GROUP BY 1),
@@ -3610,15 +3599,165 @@ object PipelineQueries {
                (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
                  / (CAST(count(*) AS DOUBLE) + 2.0), 6) AS prior FROM occ),
       sc AS (SELECT e.doc_id, coalesce(v.q, 0.5) AS q
-             FROM (SELECT doc_id, unnest(ws) AS w FROM t) e
-             LEFT JOIN vocab v ON v.vw = e.w),
+             FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5('clf|' || w), 1, 8))
+                       AS BIGINT) % 1048576 AS b
+                   FROM (SELECT doc_id, unnest(ws) AS w FROM t)) e
+             LEFT JOIN vocab v ON v.vb = e.b),
       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
                round(CAST(sum(CAST(CAST(q AS VARCHAR) AS DECIMAL(24, 6)))
                  AS DOUBLE) / count(*), 6) AS clf_score
              FROM sc GROUP BY 1)
       SELECT doc_id, n_toks, clf_score, clf_score >= prior AS is_kept
-      FROM agg, prior ORDER BY doc_id"""))
+      FROM agg, prior ORDER BY doc_id""")),
+
+    // ---- sampled corpus statistics with a margin of error — the
+    // reference's error-propagation pillar applied to pipeline-scale
+    // estimation: at 100 TB you steer (token budgets, mixture weights,
+    // cost forecasts) from a SAMPLE, and the sample estimate must carry
+    // its uncertainty exactly the way the census surface carries MOEs.
+    // Each doc enters a Poisson sample with probability p via the md5
+    // uniform (q141's sampler); the Horvitz–Thompson estimate of the
+    // corpus token total is Σx/p with the Poisson-sampling variance
+    // Var = (1−p)/p² · Σx² (Särndal et al., Model Assisted Survey
+    // Sampling, §3.2 — every term an exact integer sum), reported as an
+    // ACS-style 90% margin m90 = 1.645·√Var — the same z-divisor the
+    // reference pins — and an RSE through the SAME [[AcsMath.rse]]
+    // builder the census frame uses. The exact total rides along (at
+    // test scale the truth is computable) so `within_m90` reads out
+    // whether the 90% interval covered it. Scale shape: one global
+    // aggregation over narrow longs, partial-aggregated map-side; the
+    // sample never materializes; the corpus is scanned once. ----
+    Q("q144_sampled_stats", (s, d) => {
+      val p = 0.2
+      val x = size(TextOps.tokens(col("text"))).cast("long")
+      val u = (conv(substring(md5(concat(lit("samp|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % 16777216L).cast("double") / 16777216.0
+      docs(s, d)
+        .select(col("doc_id"), x.as("x"), (u < p).as("in_s"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(col("x")).as("exact_total"),
+          sum(when(col("in_s"), col("x")).otherwise(0L)).as("sx"),
+          sum(when(col("in_s"), col("x") * col("x")).otherwise(0L)).as("sx2"))
+        .select(col("n_docs"), col("n_sampled"), col("exact_total"),
+          round(col("sx") / p, 6).as("t_hat"),
+          round(lit(1.645) *
+            sqrt(col("sx2") * (1.0 - p) / (p * p)), 6).as("t_m90"))
+        .select(col("n_docs"), col("n_sampled"), col("exact_total"),
+          col("t_hat"), col("t_m90"),
+          round(graft.functions.AcsMath.rse(col("t_hat"), col("t_m90")), 6)
+            .as("t_rse"),
+          (abs(col("t_hat") - col("exact_total")) <= col("t_m90"))
+            .as("within_m90"))
+    }, Some("""
+      WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS x,
+          ((CAST(concat('0x', substr(md5('samp|' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 16777216) / 16777216.0 < 0.2) AS in_s
+        FROM documents),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          CAST(sum(x) AS BIGINT) AS exact_total,
+          CAST(sum(CASE WHEN in_s THEN x ELSE 0 END) AS BIGINT) AS sx,
+          CAST(sum(CASE WHEN in_s THEN x * x ELSE 0 END) AS BIGINT) AS sx2
+        FROM b),
+      e AS (SELECT n_docs, n_sampled, exact_total,
+          round(sx / 0.2, 6) AS t_hat,
+          round(1.645 * sqrt(sx2 * (1.0 - 0.2) / (0.2 * 0.2)), 6) AS t_m90
+        FROM a)
+      SELECT n_docs, n_sampled, exact_total, t_hat, t_m90,
+        round(t_m90 / 1.645 / t_hat * 100, 6) AS t_rse,
+        abs(t_hat - exact_total) <= t_m90 AS within_m90
+      FROM e"""))
   )
+
+  /** q143's bootstrap pieces — shared by the shipped broadcast-model
+    * form and the compositional join twin the parity spec locks
+    * (`QueriesSpec`: joinForm ≡ modelForm bit-for-bit at sf0.001).
+    */
+  private[graft] object Clf {
+    val NBuckets = 1048576 // 2^20, the fastText feature-table size
+
+    def bucket(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit("clf|"), w)), 1, 8), 16, 10)
+        .cast("long") % NBuckets.toLong
+
+    /** Tokenized corpus: (doc_id, source, ws). */
+    def base(s: SparkSession, d: String): DataFrame =
+      docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("ws"))
+
+    /** Labeled token-occurrence stream over the train split:
+      * (bucket, pos) — the q97 gate as the labeler.
+      */
+    def occ(b: DataFrame): DataFrame =
+      b.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("ttr", size(array_distinct(col("ws"))) / size(col("ws")))
+        .withColumn("pos", percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("ttr"))) >= 0.5)
+        .select(explode(col("ws")).as("w"), col("pos"))
+        .select(bucket(col("w")).as("b"), col("pos"))
+
+    /** Per-bucket add-1-smoothed positive posterior, rounded to 6. */
+    def vocab(o: DataFrame): DataFrame =
+      o.groupBy(col("b").as("vb"))
+        .agg(round((sum(when(col("pos"), 1L).otherwise(0L)).cast("double")
+            + 1.0) / (count(lit(1)).cast("double") + 2.0), 6).as("q"))
+
+    /** Positive-class prior at token-occurrence level (the keep cut). */
+    def prior(o: DataFrame): DataFrame =
+      o.agg(round((sum(when(col("pos"), 1L).otherwise(0L)).cast("double")
+          + 1.0) / (count(lit(1)).cast("double") + 2.0), 6).as("prior"))
+
+    /** Train once per (dataset, hyperparameters): the bounded posterior
+      * table collected into a dense-array model + the prior scalar.
+      */
+    def model(s: SparkSession, d: String):
+        (Double, org.apache.spark.broadcast.Broadcast[graft.functions.ClfModel]) =
+      Models.cached(s"clf:$d:B=$NBuckets:split=mod5") {
+        val o = occ(base(s, d))
+        val pr = prior(o).head().getDouble(0)
+        val entries = vocab(o).collect().map(r => r.getLong(0) -> r.getDouble(1))
+        (pr, s.sparkContext.broadcast(
+          graft.functions.ClfModel.build("clf|", NBuckets, entries.iterator)))
+      }
+
+    /** The shipped form: score map-side through the broadcast model. */
+    def modelForm(s: SparkSession, d: String): DataFrame = {
+      val (pr, bc) = model(s, d)
+      base(s, d).select(col("doc_id"),
+          graft.functions.ClfFunctions.docMeanPosterior(bc, col("ws")).as("sc"))
+        .filter(col("sc").isNotNull)
+        .select(col("doc_id"), col("sc.n_toks").as("n_toks"),
+          col("sc.clf_score").as("clf_score"),
+          (col("sc.clf_score") >= lit(pr)).as("is_kept"))
+        .orderBy(col("doc_id"))
+    }
+
+    /** The compositional twin (explode → left join on the bucket key →
+      * per-doc decimal-mean re-agg) — kept for the bit-parity spec. At
+      * scale this shape loses to [[modelForm]]: measured at 1000×, SMJ
+      * sorts the token stream (3.0 GB spill) and shuffle-hash still
+      * re-aggregates 5M doc groups per task (1.6 GB spill).
+      */
+    def joinForm(s: SparkSession, d: String): DataFrame = {
+      val b = base(s, d)
+      val o = occ(b)
+      b.select(col("doc_id"), explode(col("ws")).as("w"))
+        .select(col("doc_id"), bucket(col("w")).as("b"))
+        .join(vocab(o).hint("shuffle_hash"), col("b") === col("vb"), "left")
+        .select(col("doc_id"), coalesce(col("q"), lit(0.5)).as("q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("q").cast("decimal(24,6)")).cast("double") /
+            count(lit(1)), 6).as("clf_score"))
+        .crossJoin(broadcast(prior(o)))
+        .select(col("doc_id"), col("n_toks"), col("clf_score"),
+          (col("clf_score") >= col("prior")).as("is_kept"))
+        .orderBy(col("doc_id"))
+    }
+  }
 
   /** q142's pipeline at an arbitrary quantizer size — the oracle-scale
     * query pins k=8; `STRESS_MARGIN=k` times the same code at the

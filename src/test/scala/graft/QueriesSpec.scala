@@ -269,12 +269,21 @@ class QueriesSpec extends AnyFunSuite {
         id -> (pr >= 0.5)
       }
     }
-    val allOcc = train.flatMap { case (id, _, ws, _) => ws.map(_ -> pos(id)) }
+    // fastText hashing trick: tokens live in 2^20 md5 buckets
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("clf|" + w).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1048576L
+    }
+    val allOcc = train.flatMap { case (id, _, ws, _) =>
+      ws.map(w => bucket(w) -> pos(id))
+    }
     val counts = allOcc.groupBy(_._1).view.mapValues { occ =>
         val cp = occ.count(_._2); (cp, occ.size - cp)
       }.toMap
     def q(w: String): BigDecimal = {
-      val (cp, cn) = counts.getOrElse(w, (0, 0))
+      val (cp, cn) = counts.getOrElse(bucket(w), (0, 0))
       BigDecimal((cp + 1.0) / (cp + cn + 2.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     }
@@ -293,6 +302,21 @@ class QueriesSpec extends AnyFunSuite {
       s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
     // the bootstrap must actually discriminate: both classes present
     assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  test("q143 broadcast-model form ≡ compositional join twin, bit-for-bit") {
+    // the shipped form applies the trained model map-side through the
+    // DocMeanPosterior broadcast expression; the join twin explodes,
+    // left-joins the posterior table on the bucket key, and re-agg's
+    // per doc — same math, different transport, identical bits
+    val viaModel = SparkEntry.queries("q143_quality_classifier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val viaJoin = queries.PipelineQueries.Clf.joinForm(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(viaModel.nonEmpty && viaModel == viaJoin,
+      s"diff: ${((viaModel diff viaJoin) ++ (viaJoin diff viaModel)).take(10)}")
   }
 
   test("q132 scopes comparisons to the cell: cross-cell near-dups both survive") {
