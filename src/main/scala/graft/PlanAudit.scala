@@ -81,7 +81,8 @@ object PlanAudit {
     "q141_dsir_resample" -> "DSIR importance resampling: bucket table ≤B=1024 rows by construction (partial-aggregated tiny exchange), broadcast back onto the feature stream; the only corpus exchange is the per-doc score agg over narrow (doc_id, ratio) rows; Bernoulli keep is map-side",
     "q142_bitext_margin" -> "ratio-margin mining: q138's cell-join candidates (never all-pairs); both avgNN_k normalizers via bounded TopKScored (≤4 rows per (vector, task) on the wire); explode reuses the agg's hash partitioning — no extra exchange; best-pair is a struct-max agg, no window",
     "q143_quality_classifier" -> "bootstrapped classifier, train-once-apply-map-side: the fastText hashing trick bounds the model at 2^20 buckets by construction, trained via a source-partitioned label window + one bounded agg, collected ONCE into a 4 MB dense array on a torrent broadcast; scoring is a single native expression per doc (DocMeanPosterior) — the corpus is never exploded, joined, or shuffled to apply the model; the only exchange is the output sort",
-    "q144_sampled_stats" -> "Horvitz-Thompson sampled estimate + ACS m90/RSE: one global aggregation over narrow longs, partial-aggregated map-side; the sample never materializes; one corpus scan")
+    "q144_sampled_stats" -> "Horvitz-Thompson sampled estimate + ACS m90/RSE: one global aggregation over narrow longs, partial-aggregated map-side; the sample never materializes; one corpus scan",
+    "q145_exact_substring" -> "ExactSubstr dedup (Lee et al.): first-occurrence per sliding gram is a partial-aggregated min(struct) — hot boilerplate grams collapse map-side, never a corpus window; join-back on the hash matches each occurrence to exactly one first (no pair explosion); span union + reassembly are per-row array expressions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

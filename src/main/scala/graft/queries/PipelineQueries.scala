@@ -3669,7 +3669,87 @@ object PipelineQueries {
       SELECT n_docs, n_sampled, exact_total, t_hat, t_m90,
         round(t_m90 / 1.645 / t_hat * 100, 6) AS t_rse,
         abs(t_hat - exact_total) <= t_m90 AS within_m90
-      FROM e"""))
+      FROM e""")),
+
+    // ---- exact substring dedup at ARBITRARY alignment (Lee et al.
+    // arXiv:2107.06499, the ExactSubstr dedup of "Deduplicating
+    // Training Data Makes Language Models Better"): q94's chunk dedup
+    // only catches spans that land on its fixed 10-token grid; the real
+    // operator marks EVERY position whose K-token window repeats
+    // anywhere in the corpus, keeps the corpus-wide first occurrence,
+    // and removes the union of the duplicated windows from everything
+    // else. The paper builds a suffix array; the Spark-first shape is
+    // seed-and-mark over sliding K-grams: (1) every doc emits its
+    // n−K+1 positional gram hashes; (2) first-occurrence per gram is a
+    // partial-aggregated min(struct(doc_id, pos)) — an ordinary
+    // two-phase agg, NEVER a corpus-wide window, so a boilerplate gram
+    // repeated 10⁶ times collapses map-side instead of sorting into one
+    // task; only grams with count ≥ 2 survive the filter, a
+    // zipfian-bounded table; (3) the gram stream joins back on the hash
+    // (AQE picks broadcast/shuffle-hash — each occurrence matches
+    // exactly one first, no pair explosion, which is why this scales
+    // where pairwise comparison cannot); (4) duplicate positions gather
+    // per doc (bounded by doc length) and the covered-token union,
+    // surviving tokens, and fingerprint are pure per-row array
+    // expressions. K=8 here; the paper's production dial is ~50. ----
+    Q("q145_exact_substring", (s, d) => {
+      val K = 8
+      val t = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val grams = t.filter(size(col("ws")) >= K)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("ws")) - K)).as("i"),
+          col("ws"))
+        .select(col("doc_id"), col("i"),
+          TextOps.hash32(concat_ws(" ",
+            slice(col("ws"), col("i") + 1, lit(K)))).as("h"))
+      val firsts = grams.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("i"))).as("first"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+      val dups = grams.join(firsts, "h")
+        .filter(!(col("doc_id") === col("first.doc_id") &&
+          col("i") === col("first.i")))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("i")).as("dp"))
+      t.join(dups, Seq("doc_id"), "left")
+        .withColumn("dp", coalesce(col("dp"), array().cast("array<int>")))
+        .withColumn("cov", array_distinct(flatten(
+          transform(col("dp"), p => sequence(p, p + K - 1)))))
+        .withColumn("surv", filter(sequence(lit(0), size(col("ws")) - 1),
+          j => !array_contains(col("cov"), j)))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_toks"),
+          size(col("dp")).cast("long").as("n_dup_pos"),
+          size(col("surv")).cast("long").as("n_kept"),
+          md5(array_join(transform(col("surv"),
+            j => element_at(col("ws"), j + 1)), " ")).as("fp"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      g0 AS (SELECT doc_id,
+               [{'i': i, 'chunk': array_to_string(ws[i+1:i+8], ' ')}
+                for i in generate_series(0, len(ws) - 8)] gs
+             FROM t WHERE len(ws) >= 8),
+      g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+      gh AS (SELECT doc_id, i, ${duckHash32("chunk")} AS h FROM g),
+      f AS (SELECT h, count(*) cnt,
+              min(struct_pack(doc_id := doc_id, i := i)) fst
+            FROM gh GROUP BY h HAVING count(*) >= 2),
+      dup AS (SELECT gh.doc_id, list(gh.i) dp
+              FROM gh JOIN f USING (h)
+              WHERE NOT (gh.doc_id = f.fst.doc_id AND gh.i = f.fst.i)
+              GROUP BY gh.doc_id),
+      x AS (SELECT t.doc_id, ws, coalesce(dp, []) dp,
+              list_distinct(flatten([range(p, p + 8) for p in coalesce(dp, [])])) cov
+            FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id),
+      y AS (SELECT doc_id, ws, dp,
+              list_filter(range(0, len(ws)), j -> NOT list_contains(cov, j)) surv
+            FROM x)
+      SELECT doc_id, CAST(len(ws) AS BIGINT) n_toks,
+        CAST(len(dp) AS BIGINT) n_dup_pos,
+        CAST(len(surv) AS BIGINT) n_kept,
+        md5(coalesce(array_to_string([ws[j + 1] for j in surv], ' '), '')) fp
+      FROM y ORDER BY doc_id"""))
   )
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model

@@ -109,6 +109,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banding must turn the theta join into an equi join:\n$p")
   }
 
+  test("q145: exact-substring dedup — agg+join first-occurrence, no corpus window") {
+    val p = planOf("q145_exact_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the gram join-back must stay an equi-join on the hash:\n$p")
+    // the scale claim: first-occurrence is a partial-aggregated
+    // min(struct) — a hot boilerplate gram collapses map-side — never a
+    // row_number window over the corpus-sized gram stream
+    assert(!p.contains("Window"),
+      s"first-occurrence must be the two-phase agg, not a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"gram agg lost its map-side phase:\n$p")
+  }
+
   test("q73: count-min sketch aggregates with a partial (map-side) phase") {
     val p = planOf("q73_cms_freq")
     // the TypedImperativeAggregate must fold rows into per-task buffers

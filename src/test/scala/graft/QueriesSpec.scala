@@ -319,6 +319,63 @@ class QueriesSpec extends AnyFunSuite {
       s"diff: ${((viaModel diff viaJoin) ++ (viaJoin diff viaModel)).take(10)}")
   }
 
+  test("q145 exact-substring dedup matches a scalar mirror") {
+    // the whole seed-and-mark chain re-derived driver-side: sliding
+    // 8-gram md5 hashes, corpus-wide lexicographic-first occurrence,
+    // duplicate-window union, survivor reassembly + fingerprint
+    val K = 8
+    val docsRows = queries.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val grams = docsRows.flatMap { case (id, ws) =>
+      (0 to ws.length - K).map(i =>
+        (h32(ws.slice(i, i + K).mkString(" ")), id, i))
+    }
+    val dupPos = grams.groupBy(_._1).values.filter(_.size >= 2).flatMap { occ =>
+      val first = occ.map(t => (t._2, t._3)).min
+      occ.map(t => (t._2, t._3)).filter(_ != first)
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = docsRows.map { case (id, ws) =>
+      val dp = dupPos.getOrElse(id, Set.empty[Int])
+      val cov = dp.flatMap(p => p until p + K)
+      val surv = ws.indices.filterNot(cov.contains)
+      (id, ws.length.toLong, dp.size.toLong, surv.size.toLong,
+        md5hex(surv.map(ws).mkString(" ")))
+    }.toSet
+    val got = SparkEntry.queries("q145_exact_substring")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got == expect,
+      s"diff: ${((got diff expect) ++ (expect diff got)).take(5)}")
+    // the planted near-dup clusters guarantee real removals at sf0.001,
+    // and ExactSubstr must catch spans q94's aligned grid cannot
+    assert(got.exists(t => t._3 > 0))
+  }
+
+  test("q145 catches unaligned duplicated spans the q94 chunk grid misses") {
+    // two docs sharing a 9-token run at different offsets (1 and 4):
+    // no 10-token aligned chunk matches, but the sliding 8-gram does
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q145").toString
+    val shared = (1 to 9).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (0L, s"a $shared tail1 tail2 tail3", "en", "s", 0L),
+      (1L, s"b1 b2 b3 b4 $shared c1 c2", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val byId = SparkEntry.queries("q145_exact_substring")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // doc 0 (lexicographic first) keeps everything; doc 1 loses the
+    // shared run's two 8-gram windows = 9 covered tokens
+    assert(byId(0L) == (0L, 13L), s"first occurrence must survive: $byId")
+    assert(byId(1L) == (2L, 6L), s"9-token span removed from doc 1: $byId")
+  }
+
   test("q132 scopes comparisons to the cell: cross-cell near-dups both survive") {
     // the documented recall boundary (and the scale guarantee in the
     // same breath): vectors in DIFFERENT cells are never paired, however
