@@ -467,6 +467,25 @@ object Stress {
           s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
           s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
       }
+
+      // STRESS_SUBSTR=k: q145's ExactSubstr at window size k (the oracle
+      // query pins K=8; Lee et al.'s production dial is K≈50 — same gram
+      // cardinality, fewer duplicated grams, longer excised spans)
+      sys.env.get("STRESS_SUBSTR").map(_.toInt).foreach { k =>
+        val runs = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          queries.PipelineQueries.exactSubstr(spark, dir, k)
+            .write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        val (warmS, shW, sp) = runs.last
+        val rows = if (tag == "base") nBase else nScaled
+        println(s"""STRESS_SUBSTR {"corpus":"$tag","docs":$rows,"k":$k,""" +
+          s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
+          s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
+      }
     }
     spark.stop()
   }

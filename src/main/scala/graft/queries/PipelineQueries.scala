@@ -3692,39 +3692,7 @@ object PipelineQueries {
     // per doc (bounded by doc length) and the covered-token union,
     // surviving tokens, and fingerprint are pure per-row array
     // expressions. K=8 here; the paper's production dial is ~50. ----
-    Q("q145_exact_substring", (s, d) => {
-      val K = 8
-      val t = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      val grams = t.filter(size(col("ws")) >= K)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("ws")) - K)).as("i"),
-          col("ws"))
-        .select(col("doc_id"), col("i"),
-          TextOps.hash32(concat_ws(" ",
-            slice(col("ws"), col("i") + 1, lit(K)))).as("h"))
-      val firsts = grams.groupBy(col("h"))
-        .agg(min(struct(col("doc_id"), col("i"))).as("first"),
-          count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2)
-      val dups = grams.join(firsts, "h")
-        .filter(!(col("doc_id") === col("first.doc_id") &&
-          col("i") === col("first.i")))
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("i")).as("dp"))
-      t.join(dups, Seq("doc_id"), "left")
-        .withColumn("dp", coalesce(col("dp"), array().cast("array<int>")))
-        .withColumn("cov", array_distinct(flatten(
-          transform(col("dp"), p => sequence(p, p + K - 1)))))
-        .withColumn("surv", filter(sequence(lit(0), size(col("ws")) - 1),
-          j => !array_contains(col("cov"), j)))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_toks"),
-          size(col("dp")).cast("long").as("n_dup_pos"),
-          size(col("surv")).cast("long").as("n_kept"),
-          md5(array_join(transform(col("surv"),
-            j => element_at(col("ws"), j + 1)), " ")).as("fp"))
-        .orderBy(col("doc_id"))
-    }, Some(s"""
+    Q("q145_exact_substring", (s, d) => exactSubstr(s, d, 8), Some(s"""
       WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
       g0 AS (SELECT doc_id,
                [{'i': i, 'chunk': array_to_string(ws[i+1:i+8], ' ')}
@@ -3837,6 +3805,52 @@ object PipelineQueries {
           (col("clf_score") >= col("prior")).as("is_kept"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** q145's seed-and-mark chain at an arbitrary window size — the
+    * oracle-scale query pins K=8; `STRESS_SUBSTR=k` times the same code
+    * at the Lee et al. production dial (K≈50). Larger K means fewer
+    * duplicated grams (longer match requirement), the same gram-stream
+    * cardinality, and proportionally longer covered spans per hit.
+    */
+  private[graft] def exactSubstr(s: SparkSession, d: String, k: Int): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val grams = t.filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ws")) - k)).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i"),
+        TextOps.hash32(concat_ws(" ",
+          slice(col("ws"), col("i") + 1, lit(k)))).as("h"))
+    val firsts = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val dups = grams.join(firsts, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("i") === col("first.i")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("i")).as("dp"))
+    t.join(dups, Seq("doc_id"), "left")
+      .withColumn("dp", coalesce(col("dp"), array().cast("array<int>")))
+      .withColumn("cov", array_distinct(flatten(
+        transform(col("dp"), p => sequence(p, p + k - 1)))))
+      // set difference, NOT filter(seq, j => !array_contains(cov, j)):
+      // `cov` is single-use so CollapseProject inlines it into the
+      // lambda BODY, and interpreted HOF eval recomputes the whole
+      // O(|dp|*k) union per token position — O(n*|dp|*k) per doc,
+      // measured 40-50x on the x10 corpus. array_except hashes cov
+      // once per row (order of the first array is preserved and the
+      // position sequence is duplicate-free, so results are identical).
+      .withColumn("surv", array_except(
+        sequence(lit(0), size(col("ws")) - 1), col("cov")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_toks"),
+        size(col("dp")).cast("long").as("n_dup_pos"),
+        size(col("surv")).cast("long").as("n_kept"),
+        md5(array_join(transform(col("surv"),
+          j => element_at(col("ws"), j + 1)), " ")).as("fp"))
+      .orderBy(col("doc_id"))
   }
 
   /** q142's pipeline at an arbitrary quantizer size — the oracle-scale
