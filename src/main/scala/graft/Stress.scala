@@ -486,6 +486,69 @@ object Stress {
           s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
           s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
       }
+
+      // STRESS_BM25=1: q147's single-projection BM25 at corpus scale —
+      // the claim under test: the model is ONE map-side-combined stats
+      // pass and scoring never explodes or joins, so shuffle bytes stay
+      // flat (only the score>0 survivors reach the bounded top-k agg)
+      if (sys.env.get("STRESS_BM25").contains("1")) {
+        val runs = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          queries.PipelineQueries.bm25TopK(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        val (warmS, shW, sp) = runs.last
+        val rows = if (tag == "base") nBase else nScaled
+        println(s"""STRESS_BM25 {"corpus":"$tag","docs":$rows,""" +
+          s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
+          s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
+      }
+    }
+
+    // STRESS_PAGERANK=iters: q146's engine on its own scale ladder — a
+    // generated md5-derived skewed graph (hub bias via min-of-two-draws
+    // targets), base 20k nodes vs 20k×factor, ~10 out-edges per node
+    // symmetrized. Measured: per-run wall/shuffle/spill AND the oracle-
+    // independent invariant a 9-dec-rounded damped walk must satisfy at
+    // ANY scale — total rank mass = 1 within N·5e-10 rounding drift
+    // (the PageRank analogue of STRESS_INVARIANTS' fixpoint checks).
+    sys.env.get("STRESS_PAGERANK").map(_.toInt).foreach { iters =>
+      def hmod(tag: String, m: Long) =
+        conv(substring(md5(concat_ws("_", lit(tag), col("src"), col("j"))),
+          1, 8), 16, 10).cast("long") % m
+      def graph(n: Long): DataFrame = {
+        val e = spark.range(n).select(col("id").as("src"),
+            explode(sequence(lit(0), lit(9))).as("j"))
+          .select(col("src"),
+            least(hmod("a", n), hmod("b", n)).as("dst"),
+            (hmod("w", 5) + 1).as("w"))
+          .filter(col("src") =!= col("dst"))
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      }
+      Seq("base" -> 20000L, s"x$factor" -> 20000L * factor).foreach {
+        case (gtag, n) =>
+          val edges = graph(n)
+          val runs = (1 to 2).map { _ =>
+            metrics.reset()
+            val t0 = System.nanoTime()
+            val pr = graft.operators.PageRank.run(edges, iters)
+            val agg = pr.agg(sum(col("pr")), count(lit(1))).head()
+            (agg.getDouble(0), agg.getLong(1),
+              (System.nanoTime() - t0) / 1e9,
+              metrics.shuffleWrite.get(), metrics.spill.get())
+          }
+          val (mass, nodes, warmS, shW, sp) = runs.last
+          val massOk = math.abs(mass - 1.0) < nodes * 5e-10
+          println(s"""STRESS_PAGERANK {"corpus":"$gtag","nodes":$nodes,""" +
+            s""""edges":${edges.count()},"iters":$iters,""" +
+            s""""cold_sec":${runs.head._3},"warm_sec":$warmS,""" +
+            s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp,""" +
+            s""""mass":$mass,"mass_ok":$massOk}""")
+      }
     }
     spark.stop()
   }

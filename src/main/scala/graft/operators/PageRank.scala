@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Weighted damped PageRank — the graph-authority primitive a crawl
+  * curation pipeline runs over its link / citation / shipment graph
+  * (domain authority for source weighting, hub scoring for crawl
+  * frontier priority).
+  *
+  * This is VALUE propagation where [[Dedup.connectedComponents]] is
+  * LABEL propagation: per round every node's rank is redistributed
+  * along its out-edges (proportional to edge weight) and damped
+  * toward the uniform teleport distribution:
+  *
+  *   pr'(v) = (1-d)/N + d * Σ_{u→v} share(u,v) · pr(u),
+  *   share(u,v) = w(u,v) / Σ_x w(u,x)
+  *
+  * Cost model per round (the 100 TB accounting): one join of the
+  * pinned share table with the 2-column rank table on `src`, one
+  * partial-aggregated sum shuffle on `dst`, one left join back onto
+  * the node list — the same per-round discipline as
+  * [[Dedup.keepListToFixpoint]]: every round is pinned
+  * (localCheckpoint, or RELIABLE checkpoint via `checkpointDir` on a
+  * real cluster) so round N's plan never replays rounds 1..N-1, and
+  * the previous round's blocks are released as soon as the next is
+  * materialized. The share table is computed and pinned ONCE — the
+  * out-weight normalization never re-runs. On a real cluster the
+  * share table would be bucketed by `src` so the per-round join
+  * reshuffles only the rank table (|V| rows, 2 columns), never the
+  * edge set.
+  *
+  * Cross-engine determinism (the repo convention — see
+  * [[graft.queries.Det]]): per-edge contributions are IEEE products
+  * of identically-derived doubles, canonicalized at 9 decimals via
+  * the double→decimal CAST (Spark's cast and DuckDB's varchar-hop
+  * cast round the same shortest decimal representation — round()
+  * would disagree by one ULP at exact .5 boundaries), and summed as
+  * exact decimals, so the aggregation order can't skew the total;
+  * the damped update is then an IEEE chain over exact inputs, cast
+  * back through decimal(20,9) — every round's rank vector is
+  * bit-identical between engines, and DuckDB replays the whole
+  * recursion as unrolled CTEs.
+  *
+  * Dangling nodes (out-degree 0) are NOT redistributed — callers
+  * model an undirected random walk by passing each edge in both
+  * directions (then every node with an in-edge has an out-edge and
+  * no rank mass leaks beyond the damping itself).
+  */
+object PageRank {
+
+  /** @param edges directed weighted edges: `src`, `dst` (long), `w`
+    *              (long > 0); (src, dst) pairs must be unique
+    * @param iters fixed number of damped rounds (oracle-replayable —
+    *              convergence detection would make the round count
+    *              data-dependent, which callers can layer on top)
+    * @param damping d in the update above (teleport prob = 1-d)
+    * @param checkpointDir reliable-checkpoint dir for real clusters
+    *              (defaults to executor-local blocks — see [[Dedup]])
+    * @return (nid, pr): one row per node that has at least one
+    *         out-edge, pr rounded to 9 decimals
+    */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    // out-weight normalization, once: share(u,v) = w / W(u) — an IEEE
+    // division of two exact longs, identical in any engine
+    val outW = edges.groupBy(col("src").as("ou")).agg(sum(col("w")).as("ow"))
+    val (shares, sharesRdd) = pin(
+      edges.join(outW, col("src") === col("ou"))
+        .select(col("src"), col("dst"),
+          (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("share")),
+      checkpointDir)
+    val nodes = shares.select(col("src").as("nid")).distinct()
+    val n = nodes.count() // driver scalar: graph order, not graph size
+    val teleport = (1.0 - damping) / n
+    var (pr, prRdd) = pin(
+      nodes.select(col("nid"), lit(1.0 / n).as("pr")), checkpointDir)
+    for (_ <- 1 to iters) {
+      // per-edge contributions canonicalized at 9 decimals via the
+      // decimal CAST (not round(): the engines' round() disagree by one
+      // ULP on products landing at exact .5 boundaries; the double→
+      // decimal cast is the proven cross-engine pair — see Det)
+      val contrib = shares
+        .join(pr.select(col("nid").as("u"), col("pr").as("upr")),
+          col("src") === col("u"))
+        .select(col("dst"),
+          (col("upr") * col("share")).cast(DecimalType(28, 9)).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).cast(DoubleType).as("s"))
+      // NB oracle writers: the teleport is DOUBLE arithmetic — a plain
+      // `(1.0 - 0.85) / n` in DuckDB runs in decimal (its numeric
+      // literals are DECIMAL) and lands one ULP away; wrap the literals
+      // in CAST(… AS DOUBLE) (see q146OracleSql)
+      val stepped = nodes.join(contrib, col("nid") === col("dst"), "left")
+        .select(col("nid"),
+          (lit(teleport) + lit(damping) * coalesce(col("s"), lit(0.0)))
+            .cast(DecimalType(20, 9)).cast(DoubleType).as("pr"))
+      val (p, r) = pin(stepped, checkpointDir)
+      release(prRdd)
+      pr = p; prRdd = r
+    }
+    release(sharesRdd)
+    pr
+  }
+
+  // the same pin/release discipline as Dedup (kept private there — the
+  // 10-line re-statement beats widening that API)
+  private def pin(df: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      case None => rdd.localCheckpoint()
+    }
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  private def release(rdd: RDD[Row]): Unit = {
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () }
+    }
+  }
+}

@@ -3717,7 +3717,46 @@ object PipelineQueries {
         CAST(len(dp) AS BIGINT) n_dup_pos,
         CAST(len(surv) AS BIGINT) n_kept,
         md5(coalesce(array_to_string([ws[j + 1] for j in surv], ' '), '')) fp
-      FROM y ORDER BY doc_id"""))
+      FROM y ORDER BY doc_id""")),
+
+    // ---- weighted damped PageRank over the supplier↔customer shipment
+    // graph — the graph-authority primitive for source weighting (domain
+    // authority over a crawl's link graph; here the testdata's natural
+    // bipartite transaction graph, walked undirected via the symmetric
+    // union so no dangling-mass handling is needed). VALUE propagation
+    // where q128 is LABEL propagation: per round one share⋈rank join,
+    // one partial-aggregated contribution sum, one left join onto the
+    // node list — every round pinned and released (Dedup's checkpoint
+    // discipline), shares normalized ONCE. Determinism: contributions
+    // canonicalized at 9 decimals via the Det decimal-cast hop, summed
+    // exactly; the oracle replays all 5 rounds as unrolled CTEs. ----
+    Q("q146_pagerank", (s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val or = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val base = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("w"))
+      // customers offset into their own id space; symmetric union makes
+      // the walk undirected (every node with an in-edge has an out-edge)
+      val edges = base.select(col("sk").as("src"),
+          (col("ck") + lit(1000000L)).as("dst"), col("w"))
+        .union(base.select((col("ck") + lit(1000000L)).as("src"),
+          col("sk").as("dst"), col("w")))
+      graft.operators.PageRank.run(edges, iters = 5).orderBy(col("nid"))
+    }, Some(q146OracleSql)),
+
+    // ---- BM25 top-k retrieval — the ranked-retrieval primitive of a
+    // curation stack (query-driven corpus audit, retrieval-based decon
+    // review). The whole model is THREE scalars per term (N, avg length,
+    // df) from ONE map-side-combined corpus pass; scoring is then a
+    // single projection (per-term tf via array filters — no explode, no
+    // postings shuffle, no join: the query set rides the plan as
+    // literals, at production scale a broadcast), and per-query top-k
+    // uses the bounded TopKScored aggregate (q138's) — no global sort.
+    // idf is the Robertson rational form WITHOUT the log: ln() is not
+    // cross-engine-reproducible (the repo's log-free convention, see
+    // q89/q137) and per-term monotonicity is unchanged. ----
+    Q("q147_bm25_topk", (s, d) => bm25TopK(s, d), Some(q147OracleSql))
   )
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model
@@ -3904,6 +3943,135 @@ object PipelineQueries {
         .select(col("qid").as("src_id"), col("best.bid").as("tgt_id"),
           col("best.cosine").as("cosine"), col("best.margin").as("margin"))
         .orderBy(col("src_id"))
+  }
+
+  /** q146's oracle: the 5 damped rounds unrolled as chained CTEs, each
+    * mirroring [[graft.operators.PageRank.run]]'s update expression
+    * op-for-op (round-9 contributions, exact decimal sum, the same
+    * IEEE literal chain `(1.0 - 0.85) / n`).
+    */
+  private def q146OracleSql: String = {
+    // the teleport literals are CAST(… AS DOUBLE): DuckDB's bare numeric
+    // literals are DECIMAL, so a plain (1.0 - 0.85)/n would compute an
+    // exact 0.15/n one ULP from Spark's IEEE (1.0-0.85)/n chain
+    def step(k: Int): String = s"""
+      pr$k AS (SELECT nd.nid,
+          CAST(CAST(CAST(
+            (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+            + 0.85 * coalesce(c.s, 0.0) AS VARCHAR)
+            AS DECIMAL(20, 9)) AS DOUBLE) AS pr
+        FROM nodes nd LEFT JOIN (
+          SELECT s.dst, CAST(sum(CAST(CAST(p.pr * s.share AS VARCHAR)
+              AS DECIMAL(28, 9))) AS DOUBLE) AS s
+          FROM sh s JOIN pr${k - 1} p ON p.nid = s.src
+          GROUP BY s.dst) c ON c.dst = nd.nid)"""
+    s"""
+      WITH base AS (SELECT l.l_suppkey sk, o.o_custkey ck, count(*) w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      edges AS (SELECT sk AS src, 1000000 + ck AS dst, w FROM base
+        UNION ALL SELECT 1000000 + ck, sk, w FROM base),
+      outw AS (SELECT src, sum(w) ow FROM edges GROUP BY 1),
+      sh AS (SELECT e.src, e.dst,
+          CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS share
+        FROM edges e JOIN outw o USING (src)),
+      nodes AS (SELECT DISTINCT src AS nid FROM edges),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      pr0 AS (SELECT nid,
+        CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+      ${(1 to 5).map(step).mkString(",")}
+      SELECT nid, pr FROM pr5 ORDER BY nid"""
+  }
+
+  /** The fixed evaluation query set for q147: (qid, terms) — literal
+    * data riding the plan; at production scale the small side of a
+    * broadcast. Terms drawn from the synthetic corpus vocabulary.
+    */
+  // lazy: referenced from `all`'s construction, which runs before this
+  // point in the object initializer
+  private[graft] lazy val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "query", "fast"),
+    2 -> Seq("table", "scan", "filter"),
+    3 -> Seq("stream", "window", "batch"),
+    4 -> Seq("vector", "data", "merge"))
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 scoring + per-query top-k (see the q147 entry comment). Every
+    * float op is mirrored verbatim in [[q147OracleSql]]: driver-computed
+    * model scalars (idf, avg length) are the SAME IEEE expressions DuckDB
+    * evaluates inline from its stats CTE, per-term scores are rounded to
+    * 6, and the per-doc total is a fixed-order sum of those — so rank
+    * vectors hash-match with no tolerance.
+    */
+  private[graft] def bm25TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DoubleType
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    val t = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    // one corpus pass for the whole model: N, total token count, and
+    // per-term document frequency, all map-side partial-aggregated
+    val statsRow = t.agg(count(lit(1)).as("nd"),
+      sum(size(col("ws")).cast("long")).as("tl") +:
+        terms.map(tm =>
+          sum(when(array_contains(col("ws"), tm), 1L).otherwise(0L))
+            .as(s"df_$tm")): _*).head()
+    val nd = statsRow.getLong(0)
+    val avgLen = statsRow.getLong(1).toDouble / nd.toDouble
+    val idf: Map[String, Double] = terms.zipWithIndex.map { case (tm, i) =>
+      val df = statsRow.getLong(2 + i)
+      tm -> (nd - df + 0.5) / (df + 0.5) // Robertson idf, log-free form
+    }.toMap
+    def score(tm: String): Column = {
+      val tf = size(filter(col("ws"), w => w === lit(tm))).cast(DoubleType)
+      round(lit(idf(tm)) * (tf * lit(Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * (size(col("ws")).cast(DoubleType) / lit(avgLen)))), 6)
+    }
+    val qRows = Bm25Queries.map { case (qid, ts) =>
+      struct(lit(qid).as("qid"), ts.map(score).reduceLeft(_ + _).as("score"))
+    }
+    t.select(col("doc_id"), explode(array(qRows: _*)).as("qs"))
+      .select(col("qs.qid").as("qid"), col("doc_id"), col("qs.score").as("score"))
+      .filter(col("score") > 0.0)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.scored(
+        struct((-col("score")).as("nsc"), col("doc_id").as("did")), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.did").as("doc_id"), (-col("col.nsc")).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private def q147OracleSql: String = {
+    // literal sums/differences are CAST(… AS DOUBLE): DuckDB's bare
+    // numeric literals are DECIMAL, so (1.2 + 1.0) would fold exactly
+    // where Spark's lit(Bm25K1 + 1.0) is an IEEE chain (they happen to
+    // coincide here, but the parity must not rest on that coincidence)
+    def tf(tm: String) = s"CAST(len(list_filter(ws, w -> w = '$tm')) AS DOUBLE)"
+    def term(tm: String) =
+      s"""round(((st.nd - st.df_$tm + 0.5) / (st.df_$tm + 0.5))
+         * (${tf(tm)} * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         / (${tf(tm)} + 1.2 * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+             + 0.75 * (CAST(len(ws) AS DOUBLE)
+             / (CAST(st.tl AS DOUBLE) / CAST(st.nd AS DOUBLE))))), 6)"""
+    val dfCols = Bm25Queries.flatMap(_._2).distinct.map(tm =>
+      s"sum(CASE WHEN list_contains(ws, '$tm') THEN 1 ELSE 0 END) AS df_$tm")
+      .mkString(", ")
+    val perQuery = Bm25Queries.map { case (qid, ts) =>
+      s"""SELECT $qid AS qid, doc_id,
+          ${ts.map(term).mkString(" + ")} AS score FROM t, st"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      st AS (SELECT count(*) nd, sum(len(ws)) tl, $dfCols FROM t),
+      sc AS ($perQuery),
+      r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY score DESC, doc_id) rn
+        FROM sc WHERE score > 0.0)
+      SELECT qid, rn AS rank, doc_id, score FROM r WHERE rn <= 10
+      ORDER BY qid, rank"""
   }
 
   private def q142OracleSql: String = s"""

@@ -679,4 +679,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(best.nonEmpty && got == best,
       s"diff: ${((got diff best) ++ (best diff got)).take(10)}")
   }
+
+  test("q147 BM25 == scalar mirror at sf0.001 (exact rank vectors)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineQueries
+    val docsRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val nd = docsRows.length.toLong
+    val avgLen = docsRows.map(_._2.length.toLong).sum.toDouble / nd.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val queries = PipelineQueries.Bm25Queries
+    val dfm = queries.flatMap(_._2).distinct
+      .map(tm => tm -> docsRows.count(_._2.contains(tm)).toLong).toMap
+    // the same IEEE chain as bm25TopK, scalar-replayed (fixed-order sum
+    // of 6-dec-rounded per-term scores; log-free Robertson idf)
+    def termScore(ws: Seq[String], tm: String): Double = {
+      val tf = ws.count(_ == tm).toDouble
+      val idf = (nd - dfm(tm) + 0.5) / (dfm(tm) + 0.5)
+      r6(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 *
+        ((1.0 - 0.75) + 0.75 * (ws.length.toDouble / avgLen))))
+    }
+    val expected = queries.flatMap { case (qid, ts) =>
+      docsRows.toSeq
+        .map { case (id, ws) => (id, ts.map(termScore(ws, _)).reduceLeft(_ + _)) }
+        .filter(_._2 > 0.0)
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, sc), i) => (qid, (i + 1).toLong, id, sc) }
+    }.toSet
+    val got = PipelineQueries.bm25TopK(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.size == queries.size * 10,
+      s"mirror under-filled: ${expected.size}")
+    assert(got == expected,
+      s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
+  }
 }
