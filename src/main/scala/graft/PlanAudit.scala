@@ -11,12 +11,12 @@ package graft
   */
 object PlanAudit {
 
-  /** Queries whose plan shape carries the scale story. q87 and q128 are
-    * omitted: building either executes its round loop (actions at
-    * plan-build time) and every audited subtree is round-dependent
-    * pinned-RDD scans; their edge kernel is q72's (the q72_verify_edges
-    * row), and the per-round shapes are documented in
-    * `operators/Dedup.scala`.
+  /** Queries whose plan shape carries the scale story. q87, q128 and
+    * q146 are omitted: building any of them executes its round loop
+    * (actions at plan-build time) and every audited subtree is
+    * round-dependent pinned-RDD scans; the dedup pair's edge kernel is
+    * q72's (the q72_verify_edges row), and the per-round shapes are
+    * documented in `operators/Dedup.scala` / `operators/PageRank.scala`.
     */
   val audited: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> "partial agg before the single exchange",
@@ -82,7 +82,9 @@ object PlanAudit {
     "q142_bitext_margin" -> "ratio-margin mining: q138's cell-join candidates (never all-pairs); both avgNN_k normalizers via bounded TopKScored (≤4 rows per (vector, task) on the wire); explode reuses the agg's hash partitioning — no extra exchange; best-pair is a struct-max agg, no window",
     "q143_quality_classifier" -> "bootstrapped classifier, train-once-apply-map-side: the fastText hashing trick bounds the model at 2^20 buckets by construction, trained via a source-partitioned label window + one bounded agg, collected ONCE into a 4 MB dense array on a torrent broadcast; scoring is a single native expression per doc (DocMeanPosterior) — the corpus is never exploded, joined, or shuffled to apply the model; the only exchange is the output sort",
     "q144_sampled_stats" -> "Horvitz-Thompson sampled estimate + ACS m90/RSE: one global aggregation over narrow longs, partial-aggregated map-side; the sample never materializes; one corpus scan",
-    "q145_exact_substring" -> "ExactSubstr dedup (Lee et al.): first-occurrence per sliding gram is a partial-aggregated min(struct) — hot boilerplate grams collapse map-side, never a corpus window; join-back on the hash matches each occurrence to exactly one first (no pair explosion); span union + reassembly are per-row array expressions")
+    "q145_exact_substring" -> "ExactSubstr dedup (Lee et al.): first-occurrence per sliding gram is a partial-aggregated min(struct) — hot boilerplate grams collapse map-side, never a corpus window; join-back on the hash matches each occurrence to exactly one first (no pair explosion); span union + reassembly are per-row array expressions",
+    "q147_bm25_topk" -> "BM25 retrieval: the whole model (N, avg len, per-term df) is ONE map-side-combined stats pass; scoring is a single projection (per-term tf via array filters — the explode emits only the 4 per-query score structs per doc, never tokens); per-query top-k via bounded TopKScored partials — no postings join, no global sort",
+    "q148_pmi_collocations" -> "PMI collocation mining: bigrams are map-side zip_with (no window, no self-join); one partial-aggregated count shuffle each for bigrams and unigrams; minCount prunes BEFORE the unigram joins so join keys are vocabulary-sized (the corpus never joins itself); global top-k via TakeOrdered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

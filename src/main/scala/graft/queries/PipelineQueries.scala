@@ -3743,7 +3743,7 @@ object PipelineQueries {
         .union(base.select((col("ck") + lit(1000000L)).as("src"),
           col("sk").as("dst"), col("w")))
       graft.operators.PageRank.run(edges, iters = 5).orderBy(col("nid"))
-    }, Some(q146OracleSql)),
+    }, Some(q146OracleSql), bench = true),
 
     // ---- BM25 top-k retrieval — the ranked-retrieval primitive of a
     // curation stack (query-driven corpus audit, retrieval-based decon
@@ -3756,7 +3756,22 @@ object PipelineQueries {
     // idf is the Robertson rational form WITHOUT the log: ln() is not
     // cross-engine-reproducible (the repo's log-free convention, see
     // q89/q137) and per-term monotonicity is unchanged. ----
-    Q("q147_bm25_topk", (s, d) => bm25TopK(s, d), Some(q147OracleSql))
+    Q("q147_bm25_topk", (s, d) => bm25TopK(s, d), Some(q147OracleSql),
+      bench = true),
+
+    // ---- PMI collocation mining — phrase discovery for tokenizer vocab
+    // curation (the classic "new york"/"machine learning" detector).
+    // Scores adjacent bigrams by the log-free PMI ratio
+    // p(ab) / (p(a)·p(b)) (ln() is not cross-engine-reproducible and
+    // the ranking is unchanged — the repo convention, see q89/q147).
+    // Scale shape: bigrams are map-side array ops (zip_with, no window),
+    // one partial-aggregated count shuffle each for bigrams and
+    // unigrams, vocabulary-sized join keys only (the corpus never joins
+    // itself), global top-k via TakeOrdered. The 6-dec canonicalization
+    // is the decimal-cast hop, not round() — the engines' round()
+    // disagree at exact .5 boundaries, which rational PMI values CAN
+    // hit (the q146 lesson). ----
+    Q("q148_pmi_collocations", (s, d) => pmiTopK(s, d), Some(q148OracleSql))
   )
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model
@@ -4073,6 +4088,62 @@ object PipelineQueries {
       SELECT qid, rn AS rank, doc_id, score FROM r WHERE rn <= 10
       ORDER BY qid, rank"""
   }
+
+  /** q148's PMI pipeline (see the Q entry comment). `minCount` prunes
+    * noise bigrams BEFORE the unigram joins (standard collocation
+    * practice, and the join input shrinks to the hot tail).
+    */
+  private[graft] def pmiTopK(s: SparkSession, d: String,
+      minCount: Long = 5, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val t = docs(s, d).select(TextOps.tokens(col("text")).as("ws"))
+    val totRow = t.agg(sum(size(col("ws")).cast("long")).as("tu"),
+      sum((size(col("ws")) - 1).cast("long")).as("tb")).head()
+    val tu = totRow.getLong(0).toDouble
+    val tb = totRow.getLong(1).toDouble
+    val uni = t.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = t.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    bi.join(uni.select(col("w").as("u1"), col("cu").as("c1")),
+        col("w1") === col("u1"))
+      .join(uni.select(col("w").as("u2"), col("cu").as("c2")),
+        col("w2") === col("u2"))
+      .select(col("w1"), col("w2"), col("cb"),
+        ((col("cb").cast(DoubleType) / lit(tb)) /
+          ((col("c1").cast(DoubleType) / lit(tu)) *
+            (col("c2").cast(DoubleType) / lit(tu))))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  private def q148OracleSql: String = s"""
+      WITH t AS (SELECT $duckWords ws FROM documents),
+      tot AS (SELECT sum(len(ws)) tu, sum(len(ws) - 1) tb FROM t),
+      b0 AS (SELECT [{'w1': ws[i + 1], 'w2': ws[i + 2]}
+               for i in generate_series(0, len(ws) - 2)] gs
+             FROM t WHERE len(ws) >= 2),
+      bg AS (SELECT unnest(gs, recursive := true) FROM b0),
+      bc AS (SELECT w1, w2, count(*) cb FROM bg GROUP BY 1, 2
+             HAVING count(*) >= 5),
+      uc AS (SELECT w, count(*) cu FROM (SELECT unnest(ws) w FROM t)
+             GROUP BY w),
+      j AS (SELECT b.w1, b.w2, b.cb,
+          CAST(CAST((CAST(b.cb AS DOUBLE) / CAST(tot.tb AS DOUBLE))
+            / ((CAST(u1.cu AS DOUBLE) / CAST(tot.tu AS DOUBLE))
+              * (CAST(u2.cu AS DOUBLE) / CAST(tot.tu AS DOUBLE)))
+            AS VARCHAR) AS DECIMAL(18, 6)) AS pmi_ratio
+        FROM bc b JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2
+        CROSS JOIN tot)
+      SELECT w1, w2, cb, CAST(pmi_ratio AS DOUBLE) AS pmi_ratio FROM j
+      ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30"""
 
   private def q142OracleSql: String = s"""
       WITH ${duckIvfCtes(8, 2, 64)},

@@ -716,4 +716,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected,
       s"diff: ${((got diff expected) ++ (expected diff got)).take(10)}")
   }
+
+  test("q148 PMI collocations == scalar mirror at sf0.001 (ordered top-30)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineQueries
+    val docsWs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val tu = docsWs.map(_.length.toLong).sum.toDouble
+    val tb = docsWs.map(ws => (ws.length - 1).toLong).sum.toDouble
+    val uni = docsWs.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val bi = docsWs.filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the same IEEE chain as pmiTopK: (cb/tb) / ((c1/tu)*(c2/tu)), 6-dec
+    val expected = bi.toSeq.map { case ((w1, w2), cb) =>
+      val ratio = r6((cb.toDouble / tb) /
+        ((uni(w1).toDouble / tu) * (uni(w2).toDouble / tu)))
+      (w1, w2, cb, ratio)
+    }.sortBy { case (w1, w2, _, ratio) => (-ratio, w1, w2) }.take(30)
+    val got = PipelineQueries.pmiTopK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(expected.size == 30, s"mirror under-filled: ${expected.size}")
+    assert(got == expected,
+      s"diff: ${got.zip(expected).filter(p => p._1 != p._2).take(5)}")
+  }
 }
