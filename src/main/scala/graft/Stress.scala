@@ -487,6 +487,34 @@ object Stress {
           s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
       }
 
+      // STRESS_CHUNK=C:O — q149's sliding-window chunker at a
+      // production dial (the oracle pins C=64/O=16 to keep sf output
+      // small; RAG passage indexing runs C≈512/O≈64). The claim under
+      // test: the operator is pure map-side — per-doc fan-out
+      // ⌈n/(C−O)⌉ is bounded by document length, never corpus size —
+      // so the only shuffle is the output sort of already-sliced rows
+      // and wall/shuffle scale linearly with docs at ANY dial. The
+      // count() drain (not noop-write of the sorted frame) keeps the
+      // measurement on the chunker, with the sort's exchange included.
+      sys.env.get("STRESS_CHUNK").foreach { spec =>
+        val Array(c, o) = spec.split(":").map(_.toInt)
+        var nChunks = 0L
+        val runs = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          nChunks = queries.PipelineQueries.chunkOverlap(spark, dir, c, o)
+            .count()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        val (warmS, shW, sp) = runs.last
+        val rows = if (tag == "base") nBase else nScaled
+        println(s"""STRESS_CHUNK {"corpus":"$tag","docs":$rows,""" +
+          s""""chunk_size":$c,"overlap":$o,"chunks":$nChunks,""" +
+          s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
+          s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
+      }
+
       // STRESS_BM25=1: q147's single-projection BM25 at corpus scale —
       // the claim under test: the model is ONE map-side-combined stats
       // pass and scoring never explodes or joins, so shuffle bytes stay

@@ -745,4 +745,54 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected,
       s"diff: ${got.zip(expected).filter(p => p._1 != p._2).take(5)}")
   }
+
+  test("q149 chunking == scalar mirror at sf0.001; coverage + tail law hold") {
+    import graft.queries.PipelineQueries
+    val C = 64; val O = 16; val step = C - O
+    val docsRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("").split(" ", -1)))
+    val expect = docsRows.flatMap { case (id, ws) =>
+      val n = ws.length
+      (0 until n by step).filter(g => g == 0 || n - g > O).map(g =>
+        (id, g.toLong, (g / step).toLong, math.min(C, n - g).toLong,
+          ws.slice(g, g + C).mkString(" ")))
+    }.toSet
+    val got = PipelineQueries.chunkOverlap(spark, dir, C, O).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == expect,
+      s"diff: ${((got diff expect) ++ (expect diff got)).take(5)}")
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.size == docsRows.length, "every doc must yield >=1 chunk")
+    byDoc.foreach { case (id, cs) =>
+      val n = docsRows.find(_._1 == id).get._2.length
+      // token coverage is exact: the chunk windows tile [0, n) with
+      // O-token overlaps and no gap (the tail-drop rule never loses
+      // tokens — a dropped tail is a strict suffix of its predecessor)
+      assert(cs.flatMap(c => c._2 until c._2 + c._4) == (0L until n).toSet)
+      // no chunk past the first is redundant (adds <= 0 new tokens)
+      cs.filter(_._3 > 0).foreach(c =>
+        assert(c._4 > O, s"doc $id chunk ${c._3} has len ${c._4} <= overlap"))
+    }
+  }
+
+  test("q149 drops a tail window fully covered by its predecessor") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val tmp = java.nio.file.Files.createTempDirectory("q149").toString
+    def doc(id: Long, n: Int) =
+      (id, (1 to n).map(i => s"w$i").mkString(" "), "en", "s", 0L)
+    // n=60: window at 48 adds tokens 48..59, all inside chunk 0 → dropped
+    // n=70: window at 48 reaches 69 > 63 → kept, len 22
+    // n=0 tokens impossible (split of "" is [""]) → empty doc = 1 chunk
+    Seq(doc(0L, 60), doc(1L, 70), (2L, null: String, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.chunkOverlap(spark, tmp, 64, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 0L, 60L), (1L, 0L, 64L), (1L, 1L, 22L),
+      (2L, 0L, 1L)), s"got $got")
+  }
 }
