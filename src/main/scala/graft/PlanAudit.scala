@@ -84,7 +84,11 @@ object PlanAudit {
     "q144_sampled_stats" -> "Horvitz-Thompson sampled estimate + ACS m90/RSE: one global aggregation over narrow longs, partial-aggregated map-side; the sample never materializes; one corpus scan",
     "q145_exact_substring" -> "ExactSubstr dedup (Lee et al.): first-occurrence per sliding gram is a partial-aggregated min(struct) — hot boilerplate grams collapse map-side, never a corpus window; join-back on the hash matches each occurrence to exactly one first (no pair explosion); span union + reassembly are per-row array expressions",
     "q147_bm25_topk" -> "BM25 retrieval: the whole model (N, avg len, per-term df) is ONE map-side-combined stats pass; scoring is a single projection (per-term tf via array filters — the explode emits only the 4 per-query score structs per doc, never tokens); per-query top-k via bounded TopKScored partials — no postings join, no global sort",
-    "q148_pmi_collocations" -> "PMI collocation mining: bigrams are map-side zip_with (no window, no self-join); one partial-aggregated count shuffle each for bigrams and unigrams; minCount prunes BEFORE the unigram joins so join keys are vocabulary-sized (the corpus never joins itself); global top-k via TakeOrdered")
+    "q148_pmi_collocations" -> "PMI collocation mining: bigrams are map-side zip_with (no window, no self-join); one partial-aggregated count shuffle each for bigrams and unigrams; minCount prunes BEFORE the unigram joins so join keys are vocabulary-sized (the corpus never joins itself); global top-k via TakeOrdered",
+    "q149_chunk_overlap" -> "sliding-window chunking: pure map-side sequence+explode (fan-out bounded by doc length, never corpus size) + per-chunk slice/concat; the output sort is the only exchange",
+    "q150_hybrid_rrf" -> "hybrid RRF retrieval: BM25 and dense rankings both end in bounded TopKScored partials, so the fusion full-outer join and window re-rank touch ≤2·k·|Q| rows regardless of corpus size; the dense pass is one map-side corpus scan against the |Q|-row broadcast anchor table",
+    "q151_ngram_diversity" -> "per-source diversity profile: explode → partial-aggregated counts; the exact DISTINCT shuffles map-side-deduped (source, gram) pairs (approx_count_distinct is the one-pass 100 TB dial); the source-level join is tiny",
+    "q152_edit_distance_neardup" -> "edit-distance near-dup: q43's banded candidates (bucket-bounded, no corpus self-join); pair texts fetched via two pair-keyed equi-joins; Levenshtein verify per candidate pair only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -796,20 +796,9 @@ object PipelineQueries {
       SELECT * FROM sig ORDER BY doc_id"""), bench = true),
 
     // ---- MinHash LSH banding: candidate near-dup pairs ----
-    Q("q43_minhash_pairs", (s, d) => {
-      val sig = minhashSig(s, d, 8)
-      val bands = (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
-      val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val a = exploded.as("a")
-      val b = exploded.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    }, Some(s"""
+    Q("q43_minhash_pairs", (s, d) =>
+      bandedCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
       WITH ${duckSigCte(8)},
       bands AS (
         SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
@@ -3798,7 +3787,51 @@ object PipelineQueries {
         array_to_string(ws[g + 1:g + 64], ' ') chunk_text
       FROM e
       WHERE g = 0 OR n - g > 16
-      ORDER BY doc_id, chunk_idx"""))
+      ORDER BY doc_id, chunk_idx""")),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the q147 BM25
+    // sparse ranking with a dense query-by-example cosine ranking —
+    // the standard lexical+vector fusion of a RAG retrieval stack
+    // (RRF, Cormack et al. SIGIR'09: score = Σ 1/(60+rank) over the
+    // systems that retrieved the doc). Each qid carries a dense anchor
+    // vector (its query-by-example exemplar, excluded from its own
+    // dense list); doc_id ≡ vec_id in the testdata. Scale shape: both
+    // rankings end in bounded top-k aggregates, so the fusion join and
+    // final window re-rank touch ≤2·k·|Q| rows regardless of corpus
+    // size; the dense pass is one map-side corpus scan against |Q|
+    // broadcast anchors; every RRF term is one IEEE divide of exact
+    // ints, bit-identical across engines with no rounding hop. ----
+    Q("q150_hybrid_rrf", (s, d) => hybridRrf(s, d), Some(q150OracleSql)),
+
+    // ---- per-source n-gram diversity profile — the corpus-health
+    // readout behind mixture decisions: type-token ratio and trigram
+    // diversity (distinct/total) expose template farms and
+    // boilerplate-heavy sources before they skew training (a source
+    // whose trigram diversity collapses is near-duplicated content the
+    // doc-level dedup can't see). Scale shape: two corpus passes, each
+    // explode → partial-aggregated count; the exact DISTINCT is a
+    // map-side-deduped (source, gram) shuffle — at 100 TB swap
+    // `countDistinct` for `approx_count_distinct` (HLL, one pass, no
+    // pair shuffle); the exact form is kept here for the bit-exact
+    // oracle. Ratios canonicalized via the decimal-cast hop (rational
+    // values can land on .5 at 6 decimals — the q146/q148 lesson). ----
+    Q("q151_ngram_diversity", (s, d) => ngramDiversity(s, d),
+      Some(q151OracleSql)),
+
+    // ---- edit-distance verified near-dup — the character-level
+    // verifier of the dedup family: q43's MinHash-banded candidates
+    // (bucket-bounded, never all-pairs) re-verified at Levenshtein
+    // similarity ≥ 0.8 of the longer text. Catches the near-dups the
+    // set-based verifiers miss-rank (token REORDERING leaves Jaccard
+    // at 1.0 but edit distance sees it; small in-word typos shift
+    // whole shingles but cost 1 char edit). Scale shape: the candidate
+    // table joins the corpus twice to fetch pair texts (pair-keyed
+    // shuffles, no corpus self-join); the per-pair DP is O(len²) —
+    // at production lengths switch to Spark's 3-arg
+    // levenshtein(l, r, threshold) form, which bands the DP to
+    // O(d·len) and early-exits past the cap. ----
+    Q("q152_edit_distance_neardup", (s, d) => editDistanceNearDup(s, d),
+      Some(q152OracleSql))
   )
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model
@@ -4118,7 +4151,11 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  private def q147OracleSql: String = {
+  /** The BM25 ranked-list CTE chain (t → st → sc → r) shared by the
+    * q147 oracle (selects `r` directly) and the q150 oracle (fuses `r`
+    * with a dense ranking).
+    */
+  private def bm25RankedCtes: String = {
     // literal sums/differences are CAST(… AS DOUBLE): DuckDB's bare
     // numeric literals are DECIMAL, so (1.2 + 1.0) would fold exactly
     // where Spark's lit(Bm25K1 + 1.0) is an IEEE chain (they happen to
@@ -4137,16 +4174,227 @@ object PipelineQueries {
       s"""SELECT $qid AS qid, doc_id,
           ${ts.map(term).mkString(" + ")} AS score FROM t, st"""
     }.mkString(" UNION ALL ")
-    s"""
-      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+    s"""t AS (SELECT doc_id, $duckWords ws FROM documents),
       st AS (SELECT count(*) nd, sum(len(ws)) tl, $dfCols FROM t),
       sc AS ($perQuery),
       r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
           ORDER BY score DESC, doc_id) rn
-        FROM sc WHERE score > 0.0)
+        FROM sc WHERE score > 0.0)"""
+  }
+
+  private def q147OracleSql: String = s"""
+      WITH $bm25RankedCtes
       SELECT qid, rn AS rank, doc_id, score FROM r WHERE rn <= 10
       ORDER BY qid, rank"""
+
+  /** q150's dense anchors: qid → the vec_id whose embedding is that
+    * query's query-by-example vector (doc_id ≡ vec_id in the testdata).
+    * Low ids so the anchors exist at every sf.
+    */
+  private[graft] lazy val RrfAnchors: Seq[(Int, Long)] =
+    Seq(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 4L)
+
+  /** RRF constant (Cormack et al., SIGIR'09 use 60; the de-facto
+    * standard in hybrid-retrieval stacks).
+    */
+  private val RrfK = 60.0
+
+  /** Dense query-by-example ranking: cosine top-`k` per anchor over the
+    * corpus, the anchor itself excluded. One map-side corpus scan
+    * against the |Q|-row broadcast anchor table, then the bounded top-k
+    * aggregate — the same shape as [[bm25TopK]]'s tail, so the fusion
+    * in [[hybridRrf]] sees two k·|Q|-row inputs regardless of corpus
+    * size.
+    */
+  private[graft] def denseTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = embs(s, d)
+    val qidOf = typedLit(RrfAnchors.map { case (q, v) => v -> q }.toMap)
+    val anchors = e.filter(col("vec_id").isin(RrfAnchors.map(_._2): _*))
+      .select(element_at(qidOf, col("vec_id")).as("qid"),
+        col("vec_id").as("avid"), col("embedding").as("qv"))
+    e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("avid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        graft.operators.TextOps.cosine(col("embedding"), col("qv")).as("dcos"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.scored(
+        struct((-col("dcos")).as("nsc"), col("doc_id").as("did")), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("dense_rank"),
+        col("col.did").as("doc_id"))
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (see the Q entry
+    * comment). Every RRF term is a single IEEE divide of exactly
+    * representable integers (1.0 / (60.0 + rank)) summed in fixed
+    * sparse-then-dense order, so scores are bit-identical across
+    * engines with no rounding hop. The final re-rank is a window over
+    * the fused table, which is ≤2·k·|Q| rows BY CONSTRUCTION (both
+    * inputs end in bounded top-k aggregates), so the window's single
+    * partition-by-qid exchange never sees corpus-sized data.
+    */
+  private[graft] def hybridRrf(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25TopK(s, d, k)
+      .select(col("qid"), col("doc_id"), col("rank").as("sparse_rank"))
+    val dense = denseTopK(s, d, k)
+      .select(col("qid"), col("doc_id"), col("dense_rank"))
+    def rrfTerm(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rank.cast("double")), lit(0.0))
+    val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (rrfTerm(col("sparse_rank")) + rrfTerm(col("dense_rank")))
+          .as("rrf_score"),
+        col("sparse_rank"), col("dense_rank"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_score"),
+        col("sparse_rank"), col("dense_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private def q150OracleSql: String = {
+    def cos(a: String, b: String) = s"""round(
+      list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+                for i in generate_series(1, len($a))])
+      / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+                for i in generate_series(1, len($a))]))
+       * sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+                for i in generate_series(1, len($b))]))), 6)"""
+    val anchorRows = RrfAnchors.map { case (q, v) => s"($q, $v)" }.mkString(", ")
+    s"""
+      WITH $bm25RankedCtes,
+      a AS (SELECT q.qid, q.avid, e.embedding qv
+            FROM (VALUES $anchorRows) q(qid, avid)
+            JOIN embeddings e ON e.vec_id = q.avid),
+      dsc AS (SELECT a.qid, e.vec_id AS doc_id,
+               ${cos("e.embedding", "a.qv")} AS dcos
+             FROM embeddings e, a WHERE e.vec_id <> a.avid),
+      dr AS (SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY dcos DESC, doc_id) rn FROM dsc),
+      dtop AS (SELECT qid, doc_id, rn FROM dr WHERE rn <= 10),
+      stop AS (SELECT qid, doc_id, rn FROM r WHERE rn <= 10),
+      f AS (SELECT coalesce(s.qid, d2.qid) qid,
+              coalesce(s.doc_id, d2.doc_id) doc_id,
+              coalesce(CAST(1 AS DOUBLE) / CAST(60 + s.rn AS DOUBLE),
+                CAST(0 AS DOUBLE))
+              + coalesce(CAST(1 AS DOUBLE) / CAST(60 + d2.rn AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS rrf_score,
+              s.rn AS srn, d2.rn AS drn
+            FROM stop s FULL OUTER JOIN dtop d2
+              ON s.qid = d2.qid AND s.doc_id = d2.doc_id),
+      fr AS (SELECT qid, doc_id, rrf_score, srn, drn,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY rrf_score DESC, doc_id) rk FROM f)
+      SELECT qid, rk AS rank, doc_id, rrf_score,
+        srn AS sparse_rank, drn AS dense_rank
+      FROM fr WHERE rk <= 10 ORDER BY qid, rank"""
+  }
+
+  /** q151's diversity profile (see the Q entry comment). Trigram g at
+    * position i is `ws[i..i+2]` joined by spaces — identical string
+    * construction in the DuckDB mirror, so DISTINCT counts match
+    * exactly. Sources where every doc has <3 tokens get null trigram
+    * columns (left join), mirrored by the oracle's LEFT JOIN.
+    */
+  private[graft] def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val t = docs(s, d).select(col("source"), TextOps.tokens(col("text")).as("ws"))
+    val uni = t.select(col("source"), explode(col("ws")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("w")).as("distinct_tokens"))
+    val tri = t.filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_trigrams"),
+        countDistinct(col("g")).as("distinct_trigrams"))
+    def ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (a.cast(DoubleType) / b.cast(DoubleType))
+        .cast(DecimalType(18, 6)).cast(DoubleType)
+    uni.join(tri, Seq("source"), "left")
+      .select(col("source"), col("total_tokens"), col("distinct_tokens"),
+        ratio(col("distinct_tokens"), col("total_tokens")).as("ttr"),
+        col("total_trigrams"), col("distinct_trigrams"),
+        ratio(col("distinct_trigrams"), col("total_trigrams"))
+          .as("trigram_diversity"))
+      .orderBy(col("source"))
+  }
+
+  private def q151OracleSql: String = {
+    def ratio(a: String, b: String) =
+      s"""CAST(CAST(CAST(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(18, 6)) AS DOUBLE)"""
+    s"""
+      WITH t AS (SELECT source, $duckWords ws FROM documents),
+      ua AS (SELECT source, count(*) total_tokens,
+               count(DISTINCT w) distinct_tokens
+             FROM (SELECT source, unnest(ws) w FROM t) GROUP BY source),
+      g0 AS (SELECT source, [array_to_string(ws[i:i+2], ' ')
+               for i in generate_series(1, len(ws) - 2)] gs
+             FROM t WHERE len(ws) >= 3),
+      ga AS (SELECT source, count(*) total_trigrams,
+               count(DISTINCT g) distinct_trigrams
+             FROM (SELECT source, unnest(gs) g FROM g0) GROUP BY source)
+      SELECT ua.source, total_tokens, distinct_tokens,
+        ${ratio("distinct_tokens", "total_tokens")} AS ttr,
+        total_trigrams, distinct_trigrams,
+        ${ratio("distinct_trigrams", "total_trigrams")} AS trigram_diversity
+      FROM ua LEFT JOIN ga ON ua.source = ga.source
+      ORDER BY ua.source"""
+  }
+
+  /** q152's kept pairs: edit distance ≤ `distFrac` of the longer text
+    * (see the Q entry comment). `distFrac` rides as the decimal literal
+    * 0.2 in BOTH engines (each parses it to the same nearest double),
+    * and edit_sim is canonicalized via the decimal-cast hop.
+    */
+  private[graft] def editDistanceNearDup(s: SparkSession, d: String,
+      distFrac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val t = docs(s, d).select(col("doc_id"), col("text"))
+    bandedCandidatePairs(s, d)
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .filter(col("edit_dist").cast(DoubleType) <=
+        lit(distFrac) * col("max_len").cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),
+        (lit(1.0) - col("edit_dist").cast(DoubleType) /
+            col("max_len").cast(DoubleType))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def q152OracleSql: String = s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      v AS (SELECT c.doc_a, c.doc_b,
+          CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+          CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+        FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+          JOIN documents tb ON tb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, edit_dist, max_len,
+        CAST(CAST(CAST(CAST(1 AS DOUBLE)
+          - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(18, 6)) AS DOUBLE) AS edit_sim
+      FROM v
+      WHERE CAST(edit_dist AS DOUBLE) <= CAST(0.2 AS DOUBLE) * CAST(max_len AS DOUBLE)
+      ORDER BY doc_a, doc_b"""
 
   /** q148's PMI pipeline (see the Q entry comment). `minCount` prunes
     * noise bigrams BEFORE the unigram joins (standard collocation

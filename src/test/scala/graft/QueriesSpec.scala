@@ -778,6 +778,123 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 RRF fusion == driver-side fusion of its two rankings") {
+    import graft.queries.PipelineQueries
+    val sparse = PipelineQueries.bm25TopK(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val dense = PipelineQueries.denseTopK(spark, dir, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val expect = (sparse.keySet ++ dense.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        keys.toSeq.map { k =>
+          val sr = sparse.get(k); val dr = dense.get(k)
+          val score = sr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+            dr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+          (k._2, score, sr, dr)
+        }.sortBy { case (doc, score, _, _) => (-score, doc) }
+          .take(10).zipWithIndex.map { case ((doc, score, sr, dr), i) =>
+            (qid, (i + 1).toLong, doc, score, sr, dr)
+          }
+    }.toSet
+    val got = SparkEntry.queries("q150_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(got == expect,
+      s"diff: ${((got diff expect) ++ (expect diff got)).take(5)}")
+    // a doc retrieved by BOTH systems must exist somewhere (the fusion
+    // premise), and it must outrank any doc with only one comparable rank
+    assert(got.exists(t => t._5.isDefined && t._6.isDefined),
+      "no doc retrieved by both systems — fusion premise broken at this sf")
+  }
+
+  test("q151 separates a template farm from diverse text") {
+    // 20 docs stamped from one template (only a numeric slot varies) vs
+    // 20 docs of distinct words: the farm's trigram diversity collapses
+    // while the diverse source stays near 1 — the mixture-health signal
+    // the profile exists to surface
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val tmp = java.nio.file.Files.createTempDirectory("q151").toString
+    val farm = (1 to 20).map(i =>
+      (i.toLong, s"buy cheap item $i now best price guaranteed today " +
+        "limited offer free shipping order online visit our store page",
+        "en", "farm", 0L))
+    val fresh = (1 to 20).map(i =>
+      (100L + i, (1 to 9).map(j => s"u${i}_$j").mkString(" "), "en", "fresh", 0L))
+    (farm ++ fresh).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val bysrc = PipelineQueries.ngramDiversity(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(6))).toMap
+    val (farmTtr, farmTri) = bysrc("farm")
+    val (freshTtr, freshTri) = bysrc("fresh")
+    assert(freshTri == 1.0 && freshTtr == 1.0, s"fresh: $freshTtr/$freshTri")
+    assert(farmTri < 0.25 && farmTtr < 0.15, s"farm: $farmTtr/$farmTri")
+  }
+
+  test("q152 == scalar Levenshtein over the banded candidates at sf0.001") {
+    val cands = SparkEntry.queries("q43_minhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = cands.flatMap { case (x, y) =>
+      val d0 = lev(texts(x), texts(y))
+      val m = math.max(texts(x).length, texts(y).length)
+      if (d0.toDouble <= 0.2 * m)
+        Some((x, y, d0.toLong, m.toLong, r6(1.0 - d0.toDouble / m)))
+      else None
+    }.toSet
+    val got = SparkEntry.queries("q152_edit_distance_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expect,
+      s"diff: ${((got diff expect) ++ (expect diff got)).take(5)}")
+    assert(got.nonEmpty, "planted near-dups must survive the 0.8 gate")
+  }
+
+  test("q152 keeps a typo-ridden pair whose shingle Jaccard fails the 0.5 gate") {
+    // 25 single-char typos scattered every 8th word of a 200-word doc:
+    // each typo destroys its 3 covering shingles, dragging 3-shingle
+    // Jaccard to ~0.45 (below the q72/q87 verify gate) while edit
+    // distance stays 25 chars (~0.98 similarity) — the character-level
+    // verifier exists exactly for this failure mode. Offsets chosen so
+    // the pair still shares a MinHash band (deterministic md5 hashes).
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"word$i")
+    val typo = base.zipWithIndex.map { case (w, i) =>
+      if (i % 8 == 5) w + "x" else w }
+    def sh(ws: Seq[String]) =
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    val j = sh(base).intersect(sh(typo)).size.toDouble /
+      sh(base).union(sh(typo)).size
+    assert(j < 0.5, s"premise broken: shingle Jaccard $j >= 0.5")
+    val tmp = java.nio.file.Files.createTempDirectory("q152").toString
+    Seq((0L, base.mkString(" "), "en", "s", 0L),
+        (1L, typo.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(SparkEntry.queries("q43_minhash_pairs")(spark, tmp).count() == 1,
+      "premise broken: the pair no longer shares a MinHash band")
+    val got = SparkEntry.queries("q152_edit_distance_neardup")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 25L)), s"got ${got.mkString(",")}")
+  }
+
   test("q149 drops a tail window fully covered by its predecessor") {
     import spark.implicits._
     import graft.queries.PipelineQueries
