@@ -211,7 +211,11 @@ object Stress {
     if (sys.env.get("STRESS_SEMDEDUP").contains("1") ||
         sys.env.contains("STRESS_TWOLEVEL") ||
         sys.env.contains("STRESS_HARDNEG") ||
-        sys.env.contains("STRESS_MARGIN"))
+        sys.env.contains("STRESS_MARGIN") ||
+        sys.env.get("STRESS_GEN_EMBED").contains("1") ||
+        // queries that read both tables (e.g. the hybrid-RRF fusion)
+        // need the scaled embeddings alongside the scaled documents
+        sys.env.get("STRESS_QUERIES").exists(_.contains("q150")))
       genScaledEmbeddings(spark, baseDir, scaledDir, factor)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()

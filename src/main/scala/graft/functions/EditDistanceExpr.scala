@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native bit-parallel Levenshtein distance — the q152 verify kernel.
+  *
+  * Semantics: EXACTLY `functions.levenshtein(l, r)` — unit-cost edit
+  * distance over Unicode CODE POINTS (Spark's `UTF8String
+  * .levenshteinDistance` walks UTF-8 sequences code point by code point;
+  * so does this kernel's input conversion). Spec-locked against both a
+  * classic two-row DP mirror and Spark's own builtin on random strings
+  * crossing the 64/128-codepoint block boundaries.
+  *
+  * Why an Expression (tier (b)): the builtin computes the full O(n·m)
+  * DP matrix with per-cell code-point decoding — measured 1.5 ms per
+  * ~300-char pair on the 10× stress corpus, which turns q152's 314k
+  * banded candidates into a 500 s stage. This kernel is Myers' 1999
+  * bit-vector algorithm in Hyyrö's block form (Hyyrö 2003, "A
+  * bit-vector algorithm for computing Levenshtein and Damerau edit
+  * distances"): the DP column is packed into ⌈m/64⌉ machine words of
+  * vertical-delta bits (Pv/Mv), each text character advances a whole
+  * column in ~15 word ops per block, and the score is tracked at the
+  * last row via the horizontal delta chained block-to-block — O(n·m/64)
+  * instead of O(n·m), with no per-cell decode. Identical distances, two
+  * orders of magnitude less work at these lengths.
+  *
+  * Scale note (100 TB): for multi-KB documents compose with a length
+  * gate (`abs(len_a − len_b) > maxFrac·max_len` rejects without any DP)
+  * and Ukkonen banding; at the ≤1 KB web-doc lengths the stress corpus
+  * models, the unbanded bit-parallel form is already candidate-join
+  * bound, not DP bound.
+  */
+case class EditDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "edit_distance_native"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string columns, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    EditDistance.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.EditDistance.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object EditDistance {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column API: exact Levenshtein distance, bit-parallel. */
+  def editDistanceNative(l: Column, r: Column): Column =
+    GraftSqlBridge.column(
+      EditDistance(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
+
+  /** Code points of `s` (NOT UTF-16 units — a supplementary character is
+    * one edit position, matching the builtin's UTF-8 walk).
+    */
+  private def toCodePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0
+    var k = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      out(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Exact Levenshtein distance via block-based Myers.
+    *
+    * The shorter string is the pattern (its positions live in the bit
+    * vectors); `Pv`/`Mv` hold the +1/−1 vertical deltas of the current
+    * DP column, one bit per pattern row, in ⌈m/64⌉ blocks. Each text
+    * character advances every block with the standard Xh/Ph/Mh update;
+    * blocks communicate only through the horizontal delta `h` (the
+    * distance variant feeds h=+1 at the top boundary, because row 0 of
+    * the global-alignment DP is D[0][j] = j). The score accumulates the
+    * last block's horizontal delta at pattern row m−1. Bits of the last
+    * block above row m−1 hold garbage but cannot flow downward: the
+    * carry of `(Eq&Pv)+Pv` and both shifts move strictly upward.
+    */
+  def compute(a: UTF8String, b: UTF8String): Int = {
+    if (a.equals(b)) return 0
+    val ca = toCodePoints(a)
+    val cb = toCodePoints(b)
+    val (p, t) = if (ca.length <= cb.length) (ca, cb) else (cb, ca)
+    val m = p.length
+    val n = t.length
+    if (m == 0) return n
+    val blocks = (m + 63) >>> 6
+    // pattern-character match masks, one long[blocks] per distinct cp
+    val peq = new java.util.HashMap[Integer, Array[Long]](m * 2)
+    var i = 0
+    while (i < m) {
+      var v = peq.get(p(i))
+      if (v == null) { v = new Array[Long](blocks); peq.put(p(i), v) }
+      v(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    val zeroEq = new Array[Long](blocks)
+    val pv = new Array[Long](blocks)
+    val mv = new Array[Long](blocks)
+    java.util.Arrays.fill(pv, -1L)
+    var score = m
+    val lastHigh = 1L << ((m - 1) & 63)
+    var j = 0
+    while (j < n) {
+      val eqRef = peq.get(t(j))
+      val eqArr = if (eqRef == null) zeroEq else eqRef
+      var h = 1 // D[0][j+1] − D[0][j] = +1: the distance-variant boundary
+      var bi = 0
+      while (bi < blocks) {
+        val high = if (bi == blocks - 1) lastHigh else java.lang.Long.MIN_VALUE
+        var eq = eqArr(bi)
+        val pvb = pv(bi)
+        val mvb = mv(bi)
+        // Xv reads the RAW Eq; only Xh sees the hin<0 adjustment
+        // (Hyyrö 2003 fig. 5 — swapping the order corrupts Pv'/Mv')
+        val xv = eq | mvb
+        if (h < 0) eq |= 1L
+        val xh = (((eq & pvb) + pvb) ^ pvb) | eq
+        var ph = mvb | ~(xh | pvb)
+        var mh = pvb & xh
+        val hOut = if ((ph & high) != 0L) 1 else if ((mh & high) != 0L) -1 else 0
+        ph <<= 1
+        mh <<= 1
+        if (h > 0) ph |= 1L else if (h < 0) mh |= 1L
+        pv(bi) = mh | ~(xv | ph)
+        mv(bi) = ph & xv
+        h = hOut
+        bi += 1
+      }
+      score += h
+      j += 1
+    }
+    score
+  }
+}

@@ -797,6 +797,122 @@ object RelationalQueries {
       SELECT l_returnflag, metric, value FROM (
         UNPIVOT w ON sum_qty, sum_price, sum_disc
         INTO NAME metric VALUE value)
-      ORDER BY l_returnflag, metric"""))
+      ORDER BY l_returnflag, metric""")),
+
+    // ---- q153: ordered funnel (view → click → purchase, each step
+    // strictly after the previous, all within 24 h of the user's FIRST
+    // view) — the product-analytics operator the window/session family
+    // doesn't cover: step timestamps must be ORDERED, not merely
+    // co-present. Scale shape: NO per-user event collection — each step
+    // is a conditional-min aggregation (map-side partial min per user
+    // BEFORE its exchange; the event-type filter pushes to the scan)
+    // joined user-keyed to the previous step's ≤1-row-per-user table
+    // (AQE broadcasts the funnel head while it fits, shuffles on
+    // user_id when it doesn't). Per step: one filtered scan + one
+    // exchange of ≤1 row per qualifying user, at any corpus size. The
+    // final counts fold the three step tables in ONE aggregation (no
+    // scalar-subquery cross join). Timestamps compare as unix micros —
+    // exact integer arithmetic in both engines. ----
+    Q("q153_funnel_steps", (s, d) => {
+      val W = 86400000000L // 24 h in micros
+      val ev = T(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      val u1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+      val u2 = ev.filter(col("event_type") === "click")
+        .join(u1, "user_id")
+        .filter(col("tu") > col("t1") && col("tu") <= col("t1") + W)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("tu")).as("t2"))
+      val u3 = ev.filter(col("event_type") === "purchase")
+        .join(u2, "user_id")
+        .filter(col("tu") > col("t2") && col("tu") <= col("t1") + W)
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+      u1.select(lit(1).as("step"))
+        .union(u2.select(lit(2).as("step")))
+        .union(u3.select(lit(3).as("step")))
+        .agg(count(when(col("step") === 1, 1)).as("users_view"),
+          count(when(col("step") === 2, 1)).as("users_click"),
+          count(when(col("step") === 3, 1)).as("users_purchase"))
+        .select(col("users_view"), col("users_click"), col("users_purchase"),
+          rat6(col("users_click"), col("users_view")).as("click_rate"),
+          rat6(col("users_purchase"), col("users_click")).as("purchase_rate"))
+    }, Some(s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      u1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      u2 AS (SELECT e.user_id, t1, min(tu) AS t2 FROM ev e JOIN u1 USING (user_id)
+             WHERE event_type = 'click' AND tu > t1 AND tu <= t1 + 86400000000
+             GROUP BY e.user_id, t1),
+      u3 AS (SELECT e.user_id, min(tu) AS t3 FROM ev e JOIN u2 USING (user_id)
+             WHERE event_type = 'purchase' AND tu > t2 AND tu <= t1 + 86400000000
+             GROUP BY e.user_id),
+      c AS (SELECT count(CASE WHEN step = 1 THEN 1 END) AS users_view,
+              count(CASE WHEN step = 2 THEN 1 END) AS users_click,
+              count(CASE WHEN step = 3 THEN 1 END) AS users_purchase
+            FROM (SELECT 1 AS step FROM u1 UNION ALL
+                  SELECT 2 FROM u2 UNION ALL SELECT 3 FROM u3))
+      SELECT users_view, users_click, users_purchase,
+        ${duckRat6("users_click", "users_view")} AS click_rate,
+        ${duckRat6("users_purchase", "users_click")} AS purchase_rate
+      FROM c""")),
+
+    // ---- q154: retention cohorts — users cohorted by the Monday-start
+    // week of their first signup; active at week-offset w when ANY
+    // event lands in cohort_week + w. Scale shape: (user, week)
+    // activity is map-side-deduped before its one exchange; the cohort
+    // table is ≤1 row per user (AQE broadcast/shuffle on user_id); the
+    // final (cohort, offset) rollup partial-aggregates. Week offsets
+    // are exact integer day arithmetic (both engines truncate to
+    // Monday, so the day diff is always a multiple of 7). ----
+    Q("q154_retention_cohorts", (s, d) => {
+      val ev = T(s, d, "events")
+      val u = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cw"))
+      val act = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("w")).distinct()
+      val sizes = u.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+      act.join(u, "user_id").filter(col("w") >= col("cw"))
+        .select(col("cw"),
+          (datediff(col("w"), col("cw")) / lit(7)).cast("int").as("week_offset"))
+        .groupBy(col("cw"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cw")
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("cohort_size"),
+          rat6(col("n_active"), col("cohort_size")).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }, Some(s"""
+      WITH u AS (SELECT user_id, min(date_trunc('week', ts)) AS cw FROM events
+                 WHERE event_type = 'signup' GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      sizes AS (SELECT cw, count(*) AS cohort_size FROM u GROUP BY 1),
+      r AS (SELECT cw, date_diff('day', cw, w) // 7 AS week_offset,
+              count(*) AS n_active
+            FROM act JOIN u USING (user_id) WHERE w >= cw GROUP BY 1, 2)
+      SELECT strftime(r.cw, '%Y-%m-%d') AS cohort_week,
+        CAST(week_offset AS INT) AS week_offset, n_active, cohort_size,
+        ${duckRat6("n_active", "cohort_size")} AS retention
+      FROM r JOIN sizes ON r.cw = sizes.cw
+      ORDER BY cohort_week, week_offset"""))
   )
+
+  /** Null-guarded exact-ratio surfaced as double via the decimal hop
+    * (the cross-engine float canonicalization of [[Det]]): both engines
+    * divide the same two exact integers, round at 6 decimals, and a
+    * zero denominator is NULL rather than an engine-dependent inf/null.
+    */
+  private def rat6(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    when(b === 0, lit(null))
+      .otherwise((a.cast(DoubleType) / b.cast(DoubleType))
+        .cast(DecimalType(18, 6)).cast(DoubleType))
+  }
+
+  /** DuckDB rendering of [[rat6]] (VARCHAR hop: see [[Det]]). */
+  private def duckRat6(a: String, b: String): String =
+    s"""CASE WHEN $b = 0 THEN NULL ELSE
+        CAST(CAST(CAST(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(18, 6)) AS DOUBLE) END"""
 }

@@ -912,4 +912,63 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Set((0L, 0L, 60L), (1L, 0L, 64L), (1L, 1L, 22L),
       (2L, 0L, 1L)), s"got $got")
   }
+
+  /** A tiny events parquet with controlled per-user timelines. */
+  private def eventsFixture(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ev").toString
+    rows.zipWithIndex.map { case ((uid, ts, _, tp), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts), uid, tp, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q153 funnel enforces step ORDER and the 24h window") {
+    // u1 completes in order; u2's click precedes its first view (must
+    // not count); u3's click lands outside the 24 h window; u4 clicks
+    // in time but purchases too late; u5 never views
+    val tmp = eventsFixture(Seq(
+      (1L, "2024-01-01 00:00:00", 0L, "view"),
+      (1L, "2024-01-01 01:00:00", 0L, "click"),
+      (1L, "2024-01-01 02:00:00", 0L, "purchase"),
+      (2L, "2024-01-01 00:00:00", 0L, "click"),
+      (2L, "2024-01-01 01:00:00", 0L, "view"),
+      (3L, "2024-01-01 00:00:00", 0L, "view"),
+      (3L, "2024-01-02 01:00:00", 0L, "click"),
+      (4L, "2024-01-01 00:00:00", 0L, "view"),
+      (4L, "2024-01-01 01:00:00", 0L, "click"),
+      (4L, "2024-01-02 02:00:00", 0L, "purchase"),
+      (5L, "2024-01-01 00:00:00", 0L, "purchase")))
+    val r = SparkEntry.queries("q153_funnel_steps")(spark, tmp).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)),
+      s"got $r")
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5, s"rates: $r")
+  }
+
+  test("q154 retention cohorts: anchor week, offsets, and exclusions") {
+    // 2024-01-01 is a Monday. u1: signup wk0, active wk0/1/3; u2:
+    // signup wk0 only; u3: signup wk1, active wk2; u4 never signs up
+    // (excluded); u1's pre-signup event (none here) and u3's wk-2
+    // activity BEFORE its signup week must not produce negative offsets
+    val tmp = eventsFixture(Seq(
+      (1L, "2024-01-01 10:00:00", 0L, "signup"),
+      (1L, "2024-01-03 10:00:00", 0L, "view"),
+      (1L, "2024-01-09 10:00:00", 0L, "click"),
+      (1L, "2024-01-24 10:00:00", 0L, "purchase"),
+      (2L, "2024-01-02 10:00:00", 0L, "signup"),
+      (3L, "2024-01-05 10:00:00", 0L, "view"), // before u3's signup week
+      (3L, "2024-01-08 10:00:00", 0L, "signup"),
+      (3L, "2024-01-17 10:00:00", 0L, "view"),
+      (4L, "2024-01-01 10:00:00", 0L, "view")))
+    val rows = SparkEntry.queries("q154_retention_cohorts")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-01", 3, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0),
+      ("2024-01-08", 1, 1L, 1L, 1.0)), s"got ${rows.mkString("\n")}")
+  }
 }
