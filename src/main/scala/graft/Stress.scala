@@ -538,6 +538,44 @@ object Stress {
           s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
           s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
       }
+
+      // STRESS_DIVERSITY=1: q151's exact-vs-HLL dial. The claim under
+      // test: the approx form collapses the (source, gram) dedup
+      // exchange to one mergeable sketch per (source, task) — shuffle
+      // bytes drop by orders of magnitude at equal wall or better,
+      // and every per-source estimate stays within 3·rsd of exact.
+      if (sys.env.get("STRESS_DIVERSITY").contains("1")) {
+        val forms = Seq("exact" -> false, "approx" -> true).map {
+          case (label, ap) =>
+            val runs = (1 to 2).map { _ =>
+              metrics.reset()
+              val t0 = System.nanoTime()
+              queries.PipelineQueries.ngramDiversity(spark, dir, approx = ap)
+                .write.format("noop").mode("overwrite").save()
+              ((System.nanoTime() - t0) / 1e9,
+                metrics.shuffleWrite.get(), metrics.spill.get())
+            }
+            val (warmS, shW, sp) = runs.last
+            s""""$label":{"cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
+              s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}"""
+        }
+        val err = {
+          val ex = queries.PipelineQueries.ngramDiversity(spark, dir)
+            .select(col("source"), col("distinct_tokens"), col("distinct_trigrams"))
+            .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          val ap = queries.PipelineQueries
+            .ngramDiversity(spark, dir, approx = true)
+            .select(col("source"), col("distinct_tokens"), col("distinct_trigrams"))
+            .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          ex.keys.map { k =>
+            math.max(
+              math.abs(ap(k)._1 - ex(k)._1).toDouble / math.max(ex(k)._1, 1L),
+              math.abs(ap(k)._2 - ex(k)._2).toDouble / math.max(ex(k)._2, 1L))
+          }.max
+        }
+        println(s"""STRESS_DIVERSITY {"corpus":"$tag",""" +
+          forms.mkString(",") + s""","max_rel_err":$err}""")
+      }
     }
 
     // STRESS_PAGERANK=iters: q146's engine on its own scale ladder — a

@@ -69,9 +69,11 @@ object EditDistance {
       EditDistance(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
 
   /** Code points of `s` (NOT UTF-16 units — a supplementary character is
-    * one edit position, matching the builtin's UTF-8 walk).
+    * one edit position, matching the builtin's UTF-8 walk). Exposed so
+    * bucket-local verifiers ([[VerifiedEditPairs]]) convert each member
+    * ONCE, not once per pair.
     */
-  private def toCodePoints(s: UTF8String): Array[Int] = {
+  private[functions] def toCodePoints(s: UTF8String): Array[Int] = {
     val str = s.toString
     val out = new Array[Int](str.codePointCount(0, str.length))
     var ci = 0
@@ -100,8 +102,13 @@ object EditDistance {
     */
   def compute(a: UTF8String, b: UTF8String): Int = {
     if (a.equals(b)) return 0
-    val ca = toCodePoints(a)
-    val cb = toCodePoints(b)
+    distance(toCodePoints(a), toCodePoints(b))
+  }
+
+  /** Distance over pre-converted code-point arrays (the per-bucket
+    * verifier's entry point — members convert once, pairs share).
+    */
+  private[functions] def distance(ca: Array[Int], cb: Array[Int]): Int = {
     val (p, t) = if (ca.length <= cb.length) (ca, cb) else (cb, ca)
     val m = p.length
     val n = t.length

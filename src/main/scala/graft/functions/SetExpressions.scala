@@ -324,6 +324,136 @@ case class VerifiedJaccardPairs(members: Expression, band: Expression,
     copy(members = newChildren(0), band = newChildren(1))
 }
 
+/** Bucket-local fused EDIT-DISTANCE verifier — [[VerifiedJaccardPairs]]'
+  * twin for q152, with the text payload in place of the shingle set.
+  *
+  * Why: the compose-then-join form shipped BOTH pair texts through two
+  * pair-keyed exchanges — quadratic in clone-cluster size (measured at
+  * 100× replica scale: 2.6 GB shuffle + 2.0 GB spill, 147 s warm). Here
+  * a doc's text crosses the wire once per band; pairs expand, band-skip,
+  * and verify inside the generator, and only surviving (doc_a, doc_b,
+  * edit_dist, max_len) longs materialize as rows.
+  *
+  * Per-bucket cost discipline: each member's text converts to its
+  * code-point array ONCE (shared across its pairs); a pair whose length
+  * difference alone exceeds `distFrac × max_len` is rejected before any
+  * DP (edit distance ≥ length difference); byte-equal texts short-cut to
+  * distance 0; everything else runs the bit-parallel Myers kernel
+  * ([[EditDistance.distance]]). A pair sharing bands i < k is emitted at
+  * band i only (the carried earlier-band keys), so the output is
+  * duplicate-free without a distinct.
+  *
+  * `distFrac` is a constructor literal (not an evaluated child), same
+  * rationale as [[VerifiedJaccardPairs]]' threshold.
+  */
+case class VerifiedEditPairs(members: Expression, band: Expression,
+    distFrac: Double)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(members, band)
+  override def prettyName: String = "verified_edit_pairs"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("edit_dist", LongType, nullable = false),
+    StructField("max_len", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (members.dataType, band.dataType) match {
+      // same non-null element discipline as VerifiedJaccardPairs: the
+      // producing plan (collect_list of struct) is non-null by
+      // construction; anything else is rejected at analysis time
+      case (ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(StringType, false), _, _),
+            StructField(_, StringType, _, _))), false),
+          IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (m, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<long, array<string> non-null " +
+          s"elems, string>> non-null elems, int), got ($m, $b)")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = members.eval(input)
+    val bandV = band.eval(input)
+    if (v == null || bandV == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val bandIdx = bandV.asInstanceOf[Int]
+    val ids = new Array[Long](n)
+    val earlier = new Array[Array[UTF8String]](n)
+    val texts = new Array[UTF8String](n)
+    val cps = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val m = arr.getStruct(i, 3)
+      if (m.isNullAt(0) || m.isNullAt(1) || m.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"$prettyName: null member field in bucket struct " +
+            s"(doc_id/bkeys/text must all be non-null)")
+      ids(i) = m.getLong(0)
+      val bk = m.getArray(1)
+      val e = new Array[UTF8String](bandIdx)
+      var k = 0
+      while (k < bandIdx) { e(k) = bk.getUTF8String(k); k += 1 }
+      earlier(i) = e
+      texts(i) = m.getUTF8String(2)
+      cps(i) = EditDistance.toCodePoints(texts(i))
+      i += 1
+    }
+    new Iterator[InternalRow] {
+      private var ii = 0
+      private var jj = 1
+      private var nextRow: InternalRow = advance()
+      private def advance(): InternalRow = {
+        while (ii < n - 1) {
+          val a = ii
+          val b = jj
+          jj += 1
+          if (jj == n) { ii += 1; jj = ii + 1 }
+          var shared = false
+          var k = 0
+          while (!shared && k < bandIdx) {
+            if (earlier(a)(k).equals(earlier(b)(k))) shared = true
+            k += 1
+          }
+          if (!shared) {
+            val la = cps(a).length
+            val lb = cps(b).length
+            val maxLen = math.max(la, lb)
+            val cap = distFrac * maxLen
+            // length gate: dist >= |la - lb|, so a gap past the cap
+            // can never verify — no DP
+            if (math.abs(la - lb) <= cap) {
+              val dist =
+                if (texts(a).equals(texts(b))) 0
+                else EditDistance.distance(cps(a), cps(b))
+              if (dist <= cap) {
+                val x = ids(a)
+                val y = ids(b)
+                return InternalRow(math.min(x, y), math.max(x, y),
+                  dist.toLong, maxLen.toLong)
+              }
+            }
+          }
+        }
+        null
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VerifiedEditPairs =
+    copy(members = newChildren(0), band = newChildren(1))
+}
+
 object SortedSetOps {
 
   /** Merge-scan |A ∩ B|; inputs must be sorted distinct. */
@@ -380,6 +510,15 @@ object SetFunctions {
     GraftSqlBridge.column(VerifiedJaccardPairs(
       GraftSqlBridge.expression(members), GraftSqlBridge.expression(band),
       threshold))
+
+  /** Generator Column for [[VerifiedEditPairs]]: yields `doc_a`,
+    * `doc_b`, `edit_dist`, `max_len` — one row per edit-verified pair.
+    */
+  def verifiedEditPairs(members: Column, band: Column,
+      distFrac: Double): Column =
+    GraftSqlBridge.column(VerifiedEditPairs(
+      GraftSqlBridge.expression(members), GraftSqlBridge.expression(band),
+      distFrac))
 
   /** SQL surface for all three kernels — same codegen'd expressions the
     * Column API binds.

@@ -369,8 +369,54 @@ object BigramProfileScores {
   }
 }
 
+/** Unicode NFC normalization — the canonicalization stage of exact
+  * dedup. Exact-hash dedup (q40) treats composed "é" (U+00E9) and
+  * decomposed "e"+U+0301 as DIFFERENT documents even though every
+  * renderer shows the same text; normalizing to NFC before hashing
+  * collapses those phantom variants. Spark has no builtin for this;
+  * DuckDB's `nfc_normalize` replays it for the oracle (both sides
+  * implement Unicode's canonical composition, which is stable across
+  * versions for assigned code points).
+  *
+  * One pass, codegen'd static call; the common case (already-normalized
+  * text — all ASCII is) is detected with `Normalizer.isNormalized` and
+  * returns the input UTF8String without re-encoding.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    NfcNormalize.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column API for [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 
   /** Column API for [[MinHashSig]]: the n-component signature array. */
   def minhashSigNative(text: Column, nHashes: Int): Column =

@@ -3833,7 +3833,32 @@ object PipelineQueries {
     // candidates); for multi-KB docs compose with a length gate and
     // Ukkonen banding (kernel doc). ----
     Q("q152_edit_distance_neardup", (s, d) => editDistanceNearDup(s, d),
-      Some(q152OracleSql))
+      Some(q152OracleSql), bench = true),
+
+    // ---- q155: Unicode-canonical exact dedup — q40's exact dedup run
+    // AFTER canonicalization: NFC normalization (native expression —
+    // composed U+00E9 and decomposed e+U+0301 are the same document),
+    // casefold, whitespace collapse, trim. Catches the phantom
+    // "variants" raw-byte hashing can't see (the standard first stage
+    // of a web-corpus dedup cascade, before MinHash ever runs). Scale
+    // shape: identical to q40 — the canonical key is one map-side
+    // projection; the dedup is one partial-aggregated groupBy (clone
+    // classes collapse map-side); no new exchange vs raw exact dedup. ----
+    Q("q155_canonical_dedup", (s, d) => {
+      val canon = trim(regexp_replace(lower(
+        graft.functions.TextFunctions.nfcNormalize(col("text"))),
+        "\\s+", " "))
+      docs(s, d).select(col("doc_id"), canon.as("c"))
+        .groupBy(col("c"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+        .select(col("doc_id"), md5(col("c")).as("fp"), col("n_variants"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+          trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS c
+        FROM documents)
+      SELECT min(doc_id) AS doc_id, md5(c) AS fp, count(*) AS n_variants
+      FROM c GROUP BY c ORDER BY doc_id"""))
   )
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model
@@ -4301,20 +4326,30 @@ object PipelineQueries {
     * exactly. Sources where every doc has <3 tokens get null trigram
     * columns (left join), mirrored by the oracle's LEFT JOIN.
     */
-  private[graft] def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramDiversity(s: SparkSession, d: String,
+      approx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // the 100 TB dial: HLL++ sketches (rsd 2%) replace the exact
+    // DISTINCT — the (source, gram) dedup exchange disappears and each
+    // source moves ONE mergeable sketch instead of its distinct-gram
+    // set; the two profile passes then shuffle O(|sources|) rows total.
+    // Exact stays the default because the DuckDB oracle is bit-exact;
+    // QueriesSpec pins the approx form within 3·rsd of exact per source,
+    // and STRESS_DIVERSITY measures the shuffle collapse at scale.
+    def nDistinct(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c, 0.02) else countDistinct(c)
     val t = docs(s, d).select(col("source"), TextOps.tokens(col("text")).as("ws"))
     val uni = t.select(col("source"), explode(col("ws")).as("w"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("total_tokens"),
-        countDistinct(col("w")).as("distinct_tokens"))
+        nDistinct(col("w")).as("distinct_tokens"))
     val tri = t.filter(size(col("ws")) >= 3)
       .select(col("source"), explode(transform(
         sequence(lit(1), size(col("ws")) - 2),
         i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("g"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("total_trigrams"),
-        countDistinct(col("g")).as("distinct_trigrams"))
+        nDistinct(col("g")).as("distinct_trigrams"))
     def ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (a.cast(DoubleType) / b.cast(DoubleType))
         .cast(DecimalType(18, 6)).cast(DoubleType)
@@ -4354,22 +4389,85 @@ object PipelineQueries {
     * (see the Q entry comment). `distFrac` rides as the decimal literal
     * 0.2 in BOTH engines (each parses it to the same nearest double),
     * and edit_sim is canonicalized via the decimal-cast hop.
+    *
+    * Verification is BUCKET-LOCAL, same shape as [[verifiedEdgesOf]]:
+    * the first (pair-join) form shipped both pair texts through two
+    * pair-keyed exchanges — quadratic in clone-cluster size, measured
+    * at 100× replica scale as 2.6 GB shuffle + 2.0 GB spill / 147 s
+    * warm. Here each doc's text crosses the wire once per band into its
+    * (band, bkey) bucket; [[graft.functions.VerifiedEditPairs]] expands
+    * the i<j member pairs in place (each member's code points converted
+    * once, length-gate before any DP, first-shared-band skip so every
+    * pair verifies exactly once) and only surviving id/dist/len longs
+    * materialize. Singleton buckets are pruned payload-free before the
+    * collect (the mostly-unique-corpus guard), and buckets past
+    * `hotCap` members fall back to the pair-join form restricted to
+    * those buckets — then a final distinct reconciles the two paths
+    * (a fused-path pair can also appear via a hot band, never with a
+    * different dist). Both probes ride one memoized narrow count.
     */
   private[graft] def editDistanceNearDup(s: SparkSession, d: String,
-      distFrac: Double = 0.2): DataFrame = {
+      distFrac: Double = 0.2, hotCap: Int = 4096,
+      pruneBroadcastLimit: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val t = docs(s, d).select(col("doc_id"), col("text"))
-    bandedCandidatePairs(s, d)
-      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.EditDistance
-          .editDistanceNative(col("ta"), col("tb"))
-          .cast("long").as("edit_dist"),
-        greatest(length(col("ta")), length(col("tb"))).cast("long")
-          .as("max_len"))
-      .filter(col("edit_dist").cast(DoubleType) <=
-        lit(distFrac) * col("max_len").cast(DoubleType))
+    val nBands = 4
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
+    val bkeysC = array((0 until nBands).map(b => concat_ws("_",
+      element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
+    val base = docs(s, d)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), sig.as("sig"), col("text"))
+      .select(col("doc_id"), bkeysC.as("bkeys"), col("text"))
+    // literal-index explode — the InferFiltersFromGenerate gotcha
+    // documented at [[verifiedEdgesOf]]
+    val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
+    val expl = base.select(col("doc_id"), col("bkeys"), col("text"), bandIdx)
+      .select(col("doc_id"), col("bkeys"), col("text"), col("band"),
+        element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val light = base.select(col("doc_id"), col("bkeys"), bandIdx)
+      .select(col("band"), element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val sizes = light.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+    val multi = sizes.filter(col("n") >= 2).select(col("band"), col("bkey"))
+    val hot = sizes.filter(col("n") > hotCap).select(col("band"), col("bkey"))
+    val (nMulti, nHot) = Models.cached(s"editprobe:$d:hotCap=$hotCap") {
+      val probe = sizes.agg(
+        sum(when(col("n") >= 2, 1L).otherwise(0L)),
+        sum(when(col("n") > hotCap, 1L).otherwise(0L))).head()
+      (java.lang.Long.valueOf(probe.getLong(0)),
+        java.lang.Long.valueOf(probe.getLong(1)))
+    }
+    val anyHot = nHot > 0
+    val pruned = if (nMulti <= pruneBroadcastLimit)
+      expl.join(broadcast(multi), Seq("band", "bkey"), "left_semi")
+    else expl
+    val smallRows = if (anyHot)
+      pruned.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    else pruned
+    val fused = smallRows.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("bkeys"), col("text"))).as("ms"))
+      .select(graft.functions.SetFunctions
+        .verifiedEditPairs(col("ms"), col("band"), distFrac))
+    val verified = if (!anyHot) fused else {
+      val t = base.select(col("doc_id"), col("text"))
+      val hotExpl = expl.join(broadcast(hot), Seq("band", "bkey"), "left_semi")
+      val hotPairs = hotExpl.as("x").join(hotExpl.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.EditDistance
+            .editDistanceNative(col("ta"), col("tb"))
+            .cast("long").as("edit_dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long")
+            .as("max_len"))
+        .filter(col("edit_dist").cast(DoubleType) <=
+          lit(distFrac) * col("max_len").cast(DoubleType))
+      fused.union(hotPairs).distinct()
+    }
+    verified
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),
         (lit(1.0) - col("edit_dist").cast(DoubleType) /
             col("max_len").cast(DoubleType))

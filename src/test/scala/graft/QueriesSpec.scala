@@ -832,6 +832,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(farmTri < 0.25 && farmTtr < 0.15, s"farm: $farmTtr/$farmTri")
   }
 
+  test("q151 approx (HLL) dial stays within 3·rsd of exact per source at sf0.01") {
+    import graft.queries.PipelineQueries
+    val d01 = "/root/testdata/sf0.01"
+    def profile(ap: Boolean) =
+      PipelineQueries.ngramDiversity(spark, d01, approx = ap).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(5))).toMap
+    val exact = profile(false)
+    val approx = profile(true)
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keys) {
+      val relTok = math.abs(approx(k)._1 - exact(k)._1).toDouble / exact(k)._1
+      val relTri = math.abs(approx(k)._2 - exact(k)._2).toDouble / exact(k)._2
+      assert(relTok <= 0.06 && relTri <= 0.06,
+        s"$k: tokens ${exact(k)._1}→${approx(k)._1}, " +
+          s"trigrams ${exact(k)._2}→${approx(k)._2}")
+    }
+  }
+
   test("q152 == scalar Levenshtein over the banded candidates at sf0.001") {
     val cands = SparkEntry.queries("q43_minhash_pairs")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -865,6 +883,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expect,
       s"diff: ${((got diff expect) ++ (expect diff got)).take(5)}")
     assert(got.nonEmpty, "planted near-dups must survive the 0.8 gate")
+  }
+
+  test("q152 fused bucket-local path == hot-fallback pair-join path (all paths forced)") {
+    import graft.queries.PipelineQueries
+    // hotCap=1 marks every multi-member bucket hot → the ENTIRE corpus
+    // verifies through the pair-join fallback; the default runs pure
+    // fused. Identical output locks the generator's pair expansion,
+    // first-shared-band skip, length gate, and dist math against the
+    // compositional form.
+    val fused = PipelineQueries.editDistanceNearDup(spark, dir).collect()
+    val viaHot = PipelineQueries.editDistanceNearDup(spark, dir, hotCap = 1)
+      .collect()
+    assert(fused.map(_.toSeq).toSeq == viaHot.map(_.toSeq).toSeq)
+    assert(fused.nonEmpty)
+  }
+
+  test("q155 merges NFC/case/whitespace variants that raw exact dedup cannot see") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q155").toString
+    val composed = "café menu du jour"          // é precomposed
+    val decomposed = "café menu du jour"       // e + combining acute
+    assert(composed != decomposed)               // different code points...
+    assert(java.text.Normalizer.normalize(decomposed,
+      java.text.Normalizer.Form.NFC) == composed) // ...same NFC form
+    Seq((0L, composed, "fr", "s", 0L),
+        (1L, decomposed, "fr", "s", 0L),
+        (2L, "CAFÉ MENU DU JOUR", "fr", "s", 0L),
+        (3L, "  café   menu\tdu  jour ", "fr", "s", 0L),
+        (4L, "something else entirely", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    // raw exact dedup sees 5 distinct docs; canonical dedup sees 2 classes
+    assert(SparkEntry.queries("q40_dedup_exact")(spark, tmp).count() == 5)
+    val got = SparkEntry.queries("q155_canonical_dedup")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 4L), (4L, 1L)), s"got ${got.mkString(",")}")
+  }
+
+  test("q155 classes can only merge relative to q40 (corpus law at sf0.001)") {
+    val raw = SparkEntry.queries("q40_dedup_exact")(spark, dir).count()
+    val canon = SparkEntry.queries("q155_canonical_dedup")(spark, dir).count()
+    assert(canon <= raw && canon > 0)
   }
 
   test("q152 keeps a typo-ridden pair whose shingle Jaccard fails the 0.5 gate") {

@@ -29,6 +29,24 @@ class TextExprSpec extends AnyFunSuite {
     "x y z x y z x y z"        // repeated shingles (multiplicity)
   ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("NfcNormalize: composition, idempotence, identity on normalized, nulls") {
+    import spark.implicits._
+    val decomposed = "café"
+    val composed = "café"
+    val df = Seq(Some(decomposed), Some(composed), Some("plain ascii"),
+      Some(""), None).toDF("t")
+    val got = df.select(TextFunctions.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq(composed, composed, "plain ascii", "", null))
+    // idempotence over the corpus: normalize(normalize(x)) == normalize(x)
+    val n2 = docs.select(
+        TextFunctions.nfcNormalize(col("text")).as("a"),
+        TextFunctions.nfcNormalize(
+          TextFunctions.nfcNormalize(col("text"))).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(n2 == 0)
+  }
+
   test("ShinglesK(text, k) == shinglesK(tokens(text), k) for k = 3 and 8, corpus + edges") {
     for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs); k <- Seq(3, 8)) {
       val mismatch = df.select(
