@@ -601,7 +601,14 @@ object Stress {
       }
       Seq("base" -> 20000L, s"x$factor" -> 20000L * factor).foreach {
         case (gtag, n) =>
-          val edges = graph(n)
+          // materialize the generated graph ONCE (outside timing): a
+          // real pipeline reads its link graph from storage — timing
+          // the 40M-row gen groupBy inside every run swamped the
+          // operator's own per-round numbers
+          val gpath = s"$root/pagerank_graph_$n.parquet"
+          if (!new java.io.File(gpath).exists())
+            graph(n).repartition(32).write.mode("overwrite").parquet(gpath)
+          val edges = spark.read.parquet(gpath)
           val runs = (1 to 2).map { _ =>
             metrics.reset()
             val t0 = System.nanoTime()

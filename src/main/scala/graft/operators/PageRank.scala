@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -66,22 +65,36 @@ object PageRank {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     // out-weight normalization, once: share(u,v) = w / W(u) — an IEEE
-    // division of two exact longs, identical in any engine
+    // division of two exact longs, identical in any engine.
+    // Pinned REPARTITIONED BY dst: Dataset-level checkpoints preserve
+    // output partitioning in their LogicalRDD, so every round's
+    // contribution aggregation on `dst` reuses this layout — the
+    // per-round |E|-row exchange disappears (the rank side broadcasts,
+    // which preserves the stream side's partitioning through the join),
+    // and each task's partial-agg hash table covers only ITS dst range
+    // instead of a random 1/P sample of all dsts. Measured at 2M nodes
+    // / 40M edges / 5 rounds: 156 s + 3.4 GB spill (row-pin, unaligned)
+    // → 30 s, zero spill, shuffle 2.9 GB → 0.6 GB.
     val outW = edges.groupBy(col("src").as("ou")).agg(sum(col("w")).as("ow"))
-    val (shares, sharesRdd) = pin(
+    val (shares, releaseShares) = pin(
       edges.join(outW, col("src") === col("ou"))
         .select(col("src"), col("dst"),
-          (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("share")),
+          (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("share"))
+        .repartition(col("dst")),
       checkpointDir)
     // node list pinned too: it is |V| rows derived from the |E|-row share
     // table via distinct — left lazy, every round's stepped plan would
     // re-shuffle the EDGE set just to rebuild it (measured at 2M nodes /
-    // 40M edges: the unpinned form spilled 5.1 GB over 5 rounds)
-    val (nodes, nodesRdd) = pin(
-      shares.select(col("src").as("nid")).distinct(), checkpointDir)
+    // 40M edges: the unpinned form spilled 5.1 GB over 5 rounds).
+    // Partitioned by nid = the contribution table's dst hash layout, so
+    // the per-round left join back onto the node list is co-partitioned
+    // (no exchange on either side).
+    val (nodes, releaseNodes) = pin(
+      shares.select(col("src").as("nid")).distinct()
+        .repartition(col("nid")), checkpointDir)
     val n = nodes.count() // driver scalar: graph order, not graph size
     val teleport = (1.0 - damping) / n
-    var (pr, prRdd) = pin(
+    var (pr, releasePr) = pin(
       nodes.select(col("nid"), lit(1.0 / n).as("pr")), checkpointDir)
     // rank-side join strategy: the rank table is 2 columns × |V| rows —
     // up to ~4M nodes (≈64 MB) broadcasting it makes the share⋈rank
@@ -113,38 +126,42 @@ object PageRank {
           (lit(teleport) + lit(damping) * coalesce(col("s"), lit(0.0)))
             .cast(DecimalType(20, 9)).cast(DoubleType).as("pr"))
       val (p, r) = pin(stepped, checkpointDir)
-      release(prRdd)
-      pr = p; prRdd = r
+      releasePr()
+      pr = p; releasePr = r
     }
-    release(sharesRdd)
-    release(nodesRdd)
+    releaseShares()
+    releaseNodes()
     pr
   }
 
-  // the same pin/release discipline as Dedup (kept private there — the
-  // 10-line re-statement beats widening that API)
+  /** Dataset-LEVEL pin (vs [[Dedup]]'s `df.rdd` pin): the checkpoint
+    * stores compact UnsafeRows instead of boxed external Rows (the
+    * row-pin held the 40M-row share table as ~4 GB of objects — most
+    * of the heap, which is what pushed the per-round aggregation to
+    * spill), and the resulting LogicalRDD PRESERVES output
+    * partitioning, which the whole per-round exchange-elision scheme
+    * above rests on. Returns the pinned frame and its release thunk.
+    */
   private def pin(df: DataFrame,
-      checkpointDir: Option[String] = None): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
-    checkpointDir match {
+      checkpointDir: Option[String] = None): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val pinned = checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.checkpoint()
-      case None => rdd.localCheckpoint()
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
     }
-    rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
-
-  private def release(rdd: RDD[Row]): Unit = {
-    rdd.unpersist(blocking = false)
-    rdd.getCheckpointFile.foreach { f =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
-      } catch { case _: Throwable => () }
+    val rdd = GraftSqlBridge.checkpointedRdd(pinned)
+    val release = () => {
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
     }
+    (pinned, release)
   }
 }

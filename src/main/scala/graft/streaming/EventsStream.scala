@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 /** Per-user streaming state for [[EventsStream.statefulUserTotals]]. */
 final case class UserTotals(n: Long, sum: Double)
 
+/** [[EventsStream.funnelCompletions]] keyed state: first-view anchor,
+  * buffered step-2/3 times inside the live window, completion tombstone.
+  */
+final case class FunnelState(t1: Long, clicks: List[Long],
+    purchases: List[Long], done: Boolean)
+
 /** Structured Streaming surface for the `events` table (SURVEY §2.7 [EXT]).
   *
   * Transforms are written as plain `DataFrame => DataFrame` so the *same*
@@ -166,6 +172,87 @@ object EventsStream {
           alerts.reverseIterator
       }
       .toDF("user_id", "milestone")
+  }
+
+  /** Streaming twin of q153's ordered funnel: per-user completions
+    * (view → click → purchase, each strictly after the previous, all
+    * within `windowMicros` of the FIRST view), emitted EAGERLY — the
+    * trigger where the funnel first completes appends one
+    * (user_id, t1, t2, t3) row; the `done` flag makes re-emission
+    * impossible. Batch parity (spec-locked): over a drained in-order
+    * replay, completions are exactly the batch query's step-3 users
+    * with identical timestamps.
+    *
+    * State per user: min view + the click/purchase times still
+    * relevant to the funnel — after t1 is known, only times in
+    * (t1, t1+W] are kept, so the buffer is bounded by the user's
+    * event volume inside ONE funnel window (the session-window bound,
+    * not stream lifetime); completed users drop their buffers
+    * entirely (the `done` tombstone is 3 longs). Within a trigger the
+    * batch's rows are SORTED by time first, so emission is
+    * independent of partition iteration order (the [[DocsStream]]
+    * discipline). `ttlMs > 0` adds the same processing-time GC
+    * horizon as [[DocsStream.nearDupCandidates]]: a user idle past
+    * the TTL is dropped, bounding state by horizon churn.
+    */
+  def funnelCompletions(windowMicros: Long = 86400000000L, ttlMs: Long = 0L)(
+      events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+      .as[(Long, String, Long)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long)](
+        OutputMode.Append, timeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, Nil, Nil, done = false))
+            val out =
+              if (s.done) Iterator.empty
+              else {
+                val batch = rows.toArray.sortBy(_._3)
+                batch.foreach { case (_, tp, tu) =>
+                  if (!s.done) tp match {
+                    case "view" =>
+                      if (tu < s.t1) s = s.copy(t1 = tu)
+                    case "click" => s = s.copy(clicks = tu :: s.clicks)
+                    case "purchase" => s = s.copy(purchases = tu :: s.purchases)
+                    case _ => ()
+                  }
+                }
+                // prune to the live window once anchored (see class doc)
+                if (s.t1 != Long.MaxValue) s = s.copy(
+                  clicks = s.clicks.filter(t =>
+                    t > s.t1 && t <= s.t1 + windowMicros),
+                  purchases = s.purchases.filter(t =>
+                    t > s.t1 && t <= s.t1 + windowMicros))
+                // no emission without the view anchor: the buffers are
+                // only window-pruned once t1 exists
+                val t2 = if (s.t1 == Long.MaxValue) None
+                         else s.clicks.minOption
+                val t3 = t2.flatMap(c => s.purchases.filter(_ > c).minOption)
+                t3 match {
+                  case Some(p) =>
+                    s = FunnelState(s.t1, Nil, Nil, done = true)
+                    Iterator.single((user, s.t1, t2.get, p))
+                  case None => Iterator.empty
+                }
+              }
+            state.update(s)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
+      .toDF("user_id", "t1", "t2", "t3")
   }
 
   /** Idempotent `foreachBatch` parquet sink: each micro-batch OVERWRITES

@@ -29,4 +29,18 @@ object GraftSqlBridge {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** The checkpointed InternalRow RDD behind a `Dataset.checkpoint` /
+    * `localCheckpoint` result (its plan is a single `LogicalRDD`) — the
+    * handle an iterative operator needs to UNPERSIST a superseded
+    * round's blocks. Dataset-level checkpoints store compact UnsafeRows
+    * and preserve output partitioning in the LogicalRDD, unlike the
+    * `df.rdd`-based pin (boxed external Rows, partitioning erased).
+    */
+  def checkpointedRdd(df: Dataset[_]): org.apache.spark.rdd.RDD[_] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd
+      case p => throw new IllegalStateException(
+        s"not a checkpointed Dataset (plan root ${p.getClass.getSimpleName})")
+    }
 }
