@@ -124,6 +124,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel completions == batch step-3 users with identical timestamps (ST15)") {
+    import org.apache.spark.sql.functions._
+    val W = 86400000000L
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.funnelCompletions(W), "funnel_out", outputMode = "append")
+    // batch mirror: q153's three-step chain, keeping per-user times
+    val ev = batchEvents.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tu"))
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val u2 = ev.filter(col("event_type") === "click").join(u1, "user_id")
+      .filter(col("tu") > col("t1") && col("tu") <= col("t1") + W)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tu")).as("t2"))
+    val u3 = ev.filter(col("event_type") === "purchase").join(u2, "user_id")
+      .filter(col("tu") > col("t2") && col("tu") <= col("t1") + W)
+      .groupBy(col("user_id"), col("t1"), col("t2")).agg(min(col("tu")).as("t3"))
+    val want = u3.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == got.toSet.size, "duplicate completion emitted")
+    assert(got.toSet == want, s"stream=${got.length} batch=${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("streaming funnel enforces step order and the 24h window (ST15o)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("funnel-fix")
+    // u1 completes in order; u2's only click precedes its view (no
+    // completion); u3's purchase lands outside the 24h window
+    def write(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funnel-w")
+      rows.zipWithIndex.map { case ((uid, ts, _, tp), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(ts), uid, tp, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$d/$name.parquet"))
+    }
+    write("b1", Seq(
+      (1L, "2024-01-01 00:00:00", 0L, "view"),
+      (1L, "2024-01-01 01:00:00", 0L, "click"),
+      (2L, "2024-01-01 00:30:00", 0L, "click"),
+      (3L, "2024-01-01 00:00:00", 0L, "view"),
+      (3L, "2024-01-01 00:10:00", 0L, "click")))
+    write("b2", Seq(
+      (1L, "2024-01-01 02:00:00", 0L, "purchase"),
+      (2L, "2024-01-01 01:00:00", 0L, "view"),
+      (2L, "2024-01-01 01:30:00", 0L, "purchase"),
+      (3L, "2024-01-02 01:00:00", 0L, "purchase")))
+    val out = EventsStream.runToMemory(spark, d.toString,
+      EventsStream.funnelCompletions(), "funnel_fix_out", outputMode = "append")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3)))
+    val t3 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00").getTime * 1000L
+    assert(got.toSeq == Seq((1L, t3)), s"got ${got.mkString(",")}")
+  }
+
   test("stream-stream interval join: stream == batch (ST8)") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.intervalJoin(_), "ssjoin_out", outputMode = "append")
