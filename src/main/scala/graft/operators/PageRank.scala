@@ -66,15 +66,17 @@ object PageRank {
     val spark = edges.sparkSession
     // out-weight normalization, once: share(u,v) = w / W(u) — an IEEE
     // division of two exact longs, identical in any engine.
-    // Pinned REPARTITIONED BY dst: Dataset-level checkpoints preserve
-    // output partitioning in their LogicalRDD, so every round's
-    // contribution aggregation on `dst` reuses this layout — the
-    // per-round |E|-row exchange disappears (the rank side broadcasts,
-    // which preserves the stream side's partitioning through the join),
-    // and each task's partial-agg hash table covers only ITS dst range
-    // instead of a random 1/P sample of all dsts. Measured at 2M nodes
-    // / 40M edges / 5 rounds: 156 s + 3.4 GB spill (row-pin, unaligned)
-    // → 30 s, zero spill, shuffle 2.9 GB → 0.6 GB.
+    // Pinned REPARTITIONED BY dst: with the rank side broadcast, each
+    // round's contribution stage maps over these dst-aligned blocks,
+    // so every task's partial-agg table covers exactly ITS dst range —
+    // map-side combine is COMPLETE (one row per dst leaves each task)
+    // and the per-round exchange carries |V| partially-summed rows
+    // instead of |E| raw contributions. (AQE keeps an ENSURE_
+    // REQUIREMENTS exchange above the partial agg — plan-probed — but
+    // it moves the combined rows only; eliminating it entirely would
+    // save |V|, not |E|.) Measured at 2M nodes / 40M edges / 5 rounds,
+    // together with the UnsafeRow pin below: 156 s + 3.4 GB spill →
+    // 32 s + 0.18 GB.
     val outW = edges.groupBy(col("src").as("ou")).agg(sum(col("w")).as("ow"))
     val (shares, releaseShares) = pin(
       edges.join(outW, col("src") === col("ou"))
