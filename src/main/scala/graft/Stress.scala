@@ -96,6 +96,34 @@ object Stress {
       .parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Scaled events for the analytics/streaming-state decade rows
+    * (`STRESS_GEN_EVENTS=1`): the USER population replicates ×factor —
+    * replica r offsets user_id into its own id space and jitters every
+    * event time by an md5-derived delta in ±30 min (each replica is a
+    * plausible independent user timeline, not a hash-identical clone;
+    * r = 0 keeps the original). Funnel/retention/session state
+    * cardinality scales with users — the axis that matters for the
+    * per-key operators. All derivation md5-based: bit-reproducible.
+    */
+  private def genScaledEvents(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val out = new java.io.File(s"$outDir/events.parquet")
+    if (out.exists()) return
+    val base = queries.Tables(spark, baseDir, "events")
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    val jit = (conv(substring(md5(concat_ws("_", col("event_id"), col("r"))),
+      1, 6), 16, 10).cast("long") % 3600000000L) - 1800000000L
+    base.select(col("*"), reps)
+      .select(
+        (col("event_id") * factor + col("r")).as("event_id"),
+        when(col("r") === 0, col("ts"))
+          .otherwise(timestamp_micros(unix_micros(col("ts")) + jit)).as("ts"),
+        (col("user_id") + col("r") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+  }
+
   /** q127's sampled-shingle posting census, uncapped: how hot do
     * shingles actually get at this scale, and how many groups does the
     * dfCap+1 truncation drop vs the df filter alone?
@@ -217,6 +245,8 @@ object Stress {
         // need the scaled embeddings alongside the scaled documents
         sys.env.get("STRESS_QUERIES").exists(_.contains("q150")))
       genScaledEmbeddings(spark, baseDir, scaledDir, factor)
+    if (sys.env.get("STRESS_GEN_EVENTS").contains("1"))
+      genScaledEvents(spark, baseDir, scaledDir, factor)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nScaled = spark.read.parquet(s"$scaledDir/documents.parquet").count()
 
