@@ -73,7 +73,7 @@ object EditDistance {
     * bucket-local verifiers ([[VerifiedEditPairs]]) convert each member
     * ONCE, not once per pair.
     */
-  private[functions] def toCodePoints(s: UTF8String): Array[Int] = {
+  private[graft] def toCodePoints(s: UTF8String): Array[Int] = {
     val str = s.toString
     val out = new Array[Int](str.codePointCount(0, str.length))
     var ci = 0
@@ -85,6 +85,22 @@ object EditDistance {
       ci += Character.charCount(cp)
     }
     out
+  }
+
+  /** [[distance]] with an early-abandon cap — the long-document dial
+    * the q152 class doc prescribes. Returns the exact distance when it
+    * is ≤ `maxDist`, else -1: the final score can decrease by at most
+    * 1 per remaining text column, so once `score − remaining > maxDist`
+    * no suffix can bring it back under the cap and the scan stops. A
+    * non-matching multi-KB pair abandons after ~maxDist columns instead
+    * of paying the full O(n·m/64); matching pairs cost the same as the
+    * uncapped form. The length gate (dist ≥ |n−m|) runs first.
+    */
+  private[graft] def distanceBounded(ca: Array[Int], cb: Array[Int],
+      maxDist: Int): Int = {
+    if (math.abs(ca.length - cb.length) > maxDist) return -1
+    val d = distanceImpl(ca, cb, maxDist)
+    if (d > maxDist) -1 else d
   }
 
   /** Exact Levenshtein distance via block-based Myers.
@@ -108,7 +124,16 @@ object EditDistance {
   /** Distance over pre-converted code-point arrays (the per-bucket
     * verifier's entry point — members convert once, pairs share).
     */
-  private[functions] def distance(ca: Array[Int], cb: Array[Int]): Int = {
+  private[graft] def distance(ca: Array[Int], cb: Array[Int]): Int =
+    distanceImpl(ca, cb, Int.MaxValue)
+
+  /** Core kernel; `abandonAt = Int.MaxValue` disables the cutoff. When
+    * finite, the return value is only guaranteed to EXCEED `abandonAt`
+    * on abandon (not to be the exact distance) — callers compare
+    * against the cap, never report the abandoned value.
+    */
+  private def distanceImpl(ca: Array[Int], cb: Array[Int],
+      abandonAt: Int): Int = {
     val (p, t) = if (ca.length <= cb.length) (ca, cb) else (cb, ca)
     val m = p.length
     val n = t.length
@@ -158,6 +183,10 @@ object EditDistance {
       }
       score += h
       j += 1
+      // early abandon: ≥ -1 per remaining column is the best any
+      // suffix can do (see distanceBounded)
+      if (abandonAt != Int.MaxValue && score - (n - j) > abandonAt)
+        return score + (n - j) // any value > abandonAt; never reported
     }
     score
   }

@@ -428,10 +428,13 @@ case class VerifiedEditPairs(members: Expression, band: Expression,
             // length gate: dist >= |la - lb|, so a gap past the cap
             // can never verify — no DP
             if (math.abs(la - lb) <= cap) {
+              // bounded kernel: a non-matching long pair abandons after
+              // ~cap columns instead of the full scan (exact when kept)
               val dist =
                 if (texts(a).equals(texts(b))) 0
-                else EditDistance.distance(cps(a), cps(b))
-              if (dist <= cap) {
+                else EditDistance.distanceBounded(cps(a), cps(b),
+                  math.floor(cap).toInt)
+              if (dist >= 0 && dist <= cap) {
                 val x = ids(a)
                 val y = ids(b)
                 return InternalRow(math.min(x, y), math.max(x, y),

@@ -86,6 +86,23 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(diverging == 0)
   }
 
+  test("distanceBounded: exact within the cap, -1 past it (random pairs)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 120) {
+      val a = randStr(rnd, rnd.nextInt(180), "abcd")
+      val b = randStr(rnd, rnd.nextInt(180), "abcd")
+      val cps = (EditDistance.toCodePoints(UTF8String.fromString(a)),
+        EditDistance.toCodePoints(UTF8String.fromString(b)))
+      val d = dpDistance(a, b)
+      for (cap <- Seq(0, math.max(0, d - 1), d, d + 3)) {
+        val got = EditDistance.distanceBounded(cps._1, cps._2, cap)
+        val want = if (d <= cap) d else -1
+        assert(got == want, s"d=$d cap=$cap got=$got (|a|=${a.length},|b|=${b.length})")
+      }
+    }
+  }
+
   test("exact-equality fast path and null propagation") {
     val df = Seq((Some("abc"), Some("abc")), (None, Some("x")),
       (Some("x"), None), (Some(""), Some(""))).toDF("l", "r")
