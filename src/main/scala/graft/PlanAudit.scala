@@ -91,7 +91,8 @@ object PlanAudit {
     "q152_edit_distance_neardup" -> "edit-distance near-dup, bucket-local fused: each text crosses the wire once per band (never per pair); VerifiedEditPairs expands/band-skips/length-gates/verifies in place with the bit-parallel Myers kernel, per-member code points converted once; singleton buckets pruned payload-free; hot buckets (>4096) fall back to the pair-join form — 482 s → 2.0 s warm at 10×, spill eliminated at 100×",
     "q155_canonical_dedup" -> "Unicode-canonical exact dedup: NFC+casefold+whitespace-collapse canonical key is one map-side projection (native NfcNormalize, already-normalized fast path); the dedup is one partial-aggregated groupBy — clone classes collapse map-side, same plan as q40",
     "q153_funnel_steps" -> "ordered funnel: each step a conditional-min agg (map-side partial min per user before its exchange; event-type filter pushed to the scan) joined user-keyed to the previous step's ≤1-row-per-user table (AQE broadcast while it fits); final counts fold the step tables in ONE aggregation — no per-user event collection, no scalar-subquery cross join",
-    "q154_retention_cohorts" -> "retention cohorts: (user, week) activity map-side-deduped before its one exchange; cohort anchor table ≤1 row/user; the (cohort, offset) rollup partial-aggregates; week offsets are exact integer day arithmetic")
+    "q154_retention_cohorts" -> "retention cohorts: (user, week) activity map-side-deduped before its one exchange; cohort anchor table ≤1 row/user; the (cohort, offset) rollup partial-aggregates; week offsets are exact integer day arithmetic",
+    "q156_session_paths" -> "session path analysis: ONE user-keyed exchange feeds both window passes (second reuses the first's sort); per-session path collect bounded by the 30-min gap; path rollup partial-aggregates; top-20 via TakeOrdered, no global sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

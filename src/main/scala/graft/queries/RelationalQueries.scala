@@ -894,7 +894,52 @@ object RelationalQueries {
         CAST(week_offset AS INT) AS week_offset, n_active, cohort_size,
         ${duckRat6("n_active", "cohort_size")} AS retention
       FROM r JOIN sizes ON r.cw = sizes.cw
-      ORDER BY cohort_week, week_offset"""))
+      ORDER BY cohort_week, week_offset""")),
+
+    // ---- q156: session path analysis — gap-based sessionization
+    // (30 min) then the ORDERED event-type sequence per session,
+    // rolled up to the top paths. The flow-analysis complement of the
+    // funnel: q153 asks "did users do A→B→C", this asks "what do
+    // sessions actually look like". Scale shape: ONE user-keyed
+    // exchange feeds both window passes (same partitioning + ordering
+    // — the second window reuses the first's sort); the per-session
+    // path collect is bounded by session length (the gap bounds it,
+    // same law as the session-window store); the path rollup
+    // partial-aggregates and the top-20 is a TakeOrdered, never a
+    // global sort. Ties break on (ts, event_id) in BOTH engines, so
+    // the paths are deterministic strings. ----
+    Q("q156_session_paths", (s, d) => {
+      val gap = 1800000000L // 30 min in micros
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tu"), col("event_id"))
+      val e = T(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"))
+      val m = e.withColumn("is_new",
+        when(lag(col("tu"), 1).over(w).isNull ||
+          col("tu") - lag(col("tu"), 1).over(w) > gap, 1).otherwise(0))
+      val sess = m.withColumn("sess", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sess"))
+        .agg(concat_ws(">", transform(sort_array(collect_list(
+            struct(col("tu"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+                 FROM events),
+      m AS (SELECT *, CASE WHEN tu - lag(tu) OVER w > 1800000000 OR
+                                lag(tu) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+      s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY tu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM m),
+      p AS (SELECT user_id, sess,
+              string_agg(event_type, '>' ORDER BY tu, event_id) AS path
+            FROM s GROUP BY user_id, sess)
+      SELECT path, count(*) AS n_sessions FROM p
+      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""))
   )
 
   /** Null-guarded exact-ratio surfaced as double via the decimal hop

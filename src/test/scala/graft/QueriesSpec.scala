@@ -927,6 +927,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(canon <= raw && canon > 0)
   }
 
+  test("q156 sessionizes on the 30-min gap and orders paths by (ts, event_id)") {
+    // one user: events at 0, 10, 29, 90, 100 minutes → sessions
+    // {0,10,29} (each gap ≤ 30) and {90,100}; two events at the SAME
+    // timestamp order by event_id
+    val tmp = eventsFixture(Seq(
+      (1L, "2024-01-01 00:00:00", 0L, "view"),
+      (1L, "2024-01-01 00:10:00", 0L, "click"),
+      (1L, "2024-01-01 00:29:00", 0L, "purchase"),
+      (1L, "2024-01-01 01:30:00", 0L, "view"),
+      (1L, "2024-01-01 01:40:00", 0L, "error"),
+      (2L, "2024-01-01 00:00:00", 0L, "signup"),
+      (2L, "2024-01-01 00:00:00", 0L, "view")))
+    val got = SparkEntry.queries("q156_session_paths")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("signup>view", 1L), ("view>click>purchase", 1L),
+      ("view>error", 1L)), s"got $got")
+  }
+
   test("q152 keeps a typo-ridden pair whose shingle Jaccard fails the 0.5 gate") {
     // 25 single-char typos scattered every 8th word of a 200-word doc:
     // each typo destroys its 3 covering shingles, dragging 3-shingle
