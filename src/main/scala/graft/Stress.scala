@@ -111,14 +111,22 @@ object Stress {
     if (out.exists()) return
     val base = queries.Tables(spark, baseDir, "events")
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    // 12 hex chars span 2^48 ≫ 3.6e9, so the modulo covers the full ±30 min
+    // range with negligible bias (6 chars maxed at 16.8 s — a near-constant
+    // −30 min shift that made replicas time-translates of the base user;
+    // 8 chars would cover the range but skew the mean by ~−235 s, since
+    // 2^32 mod 3.6e9 double-weights the low 0.69e9 of the range).
     val jit = (conv(substring(md5(concat_ws("_", col("event_id"), col("r"))),
-      1, 6), 16, 10).cast("long") % 3600000000L) - 1800000000L
+      1, 12), 16, 10).cast("long") % 3600000000L) - 1800000000L
+    // Replica id spaces must not overlap even if base user_id ≥ 1e6: stride
+    // by the actual base population bound, not a fixed constant.
+    val userStride = base.agg(max(col("user_id"))).head().getLong(0) + 1L
     base.select(col("*"), reps)
       .select(
         (col("event_id") * factor + col("r")).as("event_id"),
         when(col("r") === 0, col("ts"))
           .otherwise(timestamp_micros(unix_micros(col("ts")) + jit)).as("ts"),
-        (col("user_id") + col("r") * 1000000L).as("user_id"),
+        (col("user_id") + col("r") * userStride).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")

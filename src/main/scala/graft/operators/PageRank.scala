@@ -151,7 +151,15 @@ object PageRank {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // Reliable checkpointing computes the RDD twice: once for the eager
+        // count, then again inside RDD.doCheckpoint to write the files.
+        // Persist first so the second pass reads cached blocks instead of
+        // replaying the whole plan; the cache is dropped as soon as the
+        // files are on disk (doCheckpoint runs inside the count job, so
+        // checkpoint() returning means the files are written).
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
       case None => df.localCheckpoint(eager = true)
     }
     val rdd = GraftSqlBridge.checkpointedRdd(pinned)

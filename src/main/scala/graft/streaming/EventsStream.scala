@@ -31,7 +31,8 @@ object EventsStream {
     * ([[graft.queries.Tables.normalizedTs]]): parity with the batch twin
     * stays by construction.
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // probe can fail when the stream is defined BEFORE any file has
     // arrived (empty dir / no parquet footers yet — normal for a file
@@ -41,7 +42,9 @@ object EventsStream {
     val fileSchema =
       try spark.read.parquet(dir).schema
       catch { case _: org.apache.spark.sql.AnalysisException => declaredSchema }
-    spark.readStream.schema(fileSchema).parquet(dir)
+    val reader = spark.readStream.schema(fileSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", graft.queries.Tables.normalizedTs(fileSchema))
   }
 
@@ -194,13 +197,40 @@ object EventsStream {
     * discipline). `ttlMs > 0` adds the same processing-time GC
     * horizon as [[DocsStream.nearDupCandidates]]: a user idle past
     * the TTL is dropped, bounding state by horizon churn.
+    *
+    * Out-of-order input across triggers: the anchor is FROZEN — a view
+    * arriving after t1 is established with an earlier timestamp is
+    * ignored (semantics stay monotone; the old rewind silently lost
+    * completions whose step-2/3 events were already pruned against the
+    * previous anchor) and counted in [[anchorRewinds]] so out-of-order
+    * input is observable. On in-order replay the first view IS the min
+    * view, so batch parity is unchanged. Pre-anchor buffers are bounded
+    * too: a step-2/3 time more than `windowMicros` older than the
+    * newest buffered time can never satisfy t1 < t2 < t3 ≤ t1+W
+    * together with a later completion event, so only the newest
+    * window's worth is kept — an anchor-less high-traffic user holds
+    * one window of events, not the stream's lifetime.
     */
+  /** Views that arrived AFTER a user's funnel anchor was established but
+    * with an EARLIER timestamp (out-of-order across triggers) — ignored
+    * under the frozen-anchor rule, counted here so the lossy regime is
+    * observable instead of silent (the [[EmbedStream.capOverflows]]
+    * discipline: one named accumulator per SparkContext, task-side adds,
+    * driver-side reads).
+    */
+  private val rewindAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  def anchorRewinds(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    rewindAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("eventsstream.anchor_rewind"))
+
   def funnelCompletions(windowMicros: Long = 86400000000L, ttlMs: Long = 0L)(
       events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.Encoders
     val spark = events.sparkSession
     import spark.implicits._
+    val rewinds = anchorRewinds(spark)
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -223,7 +253,10 @@ object EventsStream {
                 batch.foreach { case (_, tp, tu) =>
                   if (!s.done) tp match {
                     case "view" =>
-                      if (tu < s.t1) s = s.copy(t1 = tu)
+                      if (s.t1 == Long.MaxValue) s = s.copy(t1 = tu)
+                      // frozen anchor: earlier views are counted, not
+                      // applied (see class doc)
+                      else if (tu < s.t1) rewinds.add(1L)
                     case "click" => s = s.copy(clicks = tu :: s.clicks)
                     case "purchase" => s = s.copy(purchases = tu :: s.purchases)
                     case _ => ()
@@ -235,6 +268,15 @@ object EventsStream {
                     t > s.t1 && t <= s.t1 + windowMicros),
                   purchases = s.purchases.filter(t =>
                     t > s.t1 && t <= s.t1 + windowMicros))
+                else {
+                  // anchor-less bound: keep only the newest window's worth
+                  val newest = math.max(
+                    if (s.clicks.isEmpty) Long.MinValue else s.clicks.max,
+                    if (s.purchases.isEmpty) Long.MinValue else s.purchases.max)
+                  if (newest != Long.MinValue) s = s.copy(
+                    clicks = s.clicks.filter(_ >= newest - windowMicros),
+                    purchases = s.purchases.filter(_ >= newest - windowMicros))
+                }
                 // no emission without the view anchor: the buffers are
                 // only window-pruned once t1 exists
                 val t2 = if (s.t1 == Long.MaxValue) None
@@ -271,8 +313,9 @@ object EventsStream {
     */
   def runToMemory(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
-    val q = transform(readStream(spark, dir))
+      outputMode: String = "complete",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = transform(readStream(spark, dir, maxFilesPerTrigger))
       .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
     q.processAllAvailable()
     q.stop()

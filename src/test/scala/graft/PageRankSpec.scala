@@ -44,6 +44,18 @@ class PageRankSpec extends AnyFunSuite {
     assert(pr(3L) == pr(4L), "symmetric leaves must tie exactly")
   }
 
+  test("reliable-checkpoint path matches the localCheckpoint path bit-for-bit") {
+    // the Some(dir) branch persists before the eager materialization so
+    // RDD.doCheckpoint's file-writing pass reads cache, not a replay —
+    // semantics must be identical to the default local pin
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val edges = sym((1L, 2L, 5L), (1L, 3L, 1L), (1L, 4L, 1L), (4L, 5L, 2L))
+    val local = PageRank.run(edges, iters = 4).orderBy("nid").collect().toSeq
+    val reliable = PageRank.run(edges, iters = 4, checkpointDir = Some(dir))
+      .orderBy("nid").collect().toSeq
+    assert(local == reliable)
+  }
+
   test("result is invariant to input partitioning (canonical rounding)") {
     val pairs = (1L to 40L).map(i => (i, i % 7 + 100L, i % 3 + 1L))
     val a = PageRank.run(sym(pairs: _*), iters = 4)

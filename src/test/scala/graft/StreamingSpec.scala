@@ -185,6 +185,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, t3)), s"got ${got.mkString(",")}")
   }
 
+  test("funnel anchor is frozen on out-of-order views; pre-anchor buffer keeps the newest window (ST15f)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("funnel-ooo")
+    def write(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funnel-ooo-w")
+      rows.zipWithIndex.map { case ((uid, ts, _, tp), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(ts), uid, tp, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$d/$name.parquet"))
+    }
+    // u7: two pre-anchor clicks 4 days apart in batch 1 — the stale one
+    // must be pruned (newest-window bound), the fresh one must survive to
+    // serve the later anchor. u8: anchor at 01:00, then an EARLIER view in
+    // batch 2 — frozen (completion stays anchored at 01:00) and counted.
+    write("b1", Seq(
+      (7L, "2024-01-01 00:00:00", 0L, "click"),
+      (7L, "2024-01-05 00:00:00", 0L, "click"),
+      (8L, "2024-01-01 01:00:00", 0L, "view")))
+    val rewindsBefore = EventsStream.anchorRewinds(spark).value
+    write("b2", Seq(
+      (7L, "2024-01-04 23:00:00", 0L, "view"),
+      (7L, "2024-01-05 01:00:00", 0L, "purchase"),
+      (8L, "2024-01-01 00:00:00", 0L, "view"),
+      (8L, "2024-01-01 02:00:00", 0L, "click"),
+      (8L, "2024-01-01 03:00:00", 0L, "purchase")))
+    // one file per trigger: the out-of-order view must land in a LATER
+    // micro-batch than the anchor (within-trigger input is sorted)
+    val out = EventsStream.runToMemory(spark, d.toString,
+      EventsStream.funnelCompletions(), "funnel_ooo_out",
+      outputMode = "append", maxFilesPerTrigger = Some(1))
+    def micros(ts: String) = java.sql.Timestamp.valueOf(ts).getTime * 1000L
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (7L, micros("2024-01-04 23:00:00"), micros("2024-01-05 00:00:00"),
+        micros("2024-01-05 01:00:00")),
+      (8L, micros("2024-01-01 01:00:00"), micros("2024-01-01 02:00:00"),
+        micros("2024-01-01 03:00:00"))), s"got $got")
+    assert(EventsStream.anchorRewinds(spark).value > rewindsBefore,
+      "out-of-order view was not counted")
+  }
+
   test("stream-stream interval join: stream == batch (ST8)") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.intervalJoin(_), "ssjoin_out", outputMode = "append")
