@@ -63,7 +63,7 @@ object Verify {
         ran += 1
       } catch { case e: Throwable =>
         failed ::= name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: ${e.getMessage}"); if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Cluster-representative selection for near-dup keep-lists (the step
@@ -29,78 +28,16 @@ import org.apache.spark.sql.functions._
   * and the driver dies long before the data does. The previous round's
   * blocks are unpersisted as soon as the next round is materialized, so
   * peak storage is TWO 2-column label tables plus the edges, not
-  * `maxRounds` of them. By default rounds pin via `localCheckpoint`
-  * (executor blocks — fine for local mode); on a cluster pass
+  * `maxRounds` of them. Rounds pin via the shared Dataset-level
+  * [[Pin]] (compact UnsafeRow blocks, output partitioning preserved —
+  * the boxed-Row `df.rdd` form this replaced measured ~3× the heap on
+  * PageRank's share table); by default executor-local blocks, or pass
   * `checkpointDir` (HDFS/object store) to switch to RELIABLE
   * `RDD.checkpoint()` so executor loss can't silently restart the
   * chain. Rounds needed = the longest propagation path in any component
   * (chains of near-dups), bounded by `maxRounds` as a runaway guard.
   */
 object Dedup {
-
-  private val warnedSubstitutions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Pin a small/intermediate frame: materialize it to checkpoint
-    * storage and hand back both the checkpoint-backed frame and the RDD
-    * whose blocks can be `unpersist`ed once the frame is no longer
-    * needed. `checkpointDir = Some(dir)` uses a reliable checkpoint
-    * (cached first so the materializing job doesn't compute the lineage
-    * twice — once for the count, once for the checkpoint write).
-    */
-  /** Arm the pin (reliable or local checkpoint) WITHOUT materializing —
-    * the caller's first action on the RDD triggers it. */
-  private def armPin(rdd: RDD[Row], sc: org.apache.spark.SparkContext,
-      checkpointDir: Option[String]): Unit = checkpointDir match {
-    case Some(dir) =>
-      sc.getCheckpointDir match {
-        case None => sc.setCheckpointDir(dir)
-        case Some(existing) =>
-          // setCheckpointDir appends a UUID; a context-level dir set
-          // by someone else silently wins over the argument — make
-          // the substitution LOUD (once per requested dir) so rounds
-          // don't checkpoint to a location the caller never chose
-          val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-          if (!existing.contains(want) && warnedSubstitutions.add(dir))
-            System.err.println(s"[dedup] WARNING: SparkContext " +
-              s"checkpoint dir is already '$existing'; requested " +
-              s"'$dir' is ignored — rounds checkpoint to the existing dir")
-      }
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.checkpoint()
-    case None => rdd.localCheckpoint()
-  }
-
-  private def pinRdd(rdd: RDD[Row], df: DataFrame,
-      checkpointDir: Option[String]): DataFrame = {
-    armPin(rdd, df.sparkSession.sparkContext, checkpointDir)
-    rdd.count() // eager: materialize before anything downstream replans
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
-
-  private def pin(df: DataFrame,
-      checkpointDir: Option[String]): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
-    (pinRdd(rdd, df, checkpointDir), rdd)
-  }
-
-  /** Release a pinned round: drop its storage blocks AND its reliable
-    * checkpoint files (best-effort). Without the file deletion a
-    * `maxRounds`-deep fixpoint leaves every round's table in the
-    * checkpoint dir for the life of the app even though only the
-    * latest round is ever referenced again. Only call once the NEXT
-    * round is materialized — its checkpoint truncated the lineage, so
-    * nothing can recompute through the deleted files.
-    */
-  private def release(rdd: RDD[Row]): Unit = {
-    rdd.unpersist(blocking = false)
-    rdd.getCheckpointFile.foreach { f =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
-      } catch { case _: Throwable => () } // cleanup must never fail the job
-    }
-  }
 
   /** @param docs  one row per document; `idCol` must be its unique id
     * @param edges verified near-dup pairs in BOTH directions, columns
@@ -117,9 +54,9 @@ object Dedup {
     */
   def keepListToFixpoint(docs: DataFrame, edges: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    val (e, eRdd) = pin(edges.select(col("src"), col("dst")), checkpointDir)
-    var (labels, labelsRdd) = pin(docs.select(col(idCol), col(idCol).as("rep")),
-      checkpointDir)
+    val (e, releaseE) = Pin.pin(edges.select(col("src"), col("dst")), checkpointDir)
+    var (labels, releaseLabels) = Pin.pin(
+      docs.select(col(idCol), col(idCol).as("rep")), checkpointDir)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -132,27 +69,27 @@ object Dedup {
           least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
       // fuse the convergence test into the materializing pass: a separate
       // `filter(changed).count()` would re-read the full label table once
-      // more per round — at corpus scale that is a whole extra pass. A
-      // retried task can only OVER-count, which never turns "changed"
-      // into "converged", so the fixpoint test stays sound.
-      val chAcc = steppedDf.sparkSession.sparkContext.longAccumulator("dedupChanged")
-      val steppedRdd = steppedDf.rdd.map { r =>
-        if (r.get(1) != r.get(2)) chAcc.add(1)
-        r
-      }
-      val stepped = pinRdd(steppedRdd, steppedDf, checkpointDir)
-      changed = chAcc.value
-      release(labelsRdd) // prior round no longer referenced: blocks + files
+      // more per round — at corpus scale that is a whole extra pass. The
+      // fold is DETERMINISTIC (an aggregate over the pinned UnsafeRows —
+      // a retried task recomputes the same count, unlike the old
+      // accumulator form, which could only over-count), and runs as the
+      // ONE action that materializes the round's checkpoint.
+      val (stepped, steppedRdd, releaseStepped) = Pin.arm(steppedDf, checkpointDir)
+      val dt = steppedDf.schema(1).dataType // prev/rep share idCol's type
+      changed = steppedRdd.aggregate(0L)(
+        (n, r) => n + (if (r.get(1, dt) != r.get(2, dt)) 1L else 0L),
+        _ + _)
+      releaseLabels() // prior round no longer referenced: blocks + files
       labels = stepped.select(col(idCol), col("rep"))
-      labelsRdd = steppedRdd
+      releaseLabels = releaseStepped
       round += 1
     }
-    release(eRdd)
+    releaseE()
     // non-convergence aborts: release the final round too, or its blocks
     // stay pinned in the block manager for the life of the session. On
     // success the final round's storage intentionally survives — the
     // returned frame reads from it.
-    if (changed != 0) release(labelsRdd)
+    if (changed != 0) releaseLabels()
     require(changed == 0,
       s"keepListToFixpoint did not converge in $maxRounds rounds — " +
         "either raise maxRounds or check the edge set for corruption " +
@@ -237,15 +174,14 @@ object Dedup {
       var h = a * 0x9E3779B97F4A7C15L + (b ^ (b >>> 31)) * 0xBF58476D1CE4E5B9L
       h ^= h >>> 27; h *= 0x94D049BB133111EBL; h ^ (h >>> 31)
     }
-    def pinWithStats(df: DataFrame): (DataFrame, RDD[Row], (Long, Long)) = {
-      val rdd = df.rdd
-      armPin(rdd, spark.sparkContext, checkpointDir)
+    def pinWithStats(df: DataFrame): (DataFrame, () => Unit, (Long, Long)) = {
+      val (pinned, rdd, release) = Pin.arm(df, checkpointDir)
       val st = rdd.aggregate((0L, 0L))(
         (acc, r) => (acc._1 + 1L, acc._2 ^ mix(r.getLong(0), r.getLong(1))),
         (x, y) => (x._1 + y._1, x._2 ^ y._2))
-      (spark.createDataFrame(rdd, df.schema), rdd, st)
+      (pinned, release, st)
     }
-    var (e, eRdd, prev) = pinWithStats(e0)
+    var (e, releaseE, prev) = pinWithStats(e0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -266,14 +202,14 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst")) // b > m
         .union(smins.select(col("u").as("src"), col("m").as("dst"))) // u > m
         .distinct()
-      val (stepped, steppedRdd, cur) = pinWithStats(ss)
-      release(eRdd)
-      e = stepped; eRdd = steppedRdd
+      val (stepped, releaseStepped, cur) = pinWithStats(ss)
+      releaseE()
+      e = stepped; releaseE = releaseStepped
       converged = cur == prev
       prev = cur
       round += 1
     }
-    if (!converged) release(eRdd)
+    if (!converged) releaseE()
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "the alternating star algorithm needs O(log n) rounds, so this " +

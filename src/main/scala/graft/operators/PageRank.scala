@@ -63,7 +63,31 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
       checkpointDir: Option[String] = None): DataFrame = {
-    val spark = edges.sparkSession
+    val prep = prepare(edges, damping, checkpointDir)
+    var pr = prep.pr
+    var releasePr = prep.releasePr
+    for (_ <- 1 to iters) {
+      val stepped = step(prep, pr, damping)
+      val (p, r) = pin(stepped, checkpointDir)
+      releasePr()
+      pr = p; releasePr = r
+    }
+    prep.releaseShares()
+    prep.releaseNodes()
+    pr
+  }
+
+  /** The pinned per-run frames one damped round steps over (exposed
+    * `private[graft]` so PlanShapeSpec can lock the round's physical
+    * plan without running the loop). Release thunks are the caller's.
+    */
+  private[graft] final case class Prep(shares: DataFrame, nodes: DataFrame,
+      pr: DataFrame, teleport: Double, bcastRanks: Boolean,
+      releaseShares: () => Unit, releaseNodes: () => Unit,
+      releasePr: () => Unit)
+
+  private[graft] def prepare(edges: DataFrame, damping: Double,
+      checkpointDir: Option[String]): Prep = {
     // out-weight normalization, once: share(u,v) = w / W(u) — an IEEE
     // division of two exact longs, identical in any engine.
     // Pinned REPARTITIONED BY dst: with the rank side broadcast, each
@@ -72,7 +96,7 @@ object PageRank {
     // map-side combine is COMPLETE (one row per dst leaves each task)
     // and the per-round exchange carries |V| partially-summed rows
     // instead of |E| raw contributions. (AQE keeps an ENSURE_
-    // REQUIREMENTS exchange above the partial agg — plan-probed — but
+    // REQUIREMENTS exchange above the partial agg — plan-locked — but
     // it moves the combined rows only; eliminating it entirely would
     // save |V|, not |E|.) Measured at 2M nodes / 40M edges / 5 rounds,
     // together with the UnsafeRow pin below: 156 s + 3.4 GB spill →
@@ -95,8 +119,7 @@ object PageRank {
       shares.select(col("src").as("nid")).distinct()
         .repartition(col("nid")), checkpointDir)
     val n = nodes.count() // driver scalar: graph order, not graph size
-    val teleport = (1.0 - damping) / n
-    var (pr, releasePr) = pin(
+    val (pr, releasePr) = pin(
       nodes.select(col("nid"), lit(1.0 / n).as("pr")), checkpointDir)
     // rank-side join strategy: the rank table is 2 columns × |V| rows —
     // up to ~4M nodes (≈64 MB) broadcasting it makes the share⋈rank
@@ -105,73 +128,51 @@ object PageRank {
     // Past that, a shuffle-hash hint keeps the exchange but drops the
     // per-round edge sort; on a real cluster shares would be bucketed
     // by src so only the |V|-row rank table moves (see class doc).
-    val bcastRanks = n <= 4000000L
-    for (_ <- 1 to iters) {
-      // per-edge contributions canonicalized at 9 decimals via the
-      // decimal CAST (not round(): the engines' round() disagree by one
-      // ULP on products landing at exact .5 boundaries; the double→
-      // decimal cast is the proven cross-engine pair — see Det)
-      val prSide = pr.select(col("nid").as("u"), col("pr").as("upr"))
-      val contrib = shares
-        .join(if (bcastRanks) broadcast(prSide) else prSide.hint("shuffle_hash"),
-          col("src") === col("u"))
-        .select(col("dst"),
-          (col("upr") * col("share")).cast(DecimalType(28, 9)).as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).cast(DoubleType).as("s"))
-      // NB oracle writers: the teleport is DOUBLE arithmetic — a plain
-      // `(1.0 - 0.85) / n` in DuckDB runs in decimal (its numeric
-      // literals are DECIMAL) and lands one ULP away; wrap the literals
-      // in CAST(… AS DOUBLE) (see q146OracleSql)
-      val stepped = nodes.join(contrib, col("nid") === col("dst"), "left")
-        .select(col("nid"),
-          (lit(teleport) + lit(damping) * coalesce(col("s"), lit(0.0)))
-            .cast(DecimalType(20, 9)).cast(DoubleType).as("pr"))
-      val (p, r) = pin(stepped, checkpointDir)
-      releasePr()
-      pr = p; releasePr = r
-    }
-    releaseShares()
-    releaseNodes()
-    pr
+    Prep(shares, nodes, pr, (1.0 - damping) / n, n <= 4000000L,
+      releaseShares, releaseNodes, releasePr)
   }
 
-  /** Dataset-LEVEL pin (vs [[Dedup]]'s `df.rdd` pin): the checkpoint
-    * stores compact UnsafeRows instead of boxed external Rows (the
-    * row-pin held the 40M-row share table as ~4 GB of objects — most
-    * of the heap, which is what pushed the per-round aggregation to
-    * spill), and the resulting LogicalRDD PRESERVES output
+  /** One damped round over the pinned frames: the per-round plan the
+    * 32 s measurement rests on — broadcast rank join over the pinned
+    * dst-aligned share blocks, COMPLETE map-side combine, one
+    * |V|-row exchange, co-partitioned left join back onto the nodes.
+    */
+  private[graft] def step(prep: Prep, pr: DataFrame,
+      damping: Double): DataFrame = {
+    // per-edge contributions canonicalized at 9 decimals via the
+    // decimal CAST (not round(): the engines' round() disagree by one
+    // ULP on products landing at exact .5 boundaries; the double→
+    // decimal cast is the proven cross-engine pair — see Det)
+    val prSide = pr.select(col("nid").as("u"), col("pr").as("upr"))
+    val contrib = prep.shares
+      .join(if (prep.bcastRanks) broadcast(prSide) else prSide.hint("shuffle_hash"),
+        col("src") === col("u"))
+      .select(col("dst"),
+        (col("upr") * col("share")).cast(DecimalType(28, 9)).as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).cast(DoubleType).as("s"))
+    // NB oracle writers: the teleport is DOUBLE arithmetic — a plain
+    // `(1.0 - 0.85) / n` in DuckDB runs in decimal (its numeric
+    // literals are DECIMAL) and lands one ULP away; wrap the literals
+    // in CAST(… AS DOUBLE) (see q146OracleSql)
+    prep.nodes.join(contrib, col("nid") === col("dst"), "left")
+      .select(col("nid"),
+        (lit(prep.teleport) + lit(damping) * coalesce(col("s"), lit(0.0)))
+          .cast(DecimalType(20, 9)).cast(DoubleType).as("pr"))
+  }
+
+  /** Dataset-LEVEL pin, shared with [[Dedup]] via [[Pin]]: the
+    * checkpoint stores compact UnsafeRows instead of boxed external
+    * Rows (the row-pin held the 40M-row share table as ~4 GB of objects
+    * — most of the heap, which is what pushed the per-round aggregation
+    * to spill), and the resulting LogicalRDD PRESERVES output
     * partitioning, which the whole per-round exchange-elision scheme
-    * above rests on. Returns the pinned frame and its release thunk.
+    * above rests on. On the reliable path [[Pin]] persists before the
+    * materializing action so `RDD.doCheckpoint`'s file-writing pass
+    * reads cache instead of replaying the plan. Returns the pinned
+    * frame and its release thunk.
     */
   private def pin(df: DataFrame,
-      checkpointDir: Option[String] = None): (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.GraftSqlBridge
-    val pinned = checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        // Reliable checkpointing computes the RDD twice: once for the eager
-        // count, then again inside RDD.doCheckpoint to write the files.
-        // Persist first so the second pass reads cached blocks instead of
-        // replaying the whole plan; the cache is dropped as soon as the
-        // files are on disk (doCheckpoint runs inside the count job, so
-        // checkpoint() returning means the files are written).
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try df.checkpoint(eager = true)
-        finally df.unpersist(blocking = false)
-      case None => df.localCheckpoint(eager = true)
-    }
-    val rdd = GraftSqlBridge.checkpointedRdd(pinned)
-    val release = () => {
-      rdd.unpersist(blocking = false)
-      rdd.getCheckpointFile.foreach { f =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
-        } catch { case _: Throwable => () }
-      }
-    }
-    (pinned, release)
-  }
+      checkpointDir: Option[String] = None): (DataFrame, () => Unit) =
+    Pin.pin(df, checkpointDir)
 }

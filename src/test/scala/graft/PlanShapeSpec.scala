@@ -530,4 +530,86 @@ class PlanShapeSpec extends AnyFunSuite {
       s"neither the normalizers nor the best-pair cut may window over " +
         s"all scored pairs:\n$p")
   }
+
+  test("q152: edit-distance near-dup — fused verify generator, cartesian-free") {
+    val p = planOf("q152_edit_distance_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must stay the banding equi-join:\n$p")
+    assert(p.contains("verified_edit_pairs"),
+      s"bucket-local fused Myers verify generator missing:\n$p")
+  }
+
+  test("q153: funnel steps are conditional-min aggregates — no event " +
+      "collection, no window over the corpus") {
+    val p = planOf("q153_funnel_steps")
+    assert(p.contains("partial_min"),
+      s"step timestamps must partial-aggregate (min) map-side:\n$p")
+    assert(!p.contains("collect_list"),
+      s"the funnel must never buffer per-user event lists:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window pass over the raw events:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the step-fold must not cross-join:\n$p")
+  }
+
+  test("q154: retention — (user,week) activity dedups map-side; rollup " +
+      "partial-aggregates; no windows, no collection") {
+    val p = planOf("q154_retention_cohorts")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"cohort/rollup aggregates must have a partial phase:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("windowspecdefinition"),
+      s"retention is pure aggregation — no buffers, no windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q156: session paths — ONE user-keyed exchange feeds both window " +
+      "passes; top-20 is TakeOrdered, not a global sort") {
+    val p = planOf("q156_session_paths")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(userExchanges == 1,
+      s"both window passes and the session agg must reuse one user_id " +
+        s"exchange (got $userExchanges):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 paths must be TakeOrdered, never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q146 round plan: rank broadcast over pinned dst-aligned shares, " +
+      "complete map-side combine, one post-combine exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e0 = (1L to 400L).map(i => (i % 50, (i * 7) % 50, i % 3 + 1))
+      .toDF("src", "dst", "w").filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(max("w").as("w"))
+    val prep = graft.operators.PageRank.prepare(e0, 0.85, None)
+    try {
+      val p = graft.operators.PageRank.step(prep, prep.pr, 0.85)
+        .queryExecution.executedPlan.toString
+      // rank side rides a broadcast join over the pinned share blocks —
+      // the |E|-row side must never shuffle or sort inside a round
+      assert(p.contains("BroadcastHashJoin"),
+        s"rank side must broadcast at test scale:\n$p")
+      assert(!p.contains("Sort [src#"),
+        s"the edge side must never sort inside a round:\n$p")
+      // contributions partial-aggregate (complete map-side combine over
+      // the dst-aligned blocks) BELOW the dst exchange, so the exchange
+      // carries post-combine |V|-scale rows, never |E| contributions
+      assert(p.contains("partial_sum"),
+        s"per-edge contributions must partial-aggregate map-side:\n$p")
+      val dstExchange = p.indexOf("Exchange hashpartitioning(dst")
+      assert(dstExchange >= 0 && p.indexOf("partial_sum") > dstExchange,
+        s"the dst exchange must sit ABOVE the partial aggregate:\n$p")
+      // every exchange in the round is on a skinny |V|-scale table
+      // (nid or dst) — the |E|-row share table never re-shuffles
+      val keys = "Exchange hashpartitioning\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(keys.subsetOf(Set("nid", "dst")),
+        s"only |V|-scale tables may exchange, got $keys:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally {
+      prep.releaseShares(); prep.releaseNodes(); prep.releasePr()
+    }
+  }
 }
