@@ -577,6 +577,51 @@ object Stress {
           s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
       }
 
+      // STRESS_EDITREP=1: q157's rep-verify at clone-cardinality scale —
+      // the claim under test: kernel calls per bucket are b−1 (not
+      // ~b²/2), so the verify stage stays LINEAR in corpus size on the
+      // clique corpus where the pairwise form (q152) is quadratic by
+      // construction. Prints the exact call census derived from the
+      // band-bucket sizes (rep = Σ(n−1), pairwise upper bound =
+      // Σ n(n−1)/2 over multi-member buckets) alongside the measured
+      // run, so "sub-quadratic" is a number, not an adjective.
+      if (sys.env.get("STRESS_EDITREP").contains("1")) {
+        val runs = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          queries.PipelineQueries.editDistanceNearDupRep(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        val (warmS, shW, sp) = runs.last
+        val census = {
+          val sig = graft.functions.TextFunctions
+            .minhashSigNative(col("text"), 8)
+          val bk = (0 until 4).map(b => struct(lit(b).as("band"),
+            concat_ws("_", element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("bkey")))
+          queries.Tables(spark, dir, "documents")
+            .filter(size(graft.operators.TextOps.tokens(col("text"))) >= 3)
+            .select(sig.as("sig"))
+            .select(explode(array(bk: _*)).as("s"))
+            .select(col("s.band").as("band"), col("s.bkey").as("bkey"))
+            .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+            .filter(col("n") >= 2)
+            .agg(sum(col("n") - 1).as("rep_calls"),
+              sum((col("n") * (col("n") - 1)).cast("double") / 2)
+                .cast("long").as("pairwise_calls"),
+              max(col("n")).as("max_bucket")).head()
+        }
+        val rows = if (tag == "base") nBase else nScaled
+        println(s"""STRESS_EDITREP {"corpus":"$tag","docs":$rows,""" +
+          s""""rep_calls":${census.getLong(0)},""" +
+          s""""pairwise_calls":${census.getLong(1)},""" +
+          s""""max_bucket":${census.getLong(2)},""" +
+          s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
+          s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp}""")
+      }
+
       // STRESS_DIVERSITY=1: q151's exact-vs-HLL dial. The claim under
       // test: the approx form collapses the (source, gram) dedup
       // exchange to one mergeable sketch per (source, task) — shuffle

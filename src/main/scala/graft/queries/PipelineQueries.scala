@@ -3835,6 +3835,20 @@ object PipelineQueries {
     Q("q152_edit_distance_neardup", (s, d) => editDistanceNearDup(s, d),
       Some(q152OracleSql), bench = true),
 
+    // ---- q157: q152's verify at SUB-QUADRATIC cost — each bucket
+    // member verifies against the bucket-minimum REPRESENTATIVE only
+    // (b−1 Myers calls per bucket instead of ~b²/2), and connected
+    // components absorb transitivity downstream. The scale dial for
+    // extreme clone cardinality: a 1000-member clique bucket costs 999
+    // kernel calls where the pairwise form pays ~500k. Every emitted
+    // edge is still an exact verified pair (precision 1), so rep
+    // components refine the pairwise form's — equal on clone cliques
+    // (spec-locked). Scale shape: texts cross the wire once per band
+    // into their buckets (fused generator, no pair-keyed exchange, no
+    // hot fallback needed — that's the point). ----
+    Q("q157_edit_neardup_rep", (s, d) => editDistanceNearDupRep(s, d),
+      Some(q157OracleSql), bench = true),
+
     // ---- q155: Unicode-canonical exact dedup — q40's exact dedup run
     // AFTER canonicalization: NFC normalization (native expression —
     // composed U+00E9 and decomposed e+U+0301 are the same document),
@@ -4474,6 +4488,86 @@ object PipelineQueries {
           .cast(DecimalType(18, 6)).cast(DoubleType).as("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q157's rep-verified edges: [[editDistanceNearDup]]'s sub-quadratic
+    * scale dial — within each (band, bkey) bucket every member verifies
+    * against the bucket REPRESENTATIVE (minimum doc_id) only, b−1 Myers
+    * calls per bucket instead of ~b²/2
+    * ([[graft.functions.VerifiedEditRep]]). The keep-list downstream
+    * needs CONNECTIVITY, not the full pair set: connected components
+    * absorb transitivity, and every emitted edge is still an exact
+    * verified pair, so rep components always REFINE the pairwise form's
+    * (spec-locked, with equality on planted clone cliques — the regime
+    * that makes buckets large). No hot-bucket fallback: a 10⁶-member
+    * clone bucket costs 10⁶−1 kernel calls here, which is the point.
+    * The pair texts still cross the wire once per band (the fused
+    * bucket-local discipline); the final `distinct` reconciles the same
+    * (rep, member) edge verified in several shared bands (identical
+    * rows — dist is deterministic).
+    */
+  private[graft] def editDistanceNearDupRep(s: SparkSession, d: String,
+      distFrac: Double = 0.2,
+      pruneBroadcastLimit: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val nBands = 4
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
+    val bkeysC = array((0 until nBands).map(b => concat_ws("_",
+      element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
+    val base = docs(s, d)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), sig.as("sig"), col("text"))
+      .select(col("doc_id"), bkeysC.as("bkeys"), col("text"))
+    val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
+    val expl = base.select(col("doc_id"), col("text"), col("bkeys"), bandIdx)
+      .select(col("doc_id"), col("text"), col("band"),
+        element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val light = base.select(col("doc_id"), col("bkeys"), bandIdx)
+      .select(col("band"), element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val sizes = light.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+    val multi = sizes.filter(col("n") >= 2).select(col("band"), col("bkey"))
+    val nMulti = Models.cached(s"editrepprobe:$d") {
+      java.lang.Long.valueOf(
+        sizes.filter(col("n") >= 2).agg(count(lit(1))).head().getLong(0))
+    }
+    val pruned = if (nMulti <= pruneBroadcastLimit)
+      expl.join(broadcast(multi), Seq("band", "bkey"), "left_semi")
+    else expl
+    pruned.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("text"))).as("ms"))
+      .select(graft.functions.SetFunctions
+        .verifiedEditRep(col("ms"), distFrac))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),
+        (lit(1.0) - col("edit_dist").cast(DoubleType) /
+            col("max_len").cast(DoubleType))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def q157OracleSql: String = s"""
+      WITH ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      rep AS (SELECT band, bkey, min(doc_id) AS rep_id FROM bands
+              GROUP BY band, bkey),
+      cand AS (SELECT DISTINCT r.rep_id AS doc_a, b.doc_id AS doc_b
+        FROM bands b JOIN rep r ON b.band = r.band AND b.bkey = r.bkey
+        WHERE b.doc_id > r.rep_id),
+      v AS (SELECT c.doc_a, c.doc_b,
+          CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+          CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+        FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+          JOIN documents tb ON tb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, edit_dist, max_len,
+        CAST(CAST(CAST(CAST(1 AS DOUBLE)
+          - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(18, 6)) AS DOUBLE) AS edit_sim
+      FROM v
+      WHERE CAST(edit_dist AS DOUBLE) <= CAST(0.2 AS DOUBLE) * CAST(max_len AS DOUBLE)
+      ORDER BY doc_a, doc_b"""
 
   private def q152OracleSql: String = s"""
       WITH ${duckSigCte(8)},

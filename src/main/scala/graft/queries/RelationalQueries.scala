@@ -854,7 +854,7 @@ object RelationalQueries {
       SELECT users_view, users_click, users_purchase,
         ${duckRat6("users_click", "users_view")} AS click_rate,
         ${duckRat6("users_purchase", "users_click")} AS purchase_rate
-      FROM c""")),
+      FROM c"""), bench = true),
 
     // ---- q154: retention cohorts — users cohorted by the Monday-start
     // week of their first signup; active at week-offset w when ANY
@@ -894,7 +894,7 @@ object RelationalQueries {
         CAST(week_offset AS INT) AS week_offset, n_active, cohort_size,
         ${duckRat6("n_active", "cohort_size")} AS retention
       FROM r JOIN sizes ON r.cw = sizes.cw
-      ORDER BY cohort_week, week_offset""")),
+      ORDER BY cohort_week, week_offset"""), bench = true),
 
     // ---- q156: session path analysis — gap-based sessionization
     // (30 min) then the ORDERED event-type sequence per session,
@@ -939,7 +939,7 @@ object RelationalQueries {
               string_agg(event_type, '>' ORDER BY tu, event_id) AS path
             FROM s GROUP BY user_id, sess)
       SELECT path, count(*) AS n_sessions FROM p
-      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""))
+      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""), bench = true)
   )
 
   /** Null-guarded exact-ratio surfaced as double via the decimal hop

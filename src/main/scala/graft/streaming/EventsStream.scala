@@ -12,6 +12,12 @@ final case class UserTotals(n: Long, sum: Double)
 final case class FunnelState(t1: Long, clicks: List[Long],
     purchases: List[Long], done: Boolean)
 
+/** [[EventsStream.retentionActivations]] keyed state: the cohort-week
+  * anchor (micros; Long.MinValue = no signup yet) and the bitmask of
+  * week offsets already emitted — two longs per user, by construction.
+  */
+final case class RetentionState(cohort: Long, seen: Long)
+
 /** Structured Streaming surface for the `events` table (SURVEY §2.7 [EXT]).
   *
   * Transforms are written as plain `DataFrame => DataFrame` so the *same*
@@ -296,6 +302,101 @@ object EventsStream {
       }
       .toDF("user_id", "t1", "t2", "t3")
   }
+
+  /** Streaming twin of q154's retention cohorts: emits one
+    * (user_id, cohort_week, week_offset) row the FIRST time a user is
+    * active at each week offset from their cohort anchor (the week of
+    * their first signup). The batch rollup (n_active per cohort/offset)
+    * is then a stateless aggregation over these exactly-once rows —
+    * the ST16 parity spec folds the drained sink and compares to the
+    * batch query.
+    *
+    * State per user: the cohort anchor (one long) + a BITMASK of
+    * already-emitted offsets (one long) — bounded by construction at
+    * `horizonWeeks ≤ 63` weeks, the keyed-state analogue of q154's
+    * bounded (cohort, offset) grid; offsets past the horizon are
+    * dropped (a retention report has a horizon; the mask IS that
+    * horizon). No pre-anchor buffering is needed under in-order
+    * replay: an activity event earlier than the first signup has
+    * week ≤ cohort week, and the only week that could ever count
+    * (== cohort week, offset 0) is emitted by the signup itself.
+    * Weeks are Spark's own `date_trunc("week", ts)` (Monday 00:00,
+    * UTC session) computed in the PLAN, so stream and batch truncate
+    * identically by construction; offsets are exact integer division
+    * of the micros difference (UTC weeks are DST-free).
+    */
+  def retentionActivations(horizonWeeks: Int = 63, ttlMs: Long = 0L)(
+      events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    require(horizonWeeks >= 1 && horizonWeeks <= 63,
+      s"horizonWeeks must be in [1, 63] (bitmask state), got $horizonWeeks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weekMicros = 604800000000L
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("wu"),
+        unix_micros(col("ts")).as("tu"))
+      .as[(Long, String, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, (Long, Long, Int)](
+        OutputMode.Append, timeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              RetentionState(Long.MinValue, 0L))
+            var out = List.empty[(Long, Long, Int)]
+            // ts-sorted within the trigger: the first signup by event
+            // time anchors, independent of partition iteration order
+            rows.toArray.sortBy(_._4).foreach { case (_, tp, wu, _) =>
+              if (s.cohort == Long.MinValue && tp == "signup")
+                s = s.copy(cohort = wu)
+              if (s.cohort != Long.MinValue && wu >= s.cohort) {
+                val off = ((wu - s.cohort) / weekMicros).toInt
+                if (off <= horizonWeeks && (s.seen & (1L << off)) == 0L) {
+                  s = s.copy(seen = s.seen | (1L << off))
+                  out ::= ((user, s.cohort, off))
+                }
+              }
+            }
+            state.update(s)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.reverseIterator
+          }
+      }
+      .toDF("user_id", "cohort_week", "week_offset")
+  }
+
+  /** Streaming twin of q156's session paths: gap-based session windows
+    * (Spark's `session_window`, 30-minute gap) with the ORDERED
+    * event-type sequence per session, emitted in append mode as the
+    * watermark closes each session. Works on batch frames too (the
+    * watermark is a no-op there), so stream-batch parity (ST17) is by
+    * construction up to the documented watermark tail: on a finite
+    * stream the final watermark is max(ts) − 30 min, so sessions not
+    * yet closed by it never flush — the ST8-leftOuter law. State per
+    * (user, session) is bounded by the gap (the session-window store
+    * law q55/q86 already lock); the per-session collect is bounded by
+    * session length. Ties order by (tu, event_id) exactly as q156.
+    */
+  def sessionPaths(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(concat_ws(">", transform(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("tu"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sstart"),
+        unix_micros(col("session_window.end")).as("send"),
+        col("path"))
 
   /** Idempotent `foreachBatch` parquet sink: each micro-batch OVERWRITES
     * its own epoch directory, so a replayed batch (failure between sink

@@ -539,6 +539,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucket-local fused Myers verify generator missing:\n$p")
   }
 
+  test("q157: rep verify — fused VerifiedEditRep generator, no pair join, " +
+      "cartesian-free") {
+    val p = planOf("q157_edit_neardup_rep")
+    assert(p.contains("verified_edit_rep"),
+      s"bucket-representative verify generator missing:\n$p")
+    assert(!p.contains("verified_edit_pairs"),
+      s"the rep form must not fall back to pairwise expansion:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must stay the banding equi-join:\n$p")
+  }
+
   test("q153: funnel steps are conditional-min aggregates — no event " +
       "collection, no window over the corpus") {
     val p = planOf("q153_funnel_steps")

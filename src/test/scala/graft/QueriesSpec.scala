@@ -899,6 +899,64 @@ class QueriesSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("q157 rep verify: components EQUAL the pairwise form's on planted " +
+      "clone cliques; edges are a subset everywhere (precision 1)") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // planted cliques: 6 clusters × 8 members, each member a 1-char-typo
+    // variant of its cluster base (well inside the 0.2 gate and sharing
+    // bands), plus unrelated singletons
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 6).map(c =>
+      (1 to 40).map(j => s"tok${c}_$j").mkString(" "))
+    val clones = for (c <- 0 until 6; m <- 0 until 8) yield {
+      val t = if (m == 0) bases(c) else {
+        val chars = bases(c).toCharArray
+        chars(rnd.nextInt(chars.length)) = ('a' + rnd.nextInt(26)).toChar
+        new String(chars)
+      }
+      ((c * 8 + m).toLong, t, "en", "s", 0L)
+    }
+    val uniques = (0 until 10).map(i =>
+      (1000L + i, (1 to 40).map(j => s"u${i}_$j").mkString(" "), "en", "s", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("q157").toString
+    (clones ++ uniques).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+
+    def components(edges: Array[(Long, Long)]): Map[Long, Long] = {
+      // driver-side union-find over the tiny spec corpus
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (clones ++ uniques).map(_._1).map(id => id -> find(id)).toMap
+    }
+    val pairEdges = PipelineQueries.editDistanceNearDup(spark, tmp)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val repEdges = PipelineQueries.editDistanceNearDupRep(spark, tmp)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every rep edge is an exact verified pair → subset of the pairwise set
+    assert(repEdges.toSet.subsetOf(pairEdges.toSet),
+      s"rep emitted a non-pairwise edge: ${repEdges.toSet -- pairEdges.toSet}")
+    // kernel-call accounting: the rep form pays b−1 per bucket — on the
+    // 8-member cliques that is ≤ 7·4 edges per clique vs 28·4 pairs
+    assert(repEdges.length < pairEdges.length)
+    // connectivity recall on the clone-clique regime: identical components
+    val cp = components(pairEdges)
+    val cr = components(repEdges)
+    assert(cr == cp, s"rep components diverged: " +
+      s"${cp.toSeq.diff(cr.toSeq).take(5)}")
+    // and the planting worked: 6 cliques + 10 singletons = 16 components
+    assert(cp.values.toSet.size == 16, s"got ${cp.values.toSet.size}")
+  }
+
   test("q155 merges NFC/case/whitespace variants that raw exact dedup cannot see") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("q155").toString

@@ -232,6 +232,67 @@ class StreamingSpec extends AnyFunSuite {
       "out-of-order view was not counted")
   }
 
+  test("streaming retention activations fold to the batch cohort rollup (ST16)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.retentionActivations(), "retention_out",
+      outputMode = "append")
+    // exactly-once per (user, offset)
+    val rows = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == rows.toSet.size, "duplicate activation emitted")
+    // fold the activations to (cohort_week, offset) counts == batch q154
+    val got = rows.groupBy(t => (t._2, t._3))
+      .map { case (k, v) => (k, v.length.toLong) }
+    val ev = batchEvents
+    val u = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(unix_micros(min(date_trunc("week", col("ts")))).as("cw"))
+    val act = ev.select(col("user_id"),
+      unix_micros(date_trunc("week", col("ts"))).as("w")).distinct()
+    val want = act.join(u, "user_id").filter(col("w") >= col("cw"))
+      .select(col("cw"),
+        ((col("w") - col("cw")) / lit(604800000000L)).cast("int").as("off"))
+      .groupBy(col("cw"), col("off")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == want, s"stream=${got.size} batch=${want.size} keys; " +
+      s"diff ${(got.toSet diff want.toSet).take(3)} / " +
+      s"${(want.toSet diff got.toSet).take(3)}")
+    assert(want.nonEmpty)
+  }
+
+  test("ST16 state law: horizon caps the bitmask — offsets past it never emit") {
+    import org.apache.spark.sql.functions._
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.retentionActivations(horizonWeeks = 1), "retention_h1_out",
+      outputMode = "append")
+    val offs = stream.collect().map(_.getInt(2))
+    assert(offs.forall(_ <= 1), s"offset past horizon: ${offs.max}")
+    assert(offs.nonEmpty)
+  }
+
+  test("streaming session paths == batch up to the watermark tail (ST17)") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.sessionPaths, "sesspath_out", outputMode = "append")
+    val batch = EventsStream.sessionPaths(batchEvents)
+    val s = sortedRows(stream).toSet
+    val b = sortedRows(batch).toSet
+    // emitted sessions must be EXACTLY right (subset with equal rows) …
+    assert(s.subsetOf(b), s"stream emitted a non-batch session: " +
+      s"${(s diff b).take(3)}")
+    // … and complete up to the final watermark: every batch session that
+    // closed before max(ts) − 30 min must have flushed
+    val cutoff = batchEvents
+      .agg(org.apache.spark.sql.functions.unix_micros(fmax(col("ts"))))
+      .head().getLong(0) - 1800000000L
+    val mustFlush = sortedRows(batch.filter(col("send") <= cutoff)).toSet
+    assert(mustFlush.subsetOf(s), s"closed session not flushed: " +
+      s"${(mustFlush diff s).take(3)}")
+    assert(s.nonEmpty && (b diff s).size < b.size,
+      "vacuous: nothing emitted before the tail")
+  }
+
   test("stream-stream interval join: stream == batch (ST8)") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.intervalJoin(_), "ssjoin_out", outputMode = "append")
