@@ -89,7 +89,7 @@ object PlanAudit {
     "q150_hybrid_rrf" -> "hybrid RRF retrieval: BM25 and dense rankings both end in bounded TopKScored partials, so the fusion full-outer join and window re-rank touch ≤2·k·|Q| rows regardless of corpus size; the dense pass is one map-side corpus scan against the |Q|-row broadcast anchor table",
     "q151_ngram_diversity" -> "per-source diversity profile: explode → partial-aggregated counts; the exact DISTINCT shuffles map-side-deduped (source, gram) pairs (approx_count_distinct is the one-pass 100 TB dial); the source-level join is tiny",
     "q152_edit_distance_neardup" -> "edit-distance near-dup, bucket-local fused: each text crosses the wire once per band (never per pair); VerifiedEditPairs expands/band-skips/length-gates/verifies in place with the bit-parallel Myers kernel, per-member code points converted once; singleton buckets pruned payload-free; hot buckets (>4096) fall back to the pair-join form — 482 s → 2.0 s warm at 10×, spill eliminated at 100×",
-    "q157_edit_neardup_rep" -> "q152's verify at SUB-QUADRATIC cost: each bucket member verifies against the bucket-minimum representative only (VerifiedEditRep, b−1 Myers calls per bucket, never ~b²/2) and CC absorbs transitivity; no hot fallback needed — measured 1.9M vs 107.6M kernel calls at 100× (10.1 s vs 69.4 s warm), linear through 1000×/5M docs",
+    "q157_edit_neardup_rep" -> "q152's verify at SUB-QUADRATIC cost: each bucket member verifies against the bucket-minimum representative only (b−1 Myers calls per bucket, never ~b²/2) and CC absorbs transitivity. Default plan is the id-join form — ids-only banding, min-per-bucket partial agg (no text in any aggregation buffer), ≤Σ(b−1) distinct pairs before texts move, codegen'd scalar Myers verify — measured 19.3M vs 10.8e9 kernel calls at 1000×/5M docs, 75.5 s warm on the default heap, zero spill; the fused VerifiedEditRep generator stays behind fused=true (path-parity-locked)",
     "q155_canonical_dedup" -> "Unicode-canonical exact dedup: NFC+casefold+whitespace-collapse canonical key is one map-side projection (native NfcNormalize, already-normalized fast path); the dedup is one partial-aggregated groupBy — clone classes collapse map-side, same plan as q40",
     "q153_funnel_steps" -> "ordered funnel: each step a conditional-min agg (map-side partial min per user before its exchange; event-type filter pushed to the scan) joined user-keyed to the previous step's ≤1-row-per-user table (AQE broadcast while it fits); final counts fold the step tables in ONE aggregation — no per-user event collection, no scalar-subquery cross join",
     "q154_retention_cohorts" -> "retention cohorts: (user, week) activity map-side-deduped before its one exchange; cohort anchor table ≤1 row/user; the (cohort, offset) rollup partial-aggregates; week offsets are exact integer day arithmetic",

@@ -3843,9 +3843,13 @@ object PipelineQueries {
     // kernel calls where the pairwise form pays ~500k. Every emitted
     // edge is still an exact verified pair (precision 1), so rep
     // components refine the pairwise form's — equal on clone cliques
-    // (spec-locked). Scale shape: texts cross the wire once per band
-    // into their buckets (fused generator, no pair-keyed exchange, no
-    // hot fallback needed — that's the point). ----
+    // (spec-locked). Scale shape (id-join default): ids-only banding,
+    // min-per-bucket partial agg (no text in any aggregation buffer —
+    // executor memory flat at any clone cardinality), ≤Σ(b−1) distinct
+    // pairs before texts move, texts shuffle exactly twice, codegen'd
+    // scalar Myers verify; measured 75.5 s warm / zero spill at
+    // 1000×/5M docs on the default heap where pairwise is infeasible
+    // (10.8e9 DP calls). ----
     Q("q157_edit_neardup_rep", (s, d) => editDistanceNearDupRep(s, d),
       Some(q157OracleSql), bench = true),
 
@@ -4500,14 +4504,19 @@ object PipelineQueries {
     * (spec-locked, with equality on planted clone cliques — the regime
     * that makes buckets large). No hot-bucket fallback: a 10⁶-member
     * clone bucket costs 10⁶−1 kernel calls here, which is the point.
-    * The pair texts still cross the wire once per band (the fused
-    * bucket-local discipline); the final `distinct` reconciles the same
-    * (rep, member) edge verified in several shared bands (identical
-    * rows — dist is deterministic).
+    *
+    * Two plans, path-parity-locked identical: the DEFAULT id-join form
+    * (ids-only banding, min-per-bucket partial agg, cross-band distinct
+    * BEFORE texts move, texts shuffled exactly twice, codegen'd scalar
+    * Myers verify — executor memory flat at any clone cardinality) and
+    * the `fused = true` bucket-collect generator (one scan, but the
+    * per-task open-bucket text footprint is executor-memory-bound at
+    * extreme cardinality — measured OOM at 8 GB / 5M docs where the
+    * id-join ran 75.5 s with zero spill).
     */
   private[graft] def editDistanceNearDupRep(s: SparkSession, d: String,
-      distFrac: Double = 0.2,
-      pruneBroadcastLimit: Long = 1000000L): DataFrame = {
+      distFrac: Double = 0.2, pruneBroadcastLimit: Long = 1000000L,
+      fused: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val nBands = 4
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
@@ -4518,25 +4527,66 @@ object PipelineQueries {
       .select(col("doc_id"), sig.as("sig"), col("text"))
       .select(col("doc_id"), bkeysC.as("bkeys"), col("text"))
     val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
-    val expl = base.select(col("doc_id"), col("text"), col("bkeys"), bandIdx)
-      .select(col("doc_id"), col("text"), col("band"),
-        element_at(col("bkeys"), col("band") + 1).as("bkey"))
     val light = base.select(col("doc_id"), col("bkeys"), bandIdx)
-      .select(col("band"), element_at(col("bkeys"), col("band") + 1).as("bkey"))
-    val sizes = light.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
-    val multi = sizes.filter(col("n") >= 2).select(col("band"), col("bkey"))
-    val nMulti = Models.cached(s"editrepprobe:$d") {
-      java.lang.Long.valueOf(
-        sizes.filter(col("n") >= 2).agg(count(lit(1))).head().getLong(0))
+      .select(col("doc_id"), col("band"),
+        element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val verified = if (fused) {
+      // fused generator path (texts collected per bucket; the one-scan
+      // shape, kept for path parity and as the q118 streaming analogue).
+      // Its per-task cost is the OPEN-BUCKET text footprint — at 16k-
+      // member clone buckets that is executor-memory-bound, which is
+      // why the id-join path below is the default.
+      val expl = base.select(col("doc_id"), col("text"), col("bkeys"), bandIdx)
+        .select(col("doc_id"), col("text"), col("band"),
+          element_at(col("bkeys"), col("band") + 1).as("bkey"))
+      val sizes = light.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      val multi = sizes.filter(col("n") >= 2).select(col("band"), col("bkey"))
+      val nMulti = Models.cached(s"editrepprobe:$d") {
+        java.lang.Long.valueOf(
+          sizes.filter(col("n") >= 2).agg(count(lit(1))).head().getLong(0))
+      }
+      val pruned = if (nMulti <= pruneBroadcastLimit)
+        expl.join(broadcast(multi), Seq("band", "bkey"), "left_semi")
+      else expl
+      pruned.groupBy(col("band"), col("bkey"))
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("ms"))
+        .select(graft.functions.SetFunctions
+          .verifiedEditRep(col("ms"), distFrac))
+        .distinct()
+    } else {
+      // DEFAULT: id-join form. Only (doc_id, band, bkey) IDS flow
+      // through the banding — the rep per bucket is a partial-
+      // aggregated min over ids (no text ever sits in an aggregation
+      // buffer, so executor memory is flat at any clone cardinality),
+      // the cross-band distinct collapses the pair set to ≤ Σ(b−1)
+      // unique (rep, member) pairs BEFORE any text moves, and the
+      // corpus texts shuffle exactly twice (keyed by doc_a / doc_b —
+      // never once per band). The verify is the codegen'd scalar Myers
+      // kernel with the same length gate the generator applies.
+      val reps = light.groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("rep_id"))
+      val pairs = light.join(reps, Seq("band", "bkey"))
+        .filter(col("doc_id") > col("rep_id"))
+        .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+        .distinct()
+      val t = base.select(col("doc_id"), col("text"))
+      pairs
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        // length gate first: dist ≥ |len_a − len_b|, so the DP never
+        // runs on pairs the gap alone rejects (mirrors the generator)
+        .filter(abs(length(col("ta")) - length(col("tb")))
+          <= lit(distFrac) * greatest(length(col("ta")), length(col("tb"))))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.EditDistance
+            .editDistanceNative(col("ta"), col("tb"))
+            .cast("long").as("edit_dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long")
+            .as("max_len"))
+        .filter(col("edit_dist").cast(DoubleType) <=
+          lit(distFrac) * col("max_len").cast(DoubleType))
     }
-    val pruned = if (nMulti <= pruneBroadcastLimit)
-      expl.join(broadcast(multi), Seq("band", "bkey"), "left_semi")
-    else expl
-    pruned.groupBy(col("band"), col("bkey"))
-      .agg(collect_list(struct(col("doc_id"), col("text"))).as("ms"))
-      .select(graft.functions.SetFunctions
-        .verifiedEditRep(col("ms"), distFrac))
-      .distinct()
+    verified
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),
         (lit(1.0) - col("edit_dist").cast(DoubleType) /
             col("max_len").cast(DoubleType))

@@ -539,11 +539,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucket-local fused Myers verify generator missing:\n$p")
   }
 
-  test("q157: rep verify — fused VerifiedEditRep generator, no pair join, " +
-      "cartesian-free") {
+  test("q157: rep verify — id-only banding (no text in any aggregation " +
+      "buffer), codegen'd scalar Myers verify, cartesian-free") {
     val p = planOf("q157_edit_neardup_rep")
-    assert(p.contains("verified_edit_rep"),
-      s"bucket-representative verify generator missing:\n$p")
+    assert(p.contains("edit_distance_native"),
+      s"scalar Myers verify missing:\n$p")
+    assert(!p.contains("collect_list"),
+      s"the id-join form must never buffer bucket texts:\n$p")
     assert(!p.contains("verified_edit_pairs"),
       s"the rep form must not fall back to pairwise expansion:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
