@@ -60,6 +60,42 @@ case class EditDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[EditDistance]] with a per-row early-abandon cap: exact distance
+  * when ≤ `maxDist`, −1 once `score − remaining > maxDist` proves no
+  * suffix can recover (see [[EditDistance.distanceBounded]]). Callers
+  * filter on `>= 0` — the −1 is a verdict, not a distance.
+  */
+case class EditDistanceBounded(left: Expression, right: Expression,
+    maxDist: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = maxDist
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "edit_distance_bounded"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType &&
+        maxDist.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string, int), got " +
+        s"(${left.dataType}, ${right.dataType}, ${maxDist.dataType})")
+
+  override def nullSafeEval(l: Any, r: Any, k: Any): Any =
+    EditDistance.computeBounded(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, k) => s"graft.functions.EditDistance.computeBounded($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): EditDistanceBounded =
+    copy(left = newFirst, right = newSecond, maxDist = newThird)
+}
+
 object EditDistance {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -67,6 +103,24 @@ object EditDistance {
   def editDistanceNative(l: Column, r: Column): Column =
     GraftSqlBridge.column(
       EditDistance(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
+
+  /** Column API for [[EditDistanceBounded]]: exact distance when
+    * ≤ `maxDist` (per-row int column), −1 past it — the early-abandon
+    * dial for the SCALAR verify paths (q152 hot fallback, q157 id-join):
+    * a non-matching long pair abandons after ~maxDist text columns.
+    */
+  def editDistanceBoundedNative(l: Column, r: Column, maxDist: Column): Column =
+    GraftSqlBridge.column(EditDistanceBounded(GraftSqlBridge.expression(l),
+      GraftSqlBridge.expression(r), GraftSqlBridge.expression(maxDist)))
+
+  /** [[compute]] with the early-abandon cap: exact distance when
+    * ≤ `maxDist`, −1 otherwise (incl. `maxDist < 0`).
+    */
+  def computeBounded(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
+    if (maxDist < 0) return -1
+    if (a.equals(b)) return 0
+    distanceBounded(toCodePoints(a), toCodePoints(b), maxDist)
+  }
 
   /** Code points of `s` (NOT UTF-16 units — a supplementary character is
     * one edit position, matching the builtin's UTF-8 walk). Exposed so

@@ -4476,13 +4476,14 @@ object PipelineQueries {
         .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          graft.functions.EditDistance
-            .editDistanceNative(col("ta"), col("tb"))
+          graft.functions.EditDistance.editDistanceBoundedNative(
+              col("ta"), col("tb"),
+              floor(lit(distFrac) * greatest(length(col("ta")),
+                length(col("tb")))).cast("int"))
             .cast("long").as("edit_dist"),
           greatest(length(col("ta")), length(col("tb"))).cast("long")
             .as("max_len"))
-        .filter(col("edit_dist").cast(DoubleType) <=
-          lit(distFrac) * col("max_len").cast(DoubleType))
+        .filter(col("edit_dist") >= 0)
       fused.union(hotPairs).distinct()
     }
     verified
@@ -4577,14 +4578,18 @@ object PipelineQueries {
         // runs on pairs the gap alone rejects (mirrors the generator)
         .filter(abs(length(col("ta")) - length(col("tb")))
           <= lit(distFrac) * greatest(length(col("ta")), length(col("tb"))))
+        // bounded kernel: exact when kept, abandons a non-matching long
+        // pair after ~cap columns (dist integer, so dist ≤ frac·len ⟺
+        // dist ≤ ⌊frac·len⌋ — the generator's identical cap)
         .select(col("doc_a"), col("doc_b"),
-          graft.functions.EditDistance
-            .editDistanceNative(col("ta"), col("tb"))
+          graft.functions.EditDistance.editDistanceBoundedNative(
+              col("ta"), col("tb"),
+              floor(lit(distFrac) * greatest(length(col("ta")),
+                length(col("tb")))).cast("int"))
             .cast("long").as("edit_dist"),
           greatest(length(col("ta")), length(col("tb"))).cast("long")
             .as("max_len"))
-        .filter(col("edit_dist").cast(DoubleType) <=
-          lit(distFrac) * col("max_len").cast(DoubleType))
+        .filter(col("edit_dist") >= 0)
     }
     verified
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),

@@ -103,6 +103,38 @@ class EditDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("edit_distance_bounded expression == (full ≤ cap ? full : -1) under codegen") {
+    val rnd = new scala.util.Random(431)
+    val pairs = (1 to 200).map { _ =>
+      val l = randStr(rnd, rnd.nextInt(160), "abcde fg")
+      val r = if (rnd.nextBoolean()) {
+        val sb = new StringBuilder(l)
+        (0 until rnd.nextInt(6)).foreach { _ =>
+          if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length),
+            ('a' + rnd.nextInt(26)).toChar)
+        }
+        sb.toString
+      } else randStr(rnd, rnd.nextInt(160), "abcde fg")
+      (l, r, rnd.nextInt(40))
+    } ++ Seq(("", "", 0), ("", "abc", 2), ("abc", "", 3),
+      ("a😀b", "ab", 0), ("same", "same", 0))
+    val df = pairs.toDF("l", "r", "cap")
+    val bad = df.select(
+        EditDistance.editDistanceBoundedNative(col("l"), col("r"), col("cap"))
+          .as("bounded"),
+        EditDistance.editDistanceNative(col("l"), col("r")).as("full"),
+        col("cap"))
+      .filter(col("bounded") =!= when(col("full") <= col("cap"), col("full"))
+        .otherwise(lit(-1)))
+      .count()
+    assert(bad == 0)
+    // negative cap is a verdict, not an error
+    val neg = Seq(("abc", "abc", -1)).toDF("l", "r", "cap").select(
+      EditDistance.editDistanceBoundedNative(col("l"), col("r"), col("cap")))
+      .head().getInt(0)
+    assert(neg == -1)
+  }
+
   test("exact-equality fast path and null propagation") {
     val df = Seq((Some("abc"), Some("abc")), (None, Some("x")),
       (Some("x"), None), (Some(""), Some(""))).toDF("l", "r")
