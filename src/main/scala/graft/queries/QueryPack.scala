@@ -23,8 +23,18 @@ object Tables {
       // downstream window/asof/date_format sees one type (sessions run
       // UTC, so the NTZ cast is wall-time-preserving and matches the
       // DuckDB oracle, which reads the same file as a naive timestamp).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      // The legacy nanosAsLong conf is session-global, so it is set ONLY
+      // when the footer actually carries TIMESTAMP(NANOS) (the read
+      // throws without it) — a micros-era file never mutates session
+      // state out from under a concurrent tenant.
+      val raw =
+        try s.read.parquet(s"$dir/events.parquet")
+        catch {
+          case _: org.apache.spark.sql.AnalysisException
+               | _: org.apache.spark.SparkException =>
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            s.read.parquet(s"$dir/events.parquet")
+        }
       raw.withColumn("ts", normalizedTs(raw.schema))
     } else s.read.parquet(s"$dir/$name.parquet")
 

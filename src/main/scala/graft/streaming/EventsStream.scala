@@ -39,15 +39,23 @@ object EventsStream {
     */
   def readStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // probe can fail when the stream is defined BEFORE any file has
-    // arrived (empty dir / no parquet footers yet — normal for a file
-    // stream watching a landing directory): fall back to the declared
-    // nanos-long layout, the generator's historical default, instead of
-    // throwing at stream-definition time
+    // probe can fail two ways: (a) the dir is empty (no parquet footers
+    // yet — normal for a file stream watching a landing directory) →
+    // fall back to the declared nanos-long layout, the generator's
+    // historical default; (b) the footer carries TIMESTAMP(NANOS) →
+    // set the session-global legacy conf ONLY then (the Tables
+    // discipline — a micros-era file never mutates session state) and
+    // re-probe, falling back to the declared layout if still unreadable.
     val fileSchema =
       try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => declaredSchema }
+      catch {
+        case e @ (_: org.apache.spark.sql.AnalysisException
+                | _: org.apache.spark.SparkException)
+            if String.valueOf(e.getMessage).contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(dir).schema
+        case _: org.apache.spark.sql.AnalysisException => declaredSchema
+      }
     val reader = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir)

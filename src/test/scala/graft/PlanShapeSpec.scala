@@ -542,8 +542,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q157: rep verify — id-only banding (no text in any aggregation " +
       "buffer), codegen'd scalar Myers verify, cartesian-free") {
     val p = planOf("q157_edit_neardup_rep")
-    assert(p.contains("edit_distance_native"),
-      s"scalar Myers verify missing:\n$p")
+    assert(p.contains("edit_distance_bounded"),
+      s"bounded scalar Myers verify missing:\n$p")
     assert(!p.contains("collect_list"),
       s"the id-join form must never buffer bucket texts:\n$p")
     assert(!p.contains("verified_edit_pairs"),
