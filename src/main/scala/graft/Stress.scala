@@ -105,7 +105,7 @@ object Stress {
     * cardinality scales with users — the axis that matters for the
     * per-key operators. All derivation md5-based: bit-reproducible.
     */
-  private def genScaledEvents(spark: SparkSession, baseDir: String,
+  private[graft] def genScaledEvents(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
     val out = new java.io.File(s"$outDir/events.parquet")
     if (out.exists()) return

@@ -966,6 +966,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(cp.values.toSet.size == 16, s"got ${cp.values.toSet.size}")
   }
 
+  test("scaled-events jitter spans the full ±30 min uniformly and replica " +
+      "user-id spaces are disjoint (ADVICE r11 lock)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("sev").toString
+    Stress.genScaledEvents(spark, dir, tmp, 4)
+    val base = graft.queries.Tables(spark, dir, "events")
+    val scaled = spark.read.parquet(s"$tmp/events.parquet")
+    assert(scaled.count() == base.count() * 4)
+    // replica r>0 deltas vs the base event: uniform-ish over ±1800 s
+    val deltas = scaled.filter(col("event_id") % 4 =!= 0)
+      .select((col("event_id") / 4).cast("long").as("beid"),
+        unix_micros(col("ts")).as("stu"))
+      .join(base.select(col("event_id").as("beid"),
+        unix_micros(col("ts")).as("btu")), "beid")
+      .select((col("stu") - col("btu")).as("d"))
+    val st = deltas.agg(min("d"), max("d"), avg("d"), stddev("d")).head()
+    val (mn, mx, mean, sd) =
+      (st.getLong(0), st.getLong(1), st.getDouble(2), st.getDouble(3))
+    assert(mn < -1700000000L && mx > 1700000000L,
+      s"jitter not spanning ±30min: [$mn, $mx] µs (the r11 bug capped it " +
+        "at a near-constant −30 min)")
+    assert(math.abs(mean) < 150000000L, s"jitter mean skewed: $mean µs")
+    assert(sd > 900000000.0 && sd < 1200000000.0,
+      s"jitter not uniform-ish (expected sd ≈ 1039 s): ${sd / 1e6} s")
+    // a user id appearing under two replicas would merge distinct users
+    val overlap = scaled.withColumn("rep", col("event_id") % 4)
+      .groupBy("user_id").agg(countDistinct("rep").as("nreps"))
+      .filter(col("nreps") > 1).count()
+    assert(overlap == 0, s"replica user-id spaces overlap: $overlap users")
+  }
+
   test("q155 merges NFC/case/whitespace variants that raw exact dedup cannot see") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("q155").toString
