@@ -3853,6 +3853,22 @@ object PipelineQueries {
     Q("q157_edit_neardup_rep", (s, d) => editDistanceNearDupRep(s, d),
       Some(q157OracleSql), bench = true),
 
+    // ---- q158: the claim q157 rests on, oracle-checked end-to-end —
+    // "CC absorbs transitivity": connected components over the O(b)
+    // rep-verified edges yield the dedup keep-list (rep = component
+    // minimum, keep the smallest id per near-dup cluster). The DuckDB
+    // oracle replays the rep edges AND the reachability closure as
+    // recursive CTEs, so the sub-quadratic path's final artifact — not
+    // just its edge set — is bit-checked. Scale shape: q157's id-join
+    // verify + q128's O(log n) star rounds, both audited above. ----
+    Q("q158_edit_neardup_rep_keep", (s, d) => {
+      val e0 = editDistanceNearDupRep(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Dedup.connectedComponents(docs(s, d), edges)
+        .orderBy(col("doc_id"))
+    }, Some(q158OracleSql)),
+
     // ---- q155: Unicode-canonical exact dedup — q40's exact dedup run
     // AFTER canonicalization: NFC normalization (native expression —
     // composed U+00E9 and decomposed e+U+0301 are the same document),
@@ -4623,6 +4639,34 @@ object PipelineQueries {
       FROM v
       WHERE CAST(edit_dist AS DOUBLE) <= CAST(0.2 AS DOUBLE) * CAST(max_len AS DOUBLE)
       ORDER BY doc_a, doc_b"""
+
+  private def q158OracleSql: String = s"""
+      WITH RECURSIVE ${duckSigCte(8)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      rep AS (SELECT band, bkey, min(doc_id) AS rep_id FROM bands
+              GROUP BY band, bkey),
+      cand AS (SELECT DISTINCT r.rep_id AS doc_a, b.doc_id AS doc_b
+        FROM bands b JOIN rep r ON b.band = r.band AND b.bkey = r.bkey
+        WHERE b.doc_id > r.rep_id),
+      v AS (SELECT c.doc_a, c.doc_b,
+          CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+          CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+        FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+          JOIN documents tb ON tb.doc_id = c.doc_b),
+      kept AS (SELECT doc_a, doc_b FROM v
+        WHERE CAST(edit_dist AS DOUBLE) <= CAST(0.2 AS DOUBLE) * CAST(max_len AS DOUBLE)),
+      e2 AS (SELECT doc_a AS s, doc_b AS t FROM kept
+             UNION ALL SELECT doc_b, doc_a FROM kept),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e2.t FROM reach JOIN e2 ON e2.s = reach.r)
+      SELECT doc_id, min(r) AS rep, doc_id = min(r) AS is_kept
+      FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
   private def q152OracleSql: String = s"""
       WITH ${duckSigCte(8)},
