@@ -253,6 +253,16 @@ object Bench {
     val build = graft.operators.Models.buildTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.replace("\"", "'") + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // q146's per-phase attribution (phase 0 = prepare, 1..N = damped
+    // rounds; wall + job-group-exact shuffle/spill) from the LAST timed
+    // run — the heaviest headline query has a ~70% box-sensitivity band,
+    // and with per-round rows in the artifact a drift flag is
+    // adjudicated from the artifact alone instead of a same-box A/B
+    val prRounds = graft.operators.PageRank.lastRunStats
+      .map(s => s"""{"round":${s.round},"wall_sec":${f3(s.wallSec)},""" +
+        s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
+        s""""spilled_bytes":${s.spillBytes}}""")
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(r => min(r._2)).sum else 0.0
     val totalMed = if (results.nonEmpty) results.map(r => median(r._2)).sum else 0.0
     // environment snapshot rides in the artifact: load average,
@@ -288,7 +298,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sink":"noop","queries":$qs,""" +
       s""""total_median":${f3(totalMed)},"queries_median":$qsMed,"queries_runs":$qsRuns,""" +
-      s""""build":$build,"sf":"$sfDir",$env}"""
+      s""""build":$build,"q146_rounds":$prRounds,"sf":"$sfDir",$env}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -105,10 +105,23 @@ object Stress {
     * cardinality scales with users — the axis that matters for the
     * per-key operators. All derivation md5-based: bit-reproducible.
     */
+  /** The generation law the events corpus under a dir must have been
+    * produced with. Bumped whenever the derivation changes (the r11→r12
+    * jitter fix showed an existence-guarded cache silently keeps a
+    * corpus generated under a BROKEN law — reruns never picked up the
+    * fix). [[genScaledEvents]] writes it as a marker file and
+    * regenerates on mismatch or absence.
+    */
+  private[graft] val EventsGenLaw =
+    "v2: jitter=md5hex12 mod 3.6e9 -1.8e9 us; stride=max(user_id)+1"
+
   private[graft] def genScaledEvents(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
     val out = new java.io.File(s"$outDir/events.parquet")
-    if (out.exists()) return
+    val marker = java.nio.file.Paths.get(s"$outDir/events.parquet.genlaw")
+    val markerOk = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == EventsGenLaw
+    if (out.exists() && markerOk) return
     val base = queries.Tables(spark, baseDir, "events")
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
     // 12 hex chars span 2^48 ≫ 3.6e9, so the modulo covers the full ±30 min
@@ -130,6 +143,7 @@ object Stress {
         col("event_type"), col("value"), col("props"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+    java.nio.file.Files.writeString(marker, EventsGenLaw + "\n")
   }
 
   /** q127's sampled-shingle posting census, uncapped: how hot do
@@ -595,27 +609,42 @@ object Stress {
             metrics.shuffleWrite.get(), metrics.spill.get())
         }
         val (warmS, shW, sp) = runs.last
-        val census = {
+        val (census, repCallsDistinct) = {
           val sig = graft.functions.TextFunctions
             .minhashSigNative(col("text"), 8)
           val bk = (0 until 4).map(b => struct(lit(b).as("band"),
             concat_ws("_", element_at(col("sig"), 2 * b + 1),
               element_at(col("sig"), 2 * b + 2)).as("bkey")))
-          queries.Tables(spark, dir, "documents")
+          val bandedDocs = queries.Tables(spark, dir, "documents")
             .filter(size(graft.operators.TextOps.tokens(col("text"))) >= 3)
-            .select(sig.as("sig"))
-            .select(explode(array(bk: _*)).as("s"))
-            .select(col("s.band").as("band"), col("s.bkey").as("bkey"))
+            .select(col("doc_id"), sig.as("sig"))
+            .select(col("doc_id"), explode(array(bk: _*)).as("s"))
+            .select(col("doc_id"), col("s.band").as("band"),
+              col("s.bkey").as("bkey"))
+          // coalesce: a corpus with zero multi-member buckets sums to
+          // NULL, which used to NPE the getLongs below
+          val stats = bandedDocs
             .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
             .filter(col("n") >= 2)
-            .agg(sum(col("n") - 1).as("rep_calls"),
-              sum((col("n") * (col("n") - 1)).cast("double") / 2)
-                .cast("long").as("pairwise_calls"),
-              max(col("n")).as("max_bucket")).head()
+            .agg(coalesce(sum(col("n") - 1), lit(0L))
+                .as("rep_calls_band_bound"),
+              coalesce(sum((col("n") * (col("n") - 1)).cast("double") / 2)
+                .cast("long"), lit(0L)).as("pairwise_calls"),
+              coalesce(max(col("n")), lit(0L)).as("max_bucket")).head()
+          // the headline kernel-call number is the set the id-join plan
+          // actually verifies: cross-band-DISTINCT (rep, member) pairs;
+          // the per-band Σ(n−1) rides along as the labeled upper bound
+          val reps = bandedDocs.groupBy(col("band"), col("bkey"))
+            .agg(min(col("doc_id")).as("rep"))
+          val distinctPairs = bandedDocs.join(reps, Seq("band", "bkey"))
+            .filter(col("doc_id") =!= col("rep"))
+            .select(col("rep"), col("doc_id")).distinct().count()
+          (stats, distinctPairs)
         }
         val rows = if (tag == "base") nBase else nScaled
         println(s"""STRESS_EDITREP {"corpus":"$tag","docs":$rows,""" +
-          s""""rep_calls":${census.getLong(0)},""" +
+          s""""rep_calls":$repCallsDistinct,""" +
+          s""""rep_calls_band_bound":${census.getLong(0)},""" +
           s""""pairwise_calls":${census.getLong(1)},""" +
           s""""max_bucket":${census.getLong(2)},""" +
           s""""cold_sec":${runs.head._1},"warm_sec":$warmS,""" +
@@ -703,11 +732,17 @@ object Stress {
           }
           val (mass, nodes, warmS, shW, sp) = runs.last
           val massOk = math.abs(mass - 1.0) < nodes * 5e-10
+          // per-phase attribution of the warm run (0 = prepare): the
+          // same rows Bench persists — drift adjudication per stage
+          val rounds = graft.operators.PageRank.lastRunStats.map(s =>
+            s"""{"round":${s.round},"wall_sec":${math.round(s.wallSec * 1000) / 1000.0},""" +
+              s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
+              s""""spilled_bytes":${s.spillBytes}}""").mkString("[", ",", "]")
           println(s"""STRESS_PAGERANK {"corpus":"$gtag","nodes":$nodes,""" +
             s""""edges":${edges.count()},"iters":$iters,""" +
             s""""cold_sec":${runs.head._3},"warm_sec":$warmS,""" +
             s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp,""" +
-            s""""mass":$mass,"mass_ok":$massOk}""")
+            s""""mass":$mass,"mass_ok":$massOk,"rounds":$rounds}""")
       }
     }
     spark.stop()

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -50,6 +51,108 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object PageRank {
 
+  /** Per-phase instrumentation of the last [[run]] on this JVM: wall
+    * plus EXACT shuffle-write/spill attribution per phase (round 0 is
+    * `prepare`, 1..iters the damped rounds). Attribution is by job
+    * group — every stage of a phase's jobs is tagged at submission, so
+    * the numbers are per-phase even though listener delivery is async;
+    * read AFTER the run (e.g. from Bench's artifact writer), when the
+    * listener bus has long drained. Exists because the heaviest
+    * headline query has a ~70% box-sensitivity band across quiet boxes
+    * and every drift flag used to burn a same-box A/B — with per-round
+    * rows in the artifact, attribution is mechanical.
+    */
+  final case class RoundStat(round: Int, wallSec: Double,
+      shuffleWriteBytes: Long, spillBytes: Long)
+
+  private final class RoundListener extends SparkListener {
+    val stagePhase = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    val bytes = new java.util.concurrent.ConcurrentHashMap[
+      (Long, Int), (java.util.concurrent.atomic.AtomicLong,
+        java.util.concurrent.atomic.AtomicLong)]()
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val gid = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      gid.filter(_.startsWith("graft.pr.")).foreach { g =>
+        g.stripPrefix("graft.pr.").split('.') match {
+          case Array(e, r) =>
+            try {
+              val key = (e.toLong, r.toInt)
+              js.stageIds.foreach(sid => stagePhase.put(sid, key))
+            } catch { case _: NumberFormatException => () }
+          case _ => ()
+        }
+      }
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val key = stagePhase.get(sc.stageInfo.stageId)
+      val m = sc.stageInfo.taskMetrics
+      if (key != null && m != null) {
+        val acc = bytes.computeIfAbsent(key, _ =>
+          (new java.util.concurrent.atomic.AtomicLong,
+            new java.util.concurrent.atomic.AtomicLong))
+        acc._1.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        acc._2.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def drop(epoch: Long): Unit = {
+      stagePhase.forEach((k, v) => if (v._1 != epoch) stagePhase.remove(k))
+      bytes.forEach((k, _) => if (k._1 != epoch) bytes.remove(k))
+    }
+  }
+
+  private val listeners = new java.util.concurrent.ConcurrentHashMap[
+    String, RoundListener]()
+  private val epochs = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var lastRun: (RoundListener, Long, Seq[(Int, Double)]) =
+    (null, -1L, Nil)
+
+  /** Per-phase stats of the most recent [[run]] (empty before any run).
+    * Shuffle/spill read from the listener at CALL time — call after the
+    * run returns, not mid-loop.
+    */
+  def lastRunStats: Seq[RoundStat] = {
+    val (l, epoch, walls) = lastRun
+    if (l == null) Nil
+    else walls.map { case (r, w) =>
+      val b = l.bytes.get((epoch, r))
+      RoundStat(r, w,
+        if (b == null) 0L else b._1.get(),
+        if (b == null) 0L else b._2.get())
+    }
+  }
+
+  private def withPhase[T](sc: org.apache.spark.SparkContext, epoch: Long,
+      round: Int)(body: => T): (T, Double) = {
+    val saved = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(s"graft.pr.$epoch.$round", s"pagerank phase $round",
+      interruptOnCancel = false)
+    val t0 = System.nanoTime()
+    try (body, (System.nanoTime() - t0) / 1e9)
+    finally {
+      sc.clearJobGroup()
+      if (saved != null) sc.setLocalProperty("spark.jobGroup.id", saved)
+    }
+  }
+
+  /** Bucketed-by-src edge storage — the cluster-scale layout the class
+    * doc prescribes, as code: write the link graph ONCE with this, pass
+    * `spark.table(name)` to [[run]]/[[prepare]], and the out-weight
+    * aggregate and share join run with NO |E|-row exchange — the scan's
+    * HashPartitioning(src, buckets) feeds the `groupBy(src)` directly
+    * and co-partitions the edges⋈outW join (plan-locked in
+    * PlanShapeSpec). The only |E| movement left in prepare is the one
+    * dst-alignment repartition the per-round exchange-elision rests on
+    * (bucketing can serve ONE key; src owns the storage layout because
+    * the normalization and join both key on it).
+    */
+  def writeBucketedEdges(edges: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    edges.select(col("src"), col("dst"), col("w"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+
   /** @param edges directed weighted edges: `src`, `dst` (long), `w`
     *              (long > 0); (src, dst) pairs must be unique
     * @param iters fixed number of damped rounds (oracle-replayable —
@@ -63,17 +166,30 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
       checkpointDir: Option[String] = None): DataFrame = {
-    val prep = prepare(edges, damping, checkpointDir)
+    val sc = edges.sparkSession.sparkContext
+    val listener = listeners.computeIfAbsent(sc.applicationId, _ => {
+      val l = new RoundListener; sc.addSparkListener(l); l
+    })
+    val epoch = epochs.incrementAndGet()
+    listener.drop(epoch) // stats of prior runs are dead once a new run starts
+    val walls = Seq.newBuilder[(Int, Double)]
+    val (prep, prepWall) = withPhase(sc, epoch, 0)(
+      prepare(edges, damping, checkpointDir))
+    walls += ((0, prepWall))
     var pr = prep.pr
     var releasePr = prep.releasePr
-    for (_ <- 1 to iters) {
-      val stepped = step(prep, pr, damping)
-      val (p, r) = pin(stepped, checkpointDir)
+    for (i <- 1 to iters) {
+      val ((p, r), wall) = withPhase(sc, epoch, i) {
+        val stepped = step(prep, pr, damping)
+        pin(stepped, checkpointDir)
+      }
+      walls += ((i, wall))
       releasePr()
       pr = p; releasePr = r
     }
     prep.releaseShares()
     prep.releaseNodes()
+    lastRun = (listener, epoch, walls.result())
     pr
   }
 
@@ -85,6 +201,20 @@ object PageRank {
       pr: DataFrame, teleport: Double, bcastRanks: Boolean,
       releaseShares: () => Unit, releaseNodes: () => Unit,
       releasePr: () => Unit)
+
+  /** The pre-pin share table: out-weight normalization + the one dst
+    * alignment repartition. Exposed `private[graft]` so PlanShapeSpec
+    * can lock the BUCKETED path's physical plan (a bucketed-by-src
+    * edges table feeds the `groupBy(src)` and the edges⋈outW join with
+    * no |E| exchange — the only Exchange left here is the dst one).
+    */
+  private[graft] def sharesOf(edges: DataFrame): DataFrame = {
+    val outW = edges.groupBy(col("src").as("ou")).agg(sum(col("w")).as("ow"))
+    edges.join(outW, col("src") === col("ou"))
+      .select(col("src"), col("dst"),
+        (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("share"))
+      .repartition(col("dst"))
+  }
 
   private[graft] def prepare(edges: DataFrame, damping: Double,
       checkpointDir: Option[String]): Prep = {
@@ -101,13 +231,7 @@ object PageRank {
     // save |V|, not |E|.) Measured at 2M nodes / 40M edges / 5 rounds,
     // together with the UnsafeRow pin below: 156 s + 3.4 GB spill →
     // 32 s + 0.18 GB.
-    val outW = edges.groupBy(col("src").as("ou")).agg(sum(col("w")).as("ow"))
-    val (shares, releaseShares) = pin(
-      edges.join(outW, col("src") === col("ou"))
-        .select(col("src"), col("dst"),
-          (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("share"))
-        .repartition(col("dst")),
-      checkpointDir)
+    val (shares, releaseShares) = pin(sharesOf(edges), checkpointDir)
     // node list pinned too: it is |V| rows derived from the |E|-row share
     // table via distinct — left lazy, every round's stepped plan would
     // re-shuffle the EDGE set just to rebuild it (measured at 2M nodes /

@@ -24,14 +24,17 @@ object Tables {
       // UTC, so the NTZ cast is wall-time-preserving and matches the
       // DuckDB oracle, which reads the same file as a naive timestamp).
       // The legacy nanosAsLong conf is session-global, so it is set ONLY
-      // when the footer actually carries TIMESTAMP(NANOS) (the read
-      // throws without it) — a micros-era file never mutates session
-      // state out from under a concurrent tenant.
+      // when the footer actually carries TIMESTAMP(NANOS) — the guard
+      // matches the failure MESSAGE, not just the exception type, so an
+      // unrelated read failure (missing path, corrupt footer) rethrows
+      // instead of mutating session state out from under a concurrent
+      // tenant (the EventsStream.readStream discipline).
       val raw =
         try s.read.parquet(s"$dir/events.parquet")
         catch {
-          case _: org.apache.spark.sql.AnalysisException
-               | _: org.apache.spark.SparkException =>
+          case e @ (_: org.apache.spark.sql.AnalysisException
+               | _: org.apache.spark.SparkException)
+              if String.valueOf(e.getMessage).contains("NANOS") =>
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             s.read.parquet(s"$dir/events.parquet")
         }

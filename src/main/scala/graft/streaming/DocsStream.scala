@@ -162,50 +162,79 @@ object DocsStream {
       .select(col("doc_id"), col("band"), col("dup_of"))
   }
 
+  /** Displaced-rep emissions from [[nearDupVerified]]: out-of-order
+    * arrivals where a smaller id displaced a bucket's stored rep and the
+    * (old rep, new rep) pair was emitted through the rep-shingle cache.
+    * Counted per SparkContext (the [[graft.streaming.EventsStream]]
+    * `anchorRewinds` discipline) so the out-of-order regime — formerly a
+    * silent bounded over-keep — is observable in any run's readout.
+    */
+  private val displacedAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  def displacedReps(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    displacedAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("docsstream.displaced_rep"))
+
   /** [[nearDupCandidates]] extended through VERIFICATION: candidates are
     * exact-Jaccard-checked (≥ 0.5) against their bucket representative,
     * so the stream emits confirmed near-dups, not just bucket
-    * collisions. The doc's shingle set rides THROUGH the state handler
-    * as a passenger column — per-(band, bucket) state stays ONE long;
-    * the representative's shingles come from the `history` corpus table
-    * via a stream-static equi-join (candidates-sized per micro-batch).
+    * collisions. Each arriving doc's shingle set rides THROUGH the state
+    * handler as a passenger column; per-(band, bucket) state is the rep
+    * id plus the REP's shingle set (the rep-shingle cache) — still
+    * bounded by bucket cardinality, one array per ACTIVE bucket rather
+    * than one per doc, and TTL'd away with the bucket like everything
+    * else. The verification side's rep shingles come from the `history`
+    * corpus table via a stream-static equi-join (candidates-sized per
+    * micro-batch).
     *
-    * Out-of-order arrival boundary (deliberate asymmetry with
-    * [[nearDupCandidates]]'s rep-relink): when a later batch displaces a
-    * bucket's rep with a smaller id, the (old rep, new rep) pair is NOT
-    * emitted here — verifying it needs the old rep's shingles, which are
-    * neither in-batch nor in state (state is one long by design), and an
-    * unverified emission would break this stream's "confirmed pairs
-    * only" contract. The effect is OVER-KEEPING (both reps survive a
-    * downstream keep-list) — a bounded recall loss, never a false drop,
-    * and exactly the property the TTL horizon re-seed already has.
-    * Consumers building cluster LABELS should consume
-    * [[nearDupCandidates]] (connectivity-exact under any order) rather
-    * than this keep-list stream.
+    * Out-of-order arrival: when a later batch displaces a bucket's rep
+    * with a smaller id, the (old rep, new rep) pair IS emitted, carrying
+    * the old rep's cached shingles — so the pair goes through the same
+    * exact-Jaccard verification as any candidate and the keep-list
+    * consumer sees the link that used to be silently dropped (the r12
+    * documented over-keep boundary, now closed). Each displacement is
+    * counted in [[displacedReps]]. Residual boundary (documented, not a
+    * regression): verification is still rep-anchored, so a doc verified
+    * against the OLD rep connects to the NEW rep transitively — for
+    * clusters whose members pairwise clear the 0.5 threshold (the
+    * planted-clone regime) labels equal the batch twin's under any
+    * arrival order; for marginal chains the stream can still over-keep,
+    * never false-drop. Consumers building cluster LABELS may also
+    * consume [[nearDupCandidates]] (connectivity-exact under any order).
     */
   def nearDupVerified(stream: DataFrame, history: DataFrame,
       ttlMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val displaced = displacedReps(spark)
     val cand = banded(stream)
       .select(col("band"), col("bkey"), col("doc_id"), col("shset"))
       .as[(Int, String, Long, Seq[Long])]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Long, (Long, Int, Long, Seq[Long])](
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Int, Long, Seq[Long])](
         OutputMode.Append, timeoutConf(ttlMs)) {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // same emission semantics as nearDupCandidates; the shingle
-            // set is carried on each emitted row, never stored
+            // same emission semantics as nearDupCandidates; the arriving
+            // doc's shingle set is carried on each emitted row, and the
+            // BUCKET REP's set is cached in state so a displacement can
+            // emit the (old rep, new rep) pair verifiably
             val arr = rows.toArray.sortBy(_._3)
-            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            var (minSeen, repSh) = state.getOption
+              .getOrElse((Long.MaxValue, Seq.empty[Long]))
             val out = Array.newBuilder[(Long, Int, Long, Seq[Long])]
             arr.foreach { r =>
               if (minSeen < r._3) out += ((r._3, band, minSeen, r._4))
-              else if (r._3 < minSeen) minSeen = r._3
+              else if (r._3 < minSeen) {
+                if (minSeen != Long.MaxValue) {
+                  out += ((minSeen, band, r._3, repSh))
+                  displaced.add(1L)
+                }
+                minSeen = r._3; repSh = r._4
+              }
             }
-            state.update(minSeen)
+            state.update((minSeen, repSh))
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             out.result().iterator
           }

@@ -13,10 +13,14 @@ final case class FunnelState(t1: Long, clicks: List[Long],
     purchases: List[Long], done: Boolean)
 
 /** [[EventsStream.retentionActivations]] keyed state: the cohort-week
-  * anchor (micros; Long.MinValue = no signup yet) and the bitmask of
-  * week offsets already emitted — two longs per user, by construction.
+  * anchor (micros) and the bitmask of week offsets already emitted, as
+  * an Array[Long] of ⌈(horizon+1)/64⌉ words — 8·⌈(h+1)/64⌉ + 8 bytes of
+  * payload per user by construction (16 B at the default 63-week
+  * horizon), independent of the user's event volume or active weeks.
+  * State exists only for users with a signup (no anchor → nothing worth
+  * remembering → no state row at all).
   */
-final case class RetentionState(cohort: Long, seen: Long)
+final case class RetentionState(cohort: Long, seen: Array[Long])
 
 /** Structured Streaming surface for the `events` table (SURVEY §2.7 [EXT]).
   *
@@ -53,7 +57,10 @@ object EventsStream {
                 | _: org.apache.spark.SparkException)
             if String.valueOf(e.getMessage).contains("NANOS") =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(dir).schema
+          // the re-probe is guarded too (files can vanish between
+          // probes): still unreadable → the declared layout, as doc'd
+          try spark.read.parquet(dir).schema
+          catch { case scala.util.control.NonFatal(_) => declaredSchema }
         case _: org.apache.spark.sql.AnalysisException => declaredSchema
       }
     val reader = spark.readStream.schema(fileSchema)
@@ -311,6 +318,125 @@ object EventsStream {
       .toDF("user_id", "t1", "t2", "t3")
   }
 
+  /** EXACT streaming twin of q153's ordered funnel under ANY
+    * within-watermark disorder — the watermark-finalized complement of
+    * [[funnelCompletions]] (which emits EAGERLY and freezes the anchor,
+    * trading out-of-order losses for latency; this form trades latency
+    * for exactness).
+    *
+    * Semantics: identical to batch q153 — t1 = the user's MINIMUM view
+    * time, t2 = min click in (t1, t1+W], t3 = min purchase in (t2,
+    * t1+W] — restricted to users whose result is FINALIZABLE by the
+    * stream's final watermark (an infinite stream finalizes everything
+    * eventually; a finite replay leaves the watermark tail pending, the
+    * ST8/ST17 law). A result is emitted only once no in-watermark
+    * arrival can change it:
+    *  - completion (t1, t2, t3) emits when watermark ≥ t3 — any event
+    *    that could lower t1/t2/t3 carries ts < t3 ≤ watermark and the
+    *    engine has already excluded it (EventTimeTimeout input
+    *    filtering);
+    *  - an anchored user with no completion finalizes silently when
+    *    watermark ≥ t1 + W (every slot in the window is settled).
+    * Candidate anchors are BUFFERED within the watermark: an earlier
+    * view arriving out-of-order REWINDS the pending anchor (the frozen
+    * twin counts-and-drops instead), and step-2/3 times are retained
+    * exactly while they could still matter — t ≤ t1+W and (t > t1 or
+    * t > watermark); a future rewound anchor t1' satisfies
+    * watermark ≤ t1' < t1, so anything older than the watermark and
+    * outside the current window is provably useless. Beyond-watermark
+    * disorder never reaches the handler (the engine drops it and
+    * counts it in `numRowsDroppedByWatermark` — the observable loss
+    * regime). State per user is therefore bounded by the watermark
+    * horizon plus one funnel window of that user's events; finalized
+    * users hold a 3-long tombstone (required: batch anchors on the
+    * GLOBAL min view, so a post-finalization view must not re-anchor).
+    *
+    * Wake-ups ride on event-time timeouts (watermark ≥ t3 / t1+W /
+    * newest pre-anchor buffer), so finalization needs no further input
+    * for the user — a finite replay flushes everything the final
+    * watermark covers.
+    */
+  def funnelCompletionsExact(windowMicros: Long = 86400000000L,
+      watermarkDelay: String = "30 minutes")(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      // the raw ts column rides along UNUSED: the event-time-timeout
+      // checker requires the watermarked attribute itself in the
+      // grouped child output (a derived unix_micros column drops the
+      // watermark tag)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong,
+        Encoders.TIMESTAMP))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          var s = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Nil, Nil, done = false))
+          if (s.done) Iterator.empty
+          else {
+            rows.foreach { case (_, tp, tu, _) =>
+              tp match {
+                case "view" => if (tu < s.t1) s = s.copy(t1 = tu)
+                case "click" => s = s.copy(clicks = tu :: s.clicks)
+                case "purchase" => s = s.copy(purchases = tu :: s.purchases)
+                case _ => ()
+              }
+            }
+            // retain exactly what can still matter (see class doc)
+            def keep(t: Long): Boolean =
+              if (s.t1 == Long.MaxValue) t > wm
+              else t <= s.t1 + windowMicros && (t > s.t1 || t > wm)
+            s = s.copy(clicks = s.clicks.filter(keep),
+              purchases = s.purchases.filter(keep))
+            val t2 = if (s.t1 == Long.MaxValue) None
+              else s.clicks.filter(t => t > s.t1 && t <= s.t1 + windowMicros)
+                .minOption
+            val t3 = t2.flatMap(c =>
+              s.purchases.filter(p => p > c && p <= s.t1 + windowMicros)
+                .minOption)
+            val windowClosed =
+              s.t1 != Long.MaxValue && wm >= s.t1 + windowMicros
+            if (t3.exists(wm >= _) || windowClosed) {
+              // settled: emit iff complete, then tombstone (no timeout
+              // — the batch anchor is global, later views must not
+              // re-anchor)
+              val out = t3 match {
+                case Some(p) if p <= wm || windowClosed =>
+                  Iterator.single((user, s.t1, t2.get, p))
+                case _ => Iterator.empty
+              }
+              state.update(FunnelState(s.t1, Nil, Nil, done = true))
+              out
+            } else if (s.t1 == Long.MaxValue &&
+                s.clicks.isEmpty && s.purchases.isEmpty) {
+              // nothing buffered, nothing anchored — hold no state
+              if (state.exists) state.remove()
+              Iterator.empty
+            } else {
+              state.update(s)
+              // wake when the watermark settles the next decision point
+              // unanchored: when the watermark passes the NEWEST buffered
+              // time everything prunes and the state removes itself
+              val targetMicros =
+                if (s.t1 == Long.MaxValue) (s.clicks ++ s.purchases).max
+                else t3.getOrElse(s.t1 + windowMicros)
+              state.setTimeoutTimestamp(
+                math.max(targetMicros / 1000L + 1L, wm / 1000L + 1L))
+              Iterator.empty
+            }
+          }
+      }
+      .toDF("user_id", "t1", "t2", "t3")
+  }
+
   /** Streaming twin of q154's retention cohorts: emits one
     * (user_id, cohort_week, week_offset) row the FIRST time a user is
     * active at each week offset from their cohort anchor (the week of
@@ -320,14 +446,19 @@ object EventsStream {
     * batch query.
     *
     * State per user: the cohort anchor (one long) + a BITMASK of
-    * already-emitted offsets (one long) — bounded by construction at
-    * `horizonWeeks ≤ 63` weeks, the keyed-state analogue of q154's
-    * bounded (cohort, offset) grid; offsets past the horizon are
-    * dropped (a retention report has a horizon; the mask IS that
-    * horizon). No pre-anchor buffering is needed under in-order
-    * replay: an activity event earlier than the first signup has
-    * week ≤ cohort week, and the only week that could ever count
-    * (== cohort week, offset 0) is emitted by the signup itself.
+    * already-emitted offsets (⌈(h+1)/64⌉ longs — one word at the
+    * default 63-week horizon, two through 127 weeks, a multi-year
+    * report still a few dozen bytes) — bounded by construction, the
+    * keyed-state analogue of q154's bounded (cohort, offset) grid;
+    * offsets past the horizon are dropped (a retention report has a
+    * horizon; the mask IS that horizon — the horizon-free batch q154
+    * diverges only past it, by contract). Users that never sign up
+    * hold NO state row: absent state ≡ (no anchor, empty mask), so
+    * only the cohorted population occupies the store. No pre-anchor
+    * buffering is needed under in-order replay: an activity event
+    * earlier than the first signup has week ≤ cohort week, and the
+    * only week that could ever count (== cohort week, offset 0) is
+    * emitted by the signup itself.
     * Weeks are Spark's own `date_trunc("week", ts)` (Monday 00:00,
     * UTC session) computed in the PLAN, so stream and batch truncate
     * identically by construction; offsets are exact integer division
@@ -337,8 +468,8 @@ object EventsStream {
       events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.Encoders
-    require(horizonWeeks >= 1 && horizonWeeks <= 63,
-      s"horizonWeeks must be in [1, 63] (bitmask state), got $horizonWeeks")
+    require(horizonWeeks >= 1, s"horizonWeeks must be >= 1, got $horizonWeeks")
+    val maskWords = (horizonWeeks >> 6) + 1
     val spark = events.sparkSession
     import spark.implicits._
     val weekMicros = 604800000000L
@@ -358,7 +489,7 @@ object EventsStream {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var s = state.getOption.getOrElse(
-              RetentionState(Long.MinValue, 0L))
+              RetentionState(Long.MinValue, new Array[Long](maskWords)))
             var out = List.empty[(Long, Long, Int)]
             // ts-sorted within the trigger: the first signup by event
             // time anchors, independent of partition iteration order
@@ -367,14 +498,24 @@ object EventsStream {
                 s = s.copy(cohort = wu)
               if (s.cohort != Long.MinValue && wu >= s.cohort) {
                 val off = ((wu - s.cohort) / weekMicros).toInt
-                if (off <= horizonWeeks && (s.seen & (1L << off)) == 0L) {
-                  s = s.copy(seen = s.seen | (1L << off))
+                if (off <= horizonWeeks &&
+                    (s.seen(off >> 6) & (1L << (off & 63))) == 0L) {
+                  // copy-on-write: GroupState compares/serializes the
+                  // case class, so the stored array is never mutated
+                  val m = s.seen.clone()
+                  m(off >> 6) |= 1L << (off & 63)
+                  s = s.copy(seen = m)
                   out ::= ((user, s.cohort, off))
                 }
               }
             }
-            state.update(s)
-            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            // never-signed-up users keep NO state (and arm no TTL):
+            // absent state is semantically identical and the store
+            // then holds exactly the cohorted population
+            if (s.cohort != Long.MinValue) {
+              state.update(s)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
             out.reverseIterator
           }
       }

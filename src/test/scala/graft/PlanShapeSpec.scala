@@ -625,4 +625,39 @@ class PlanShapeSpec extends AnyFunSuite {
       prep.releaseShares(); prep.releaseNodes(); prep.releasePr()
     }
   }
+
+  test("q146 bucketed-by-src edges: prepare runs with NO |E| exchange — " +
+      "the scan feeds the out-weight aggregate and share join in place; " +
+      "ranks are bit-identical to the unbucketed path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = (1L to 400L).map(i => (i % 50, (i * 7) % 50, i % 3 + 1))
+      .toDF("src", "dst", "w").filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(max("w").as("w"))
+    val tbl = "graft_pr_edges_bucketed_spec"
+    graft.operators.PageRank.writeBucketedEdges(edges, tbl, buckets = 4)
+    try {
+      val p = graft.operators.PageRank.sharesOf(spark.table(tbl))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        s"scan did not use the bucket layout:\n$p")
+      // the ONLY exchange in the whole prepare plan is the dst
+      // alignment the per-round exchange-elision rests on: the
+      // bucketed scan's src partitioning feeds the out-weight
+      // aggregate directly and co-partitions the edges⋈outW join
+      val keys = "Exchange hashpartitioning\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(keys == Set("dst"),
+        s"bucketed prepare may only exchange on dst, got $keys:\n$p")
+      assert(p.contains("partial_sum"),
+        s"out-weight normalization must partial-aggregate:\n$p")
+      // value parity: the layout is an optimization, never a semantics
+      // change — 3 damped rounds must be bit-identical on both paths
+      val viaBucketed = graft.operators.PageRank.run(spark.table(tbl), 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val viaFrame = graft.operators.PageRank.run(edges, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(viaBucketed == viaFrame)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -232,6 +232,123 @@ class StreamingSpec extends AnyFunSuite {
       "out-of-order view was not counted")
   }
 
+  test("exact funnel twin: emissions == batch q153 rows the final watermark " +
+      "finalizes (ST15x)") {
+    import org.apache.spark.sql.functions._
+    val W = 86400000000L
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.funnelCompletionsExact(W), "funnel_exact_out",
+      outputMode = "append")
+    // batch mirror: q153's chain with per-user times (as ST15)
+    val ev = batchEvents.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tu"))
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val u2 = ev.filter(col("event_type") === "click").join(u1, "user_id")
+      .filter(col("tu") > col("t1") && col("tu") <= col("t1") + W)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tu")).as("t2"))
+    val u3 = ev.filter(col("event_type") === "purchase").join(u2, "user_id")
+      .filter(col("tu") > col("t2") && col("tu") <= col("t1") + W)
+      .groupBy(col("user_id"), col("t1"), col("t2")).agg(min(col("tu")).as("t3"))
+    // the engine's final watermark is ms-resolution: max(ts)/1000 − 30 min;
+    // a completion emits when its event-time timeout (t3-derived, ms,
+    // strictly-less comparison) fires against it
+    val wmMs = batchEvents.agg(unix_micros(max(col("ts")))).head().getLong(0) /
+      1000L - 1800000L
+    val all = u3.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = all.filter(t => t._4 / 1000L + 1L < wmMs).toSet
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == got.toSet.size, "duplicate completion emitted")
+    assert(got.toSet == want, s"stream=${got.length} batch-finalizable=" +
+      s"${want.size}; diff ${(got.toSet diff want).take(3)} / " +
+      s"${(want diff got.toSet).take(3)}")
+    assert(want.nonEmpty)
+  }
+
+  test("exact funnel twin rewinds the anchor under within-watermark disorder " +
+      "— stream == batch where the frozen twin diverges (ST15w)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("funnel-exact-ooo")
+    def write(name: String, mtime: Long,
+        rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funnel-exact-w")
+      rows.zipWithIndex.map { case ((uid, ts, tp), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(ts), uid, tp, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$d/$name")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // u2: anchored at 10:00 in batch 1, then an EARLIER view (09:50,
+    // within the 30-min watermark) in batch 2 — the exact twin must
+    // rewind and emit the batch triple. u3: click buffered BEFORE any
+    // anchor, view arrives later out-of-order. u99/u9 only advance the
+    // watermark (u9's far-future event finalizes everything).
+    write("b1.parquet", 1000000L, Seq(
+      (2L, "2024-03-01 10:00:00", "view"),
+      (2L, "2024-03-01 10:05:00", "click"),
+      (3L, "2024-03-01 10:03:00", "click"),
+      (99L, "2024-03-01 10:06:00", "view")))
+    write("b2.parquet", 2000000L, Seq(
+      (2L, "2024-03-01 09:50:00", "view"),
+      (2L, "2024-03-01 10:10:00", "purchase"),
+      (3L, "2024-03-01 10:01:00", "view"),
+      (3L, "2024-03-01 10:12:00", "purchase")))
+    write("b3.parquet", 3000000L, Seq(
+      (9L, "2024-03-03 12:00:00", "view")))
+    // drive with a state-metrics listener: per-user state must stay
+    // bounded (≤ one row per user seen — buffers live inside the row)
+    val acc = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.headOption.foreach(s =>
+          acc.getAndUpdate(c => math.max(c, s.numRowsTotal)))
+    }
+    spark.streams.addListener(listener)
+    val got =
+      try {
+        val q = EventsStream.funnelCompletionsExact()(
+          EventsStream.readStream(spark, d.toString, Some(1)))
+          .writeStream.format("memory").queryName("funnel_exact_ooo")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table("funnel_exact_ooo").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally spark.streams.removeListener(listener)
+    def micros(ts: String) = java.sql.Timestamp.valueOf(ts).getTime * 1000L
+    assert(got == Set(
+      (2L, micros("2024-03-01 09:50:00"), micros("2024-03-01 10:05:00"),
+        micros("2024-03-01 10:10:00")),
+      (3L, micros("2024-03-01 10:01:00"), micros("2024-03-01 10:03:00"),
+        micros("2024-03-01 10:12:00"))), s"got $got")
+    assert(acc.get() >= 1 && acc.get() <= 4,
+      s"state must stay ≤ one row per user, peak ${acc.get()}")
+    // contrast: the FROZEN twin on the same replay diverges on u2 (its
+    // anchor stays 10:00) and counts the rewind — the disorder is real
+    val rewindsBefore = EventsStream.anchorRewinds(spark).value
+    val frozen = EventsStream.runToMemory(spark, d.toString,
+      EventsStream.funnelCompletions(), "funnel_frozen_ooo",
+      outputMode = "append", maxFilesPerTrigger = Some(1))
+    val frozenRows = frozen.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(EventsStream.anchorRewinds(spark).value > rewindsBefore)
+    assert(frozenRows.find(_._1 == 2L).exists(_._2 ==
+      micros("2024-03-01 10:00:00")), s"frozen twin: $frozenRows")
+  }
+
   test("streaming retention activations fold to the batch cohort rollup (ST16)") {
     import org.apache.spark.sql.functions._
     val stream = EventsStream.runToMemory(spark, streamDir,
@@ -269,6 +386,73 @@ class StreamingSpec extends AnyFunSuite {
     val offs = stream.collect().map(_.getInt(2))
     assert(offs.forall(_ <= 1), s"offset past horizon: ${offs.max}")
     assert(offs.nonEmpty)
+  }
+
+  test("ST16 horizon past one mask word: offsets through the horizon emit, " +
+      "past it never (ST16h)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("retention-wide")
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 8, 0) // a Monday
+    val rows = Seq((0, "signup"), (65, "view"), (70, "view"), (75, "view"))
+      .zipWithIndex.map { case ((weeks, tp), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(base.plusWeeks(weeks.toLong)),
+          1L, tp, 0.0, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val out = EventsStream.runToMemory(spark, d.toString,
+      EventsStream.retentionActivations(horizonWeeks = 70),
+      "retention_wide_out", outputMode = "append")
+    val offs = out.collect().map(_.getInt(2)).sorted.toSeq
+    // offset 65 needs the mask's SECOND word; 75 is past the horizon
+    assert(offs == Seq(0, 65, 70), s"got $offs")
+  }
+
+  test("ST16 state exists only for cohorted users — a never-signed-up user " +
+      "holds no state row (ST16s)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("retention-nostate")
+    // users 1 and 2 sign up; user 3 only views (twice, so the handler
+    // runs for it repeatedly and must still store nothing)
+    Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "signup"),
+      (2L, "2024-01-02 08:00:00", 2L, "signup"),
+      (3L, "2024-01-08 09:00:00", 2L, "view"),
+      (4L, "2024-01-01 09:00:00", 3L, "view"),
+      (5L, "2024-01-09 09:00:00", 3L, "view"))
+      .map { case (eid, ts, uid, tp) =>
+        (eid, java.sql.Timestamp.valueOf(ts), uid, tp, 0.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val rowsPeak = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.headOption.foreach(s =>
+          rowsPeak.getAndUpdate(c => math.max(c, s.numRowsTotal)))
+    }
+    spark.streams.addListener(listener)
+    val emitted =
+      try {
+        val q = EventsStream.retentionActivations()(
+          EventsStream.readStream(spark, d.toString))
+          .writeStream.format("memory").queryName("retention_nostate_out")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table("retention_nostate_out").collect()
+          .map(r => (r.getLong(0), r.getInt(2))).toSet
+      } finally spark.streams.removeListener(listener)
+    assert(emitted == Set((1L, 0), (2L, 0), (2L, 1)), s"got $emitted")
+    assert(rowsPeak.get() == 2L,
+      s"state must hold exactly the 2 cohorted users, got ${rowsPeak.get()}")
   }
 
   test("streaming session paths == batch up to the watermark tail (ST17)") {
@@ -637,6 +821,67 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, s"reversed-arrival labeling != batch CC: " +
       s"${((got diff want) ++ (want diff got)).take(20)}")
+  }
+
+  test("displaced reps emit VERIFIED through the rep-shingle cache: " +
+      "reversed arrival keeps verified-edge CC == batch CC (ST11d)") {
+    // the r12 documented boundary, closed: a smaller id displacing a
+    // bucket rep now emits the (old rep, new rep) pair carrying the old
+    // rep's CACHED shingles, so the link is exact-Jaccard-verified like
+    // any candidate instead of silently dropped (over-keep).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val ta = "alpha beta gamma delta epsilon zeta"
+    val tb = "one two three four five six seven"
+    val docs = Seq(
+      (1L, ta), (2L, ta), (3L, ta), (4L, tb), (5L, tb), (6L, tb))
+      .map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sd = java.nio.file.Files.createTempDirectory("docs-displaced")
+    def stage(ids: Seq[Long], name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-displaced-w")
+      docs.filter(col("doc_id").isin(ids: _*))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // REVERSED: cluster minima (1 and 4) arrive last, displacing the
+    // stored reps 2 and 5
+    stage(Seq(2L, 3L, 5L, 6L), "a.parquet", 1000000L)
+    stage(Seq(1L, 4L), "b.parquet", 2000000L)
+    val before = DocsStream.displacedReps(spark).value
+    val q = DocsStream.nearDupVerified(
+        DocsStream.readStream(spark, sd.toString), docs)
+      .writeStream.format("memory").queryName("neardup_displaced_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(DocsStream.displacedReps(spark).value > before,
+      "reversed staging never displaced a rep — fixture broken")
+    val stream = spark.table("neardup_displaced_out")
+    // every emitted pair is verified (clones: jaccard exactly 1), and
+    // the displaced links (2→1, 5→4) are present
+    val pairs = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(pairs.forall(_._3 == 1.0), s"unverified emission: ${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 1L) &&
+      pairs.exists(p => p._1 == 5L && p._2 == 4L),
+      s"displaced pairs missing: ${pairs.toSeq}")
+    // connected components over the verified stream == batch twin's
+    def cc(e: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val edges = e.select(col("doc_id").as("src"), col("dup_of").as("dst"))
+      val nodes = edges.select(col("src").as("doc_id"))
+        .union(edges.select(col("dst").as("doc_id"))).distinct()
+      graft.operators.Dedup.connectedComponents(nodes, edges)
+        .select(col("doc_id"), col("rep")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(cc(stream) == cc(DocsStream.nearDupVerifiedBatch(docs, docs)),
+      "reversed-arrival verified labels != batch CC")
   }
 
   test("stream defined on an EMPTY landing dir uses the declared schema; " +
