@@ -184,6 +184,97 @@ object StreamStress {
       s""""ok":${diff == 0 && epochDirs == 1}}""")
   }
 
+  /** STREAM_STRESS_ANALYTICS=funnel_exact|funnel_eager|retention|paths:
+    * drive a scaled EVENTS corpus through the per-user/per-session keyed
+    * twins (ST15/ST16/ST17) and print one STREAMSTRESS_ANALYTICS line
+    * with the state-store law readouts — rows peak/final, bytes peak,
+    * bytes per row — against the law denominators (distinct users,
+    * signup users). This is the third-decade instrument for the
+    * analytics/state family: key cardinality is the 100 TB axis for
+    * funnel/retention/session, and the claims under test are
+    *  - retention: state rows == SIGNUP users exactly (never-signed-up
+    *    users hold no row), bytes/row constant (cohort long + bitmask
+    *    words — 16 B of payload at the default horizon) regardless of
+    *    event volume per user;
+    *  - funnel (exact): rows ≤ distinct users (pending buffers +
+    *    finalized tombstones), bytes bounded by watermark horizon ×
+    *    per-user rate, never corpus size;
+    *  - funnel (eager): rows ≤ distinct users, completed users collapse
+    *    to 3-long tombstones;
+    *  - paths: rows track OPEN sessions (gap-bounded), not users seen.
+    * Emitted rows are counted in a foreachBatch sink (never retained
+    * driver-side — at 100M events the memory sink would be the
+    * bottleneck, not the store).
+    */
+  private def analyticsMode(spark: SparkSession, corpus: String,
+      which: String): Unit = {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = new java.io.File(corpus).getParent
+    val batch = graft.queries.Tables(spark, dir, "events")
+    val nEvents = batch.count()
+    val users = batch.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val signups = batch.filter(col("event_type") === "signup")
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    // REPLAY ORDER: the scaled corpus is written repartition(32) — files
+    // are random row samples, so streaming them replays events in random
+    // TIME order and the first batch drives the watermark to the corpus
+    // end; every event-time-filtered operator (EventTimeTimeout funnel,
+    // session_window) then drops nearly the whole corpus as late. A real
+    // ingest lands in approximate event-time order, so stage the corpus
+    // ONCE into time-range files with range-ordered mtimes (the file
+    // source replays by modTime) and stream that. Bounded-disorder
+    // correctness is the ST15w spec's job; this harness measures state
+    // laws under the realistic ordered replay.
+    val ordered = s"$dir/events_timeordered.parquet"
+    if (!new java.io.File(ordered).exists()) {
+      batch.repartitionByRange(32, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(ordered)
+      val parts = new java.io.File(ordered).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000L + i * 10000L); () }
+    }
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      which match {
+        case "funnel_exact" => graft.streaming.EventsStream.funnelCompletionsExact()
+        case "funnel_eager" => graft.streaming.EventsStream.funnelCompletions()
+        case "retention" => graft.streaming.EventsStream.retentionActivations()
+        case "paths" => graft.streaming.EventsStream.sessionPaths
+        case other => sys.error(s"unknown STREAM_STRESS_ANALYTICS mode: $other")
+      }
+    val acc = new ProgressAccumulator
+    spark.streams.addListener(acc)
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    // stream from the staged time-ordered directory (never the x-dir
+    // root — it also holds the other tables)
+    val q = transform(graft.streaming.EventsStream.readStream(spark, ordered,
+        Some(sys.env.getOrElse("STREAM_STRESS_MFT", "2").toInt)))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.addAndGet(df.count()); ()
+      }.start()
+    try q.processAllAvailable()
+    finally { q.stop(); spark.streams.removeListener(acc) }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val bytesPerRow =
+      if (acc.stateRowsPeak.get > 0)
+        acc.stateBytesPeak.get.toDouble / acc.stateRowsPeak.get
+      else -1.0
+    println(s"""STREAMSTRESS_ANALYTICS {"op":"$which","corpus":"$dir",""" +
+      s""""events":$nEvents,"users":$users,"signup_users":$signups,""" +
+      s""""batches":${acc.dataBatches.get},"emitted":${emitted.get},""" +
+      s""""state_rows_peak":${acc.stateRowsPeak.get},""" +
+      s""""state_rows_final":${acc.stateRowsLast.get},""" +
+      s""""state_bytes_peak":${acc.stateBytesPeak.get},""" +
+      s""""bytes_per_row":${math.round(bytesPerRow * 10) / 10.0},""" +
+      s""""provider":"${spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+        .map(_ => "rocksdb").getOrElse("hdfs-default")}",""" +
+      s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     // STREAM_STRESS_EMBED=1: drive the EMBEDDING stream
     // (EmbedStream.semanticNearDup) over the scaled jittered corpus
@@ -193,6 +284,8 @@ object StreamStress {
     val embedMode = sys.env.get("STREAM_STRESS_EMBED").contains("1")
     val corpus = sys.env.getOrElse("STREAM_STRESS_DIR",
       if (embedMode) "/tmp/graft_stress/x10/embeddings.parquet"
+      else if (sys.env.contains("STREAM_STRESS_ANALYTICS"))
+        "/tmp/graft_stress/x10/events.parquet"
       else "/tmp/graft_stress/x10/documents.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -214,6 +307,13 @@ object StreamStress {
 
     if (sys.env.get("STREAM_STRESS_LABELS").contains("1")) {
       labelsMode(spark, corpus, nDocs)
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("STREAM_STRESS_ANALYTICS")) {
+      sys.env("STREAM_STRESS_ANALYTICS").split(",").filter(_.nonEmpty)
+        .foreach(analyticsMode(spark, corpus, _))
       spark.stop()
       return
     }

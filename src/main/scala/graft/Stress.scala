@@ -118,7 +118,10 @@ object Stress {
   private[graft] def genScaledEvents(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
     val out = new java.io.File(s"$outDir/events.parquet")
-    val marker = java.nio.file.Paths.get(s"$outDir/events.parquet.genlaw")
+    // the marker lives INSIDE the dataset dir with an underscore prefix
+    // (Spark/parquet readers skip _-prefixed files), so a mode-overwrite
+    // regeneration atomically drops a stale marker with the stale data
+    val marker = java.nio.file.Paths.get(s"$outDir/events.parquet/_GENLAW")
     val markerOk = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker).trim == EventsGenLaw
     if (out.exists() && markerOk) return
@@ -243,9 +246,16 @@ object Stress {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("STRESS_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // STRESS_SHUFFLE_PARTITIONS decouples the shuffle width from the
+    // local core count: at the third decade (100M events) 32 partitions
+    // put ~3M rows in every sort buffer and the window family spills —
+    // a partition-count artifact, not an operator property. A cluster
+    // sizes partitions to data (AQE or conf); this dial measures that.
+    val shufflePartitions =
+      sys.env.getOrElse("STRESS_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -743,6 +753,37 @@ object Stress {
             s""""cold_sec":${runs.head._3},"warm_sec":$warmS,""" +
             s""""shuffle_write_bytes":$shW,"spilled_bytes":$sp,""" +
             s""""mass":$mass,"mass_ok":$massOk,"rounds":$rounds}""")
+          // STRESS_PAGERANK_BUCKETED=1: same graph through the
+          // bucketed-by-src layout (an external table beside the plain
+          // parquet) — the prepare-time delta the bucketing prescription
+          // claims is rounds[0] here vs rounds[0] above; per-round and
+          // mass numbers must be bit-identical (layout, not semantics)
+          if (sys.env.get("STRESS_PAGERANK_BUCKETED").contains("1")) {
+            val tbl = s"pr_edges_bucketed_$n"
+            if (!spark.catalog.tableExists(tbl))
+              graft.operators.PageRank.writeBucketedEdges(edges, tbl,
+                buckets = 32, path = Some(s"$root/pr_edges_bucketed_$n"))
+            val bruns = (1 to 2).map { _ =>
+              metrics.reset()
+              val t0 = System.nanoTime()
+              val pr = graft.operators.PageRank.run(spark.table(tbl), iters)
+              val agg = pr.agg(sum(col("pr")), count(lit(1))).head()
+              (agg.getDouble(0), agg.getLong(1),
+                (System.nanoTime() - t0) / 1e9,
+                metrics.shuffleWrite.get(), metrics.spill.get())
+            }
+            val (bmass, bnodes, bwarm, bshW, bsp) = bruns.last
+            val brounds = graft.operators.PageRank.lastRunStats.map(s =>
+              s"""{"round":${s.round},"wall_sec":${math.round(s.wallSec * 1000) / 1000.0},""" +
+                s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
+                s""""spilled_bytes":${s.spillBytes}}""").mkString("[", ",", "]")
+            println(s"""STRESS_PAGERANK_BUCKETED {"corpus":"$gtag",""" +
+              s""""nodes":$bnodes,"iters":$iters,""" +
+              s""""cold_sec":${bruns.head._3},"warm_sec":$bwarm,""" +
+              s""""shuffle_write_bytes":$bshW,"spilled_bytes":$bsp,""" +
+              s""""mass":$bmass,"mass_ok":${math.abs(bmass - 1.0) < bnodes * 5e-10},""" +
+              s""""rounds":$brounds}""")
+          }
       }
     }
     spark.stop()

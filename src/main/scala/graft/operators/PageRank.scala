@@ -147,11 +147,12 @@ object PageRank {
     * the normalization and join both key on it).
     */
   def writeBucketedEdges(edges: DataFrame, table: String,
-      buckets: Int = 32): Unit =
-    edges.select(col("src"), col("dst"), col("w"))
+      buckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = edges.select(col("src"), col("dst"), col("w"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** @param edges directed weighted edges: `src`, `dst` (long), `w`
     *              (long > 0); (src, dst) pairs must be unique

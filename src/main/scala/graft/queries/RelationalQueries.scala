@@ -939,7 +939,45 @@ object RelationalQueries {
               string_agg(event_type, '>' ORDER BY tu, event_id) AS path
             FROM s GROUP BY user_id, sess)
       SELECT path, count(*) AS n_sessions FROM p
-      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""), bench = true)
+      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""), bench = true),
+
+    // ---- q159: the funnel at USER level — one row per completing user
+    // with the exact (t1, t2, t3) step times q153 only counts. This is
+    // the batch mirror the ST15x/ST15w streaming twins finalize against
+    // (and the table a product team actually joins downstream). Same
+    // scale shape as q153: conditional-min per step, ≤1 row per user per
+    // step on the wire, no event collection, no windows. All-integer
+    // output (unix micros), so the oracle hash needs no float
+    // canonicalization. ----
+    Q("q159_funnel_users", (s, d) => {
+      val W = 86400000000L
+      val ev = T(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      val u1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+      val u2 = ev.filter(col("event_type") === "click")
+        .join(u1, "user_id")
+        .filter(col("tu") > col("t1") && col("tu") <= col("t1") + W)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("tu")).as("t2"))
+      ev.filter(col("event_type") === "purchase")
+        .join(u2, "user_id")
+        .filter(col("tu") > col("t2") && col("tu") <= col("t1") + W)
+        .groupBy(col("user_id"), col("t1"), col("t2"))
+        .agg(min(col("tu")).as("t3"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      u1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      u2 AS (SELECT e.user_id, t1, min(tu) AS t2 FROM ev e JOIN u1 USING (user_id)
+             WHERE event_type = 'click' AND tu > t1 AND tu <= t1 + 86400000000
+             GROUP BY e.user_id, t1)
+      SELECT e.user_id, t1, t2, min(tu) AS t3
+      FROM ev e JOIN u2 USING (user_id)
+      WHERE event_type = 'purchase' AND tu > t2 AND tu <= t1 + 86400000000
+      GROUP BY e.user_id, t1, t2
+      ORDER BY e.user_id"""))
   )
 
   /** Null-guarded exact-ratio surfaced as double via the decimal hop
