@@ -115,10 +115,24 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.0").toDouble
     val quietBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "300").toInt
+    // hypervisor steal is sampled over 3 s as part of the gate: two
+    // round-13 runs started on a quiet box and were then contaminated
+    // by a 3-4% steal storm — the storms are minutes-long, so refusing
+    // to START into one is the best available defense (mid-run spikes
+    // still self-identify via env.cpu_steal_pct in the artifact)
+    def stealNow(): Double = {
+      val a = cpuJiffies(); Thread.sleep(3000); val b = cpuJiffies()
+      if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
+      else 100.0 * (b._1 - a._1) / (b._2 - a._2).toDouble
+    }
+    val quietSteal =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_STEAL", "1.0").toDouble
     def boxBusy(): Boolean = {
       val l = loadAvg(); val j = competingJvms()
       // unreadable /proc (-1) never blocks the gate
-      (l >= 0 && l > quietLoad) || j > 0
+      (l >= 0 && l > quietLoad) || j > 0 || {
+        val s = stealNow(); s >= 0 && s > quietSteal
+      }
     }
     val quietT0 = System.nanoTime()
     while (boxBusy() &&

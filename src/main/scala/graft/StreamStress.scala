@@ -275,6 +275,68 @@ object StreamStress {
       s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
   }
 
+  /** STREAM_STRESS_VERIFIED=1: the displaced-rep boundary (ST11d) at
+    * corpus scale — replay the scaled documents corpus in id-DESCENDING
+    * file order (every bucket's minimum arrives LAST, the maximum-
+    * displacement regime) through [[graft.streaming.DocsStream
+    * .nearDupVerified]] and print the recall readout: displacement
+    * count, the rep-shingle cache's state cost (rows + bytes — the
+    * price of closing the r12 over-keep boundary, vs ONE long per
+    * bucket on the candidates path), and the label check — connected
+    * components over the drained verified edges vs over the batch
+    * twin's, as (doc_id, rep) set differences in both directions.
+    */
+  private def verifiedMode(spark: SparkSession, corpus: String,
+      nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    val docs = spark.read.parquet(corpus)
+    val staged = java.nio.file.Files.createTempDirectory("verified-rev").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // part-00000 holds the LOWEST ids — newest mtime, so it lands last
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000000L + (parts.length - i) * 10000L); () }
+    val acc = new ProgressAccumulator
+    spark.streams.addListener(acc)
+    val before = DocsStream.displacedReps(spark).value
+    val outDir = java.nio.file.Files.createTempDirectory("verified-edges").toString
+    val t0 = System.nanoTime()
+    val q = DocsStream.nearDupVerified(DocsStream.readStream(spark, staged, 2), docs)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }.start()
+    try q.processAllAvailable()
+    finally { q.stop(); spark.streams.removeListener(acc) }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val displaced = DocsStream.displacedReps(spark).value - before
+    def cc(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val edges = e.select(col("doc_id").as("src"), col("dup_of").as("dst"))
+      val nodes = edges.select(col("src").as("doc_id"))
+        .union(edges.select(col("dst").as("doc_id"))).distinct()
+      graft.operators.Dedup.connectedComponents(nodes, edges)
+        .select(col("doc_id"), col("rep"))
+    }
+    val got = cc(spark.read.parquet(outDir)).cache()
+    val want = cc(DocsStream.nearDupVerifiedBatch(docs, docs)).cache()
+    val missing = want.join(got, Seq("doc_id", "rep"), "left_anti").count()
+    val extra = got.join(want, Seq("doc_id", "rep"), "left_anti").count()
+    val comps = (got.select(col("rep")).distinct().count(),
+      want.select(col("rep")).distinct().count())
+    got.unpersist(); want.unpersist()
+    println(s"""STREAMSTRESS_VERIFIED {"corpus":"$corpus","docs":$nDocs,""" +
+      s""""displaced":$displaced,"state_rows_peak":${acc.stateRowsPeak.get},""" +
+      s""""state_bytes_peak":${acc.stateBytesPeak.get},""" +
+      s""""label_missing":$missing,"label_extra":$extra,""" +
+      s""""components_stream":${comps._1},"components_batch":${comps._2},""" +
+      s""""label_ok":${missing == 0 && extra == 0},""" +
+      s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     // STREAM_STRESS_EMBED=1: drive the EMBEDDING stream
     // (EmbedStream.semanticNearDup) over the scaled jittered corpus
@@ -307,6 +369,12 @@ object StreamStress {
 
     if (sys.env.get("STREAM_STRESS_LABELS").contains("1")) {
       labelsMode(spark, corpus, nDocs)
+      spark.stop()
+      return
+    }
+
+    if (sys.env.get("STREAM_STRESS_VERIFIED").contains("1")) {
+      verifiedMode(spark, corpus, nDocs)
       spark.stop()
       return
     }

@@ -232,12 +232,12 @@ class StreamingSpec extends AnyFunSuite {
       "out-of-order view was not counted")
   }
 
-  test("exact funnel twin: emissions == batch q153 rows the final watermark " +
-      "finalizes (ST15x)") {
+  private def funnelExactParityCase(provider: Option[String],
+      tag: String): Unit = withStateStore(provider) {
     import org.apache.spark.sql.functions._
     val W = 86400000000L
     val stream = EventsStream.runToMemory(spark, streamDir,
-      EventsStream.funnelCompletionsExact(W), "funnel_exact_out",
+      EventsStream.funnelCompletionsExact(W), s"funnel_exact_out_$tag",
       outputMode = "append")
     // batch mirror: q153's chain with per-user times (as ST15)
     val ev = batchEvents.select(col("user_id"), col("event_type"),
@@ -265,6 +265,16 @@ class StreamingSpec extends AnyFunSuite {
       s"${want.size}; diff ${(got.toSet diff want).take(3)} / " +
       s"${(want diff got.toSet).take(3)}")
     assert(want.nonEmpty)
+  }
+
+  test("exact funnel twin: emissions == batch q153 rows the final watermark " +
+      "finalizes (ST15x)") {
+    funnelExactParityCase(None, "hdfs")
+  }
+
+  test("exact funnel parity holds under the RocksDB state store — the " +
+      "event-time timeouts and tombstones survive native-side state (ST15xr)") {
+    funnelExactParityCase(Some(RocksDb), "rocksdb")
   }
 
   test("exact funnel twin rewinds the anchor under within-watermark disorder " +
