@@ -272,11 +272,7 @@ object Bench {
     // run — the heaviest headline query has a ~70% box-sensitivity band,
     // and with per-round rows in the artifact a drift flag is
     // adjudicated from the artifact alone instead of a same-box A/B
-    val prRounds = graft.operators.PageRank.lastRunStats
-      .map(s => s"""{"round":${s.round},"wall_sec":${f3(s.wallSec)},""" +
-        s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
-        s""""spilled_bytes":${s.spillBytes}}""")
-      .mkString("[", ",", "]")
+    val prRounds = graft.operators.PageRank.lastRunStatsJson
     val total = if (results.nonEmpty) results.map(r => min(r._2)).sum else 0.0
     val totalMed = if (results.nonEmpty) results.map(r => median(r._2)).sum else 0.0
     // environment snapshot rides in the artifact: load average,

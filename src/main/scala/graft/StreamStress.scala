@@ -226,7 +226,22 @@ object StreamStress {
     // correctness is the ST15w spec's job; this harness measures state
     // laws under the realistic ordered replay.
     val ordered = s"$dir/events_timeordered.parquet"
-    if (!new java.io.File(ordered).exists()) {
+    // the staging cache is keyed on a SOURCE fingerprint (the _GENLAW
+    // marker when present, else file names/sizes), not bare existence —
+    // a regenerated events corpus must invalidate its staged replay (the
+    // same stale-cache class the _GENLAW marker itself fixes in Stress)
+    val srcFp = {
+      val gl = java.nio.file.Paths.get(s"$dir/events.parquet/_GENLAW")
+      if (java.nio.file.Files.exists(gl))
+        java.nio.file.Files.readString(gl).trim
+      else Option(new java.io.File(s"$dir/events.parquet").listFiles())
+        .getOrElse(Array.empty).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}").mkString(";")
+    }
+    val fpFile = java.nio.file.Paths.get(s"$ordered/_SRC_FINGERPRINT")
+    val fresh = java.nio.file.Files.exists(fpFile) &&
+      java.nio.file.Files.readString(fpFile).trim == srcFp
+    if (!fresh) {
       batch.repartitionByRange(32, col("ts"))
         .sortWithinPartitions(col("ts"))
         .write.mode("overwrite").parquet(ordered)
@@ -234,6 +249,7 @@ object StreamStress {
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       parts.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1000000000L + i * 10000L); () }
+      java.nio.file.Files.writeString(fpFile, srcFp + "\n")
     }
     val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       which match {
@@ -271,7 +287,7 @@ object StreamStress {
       s""""bytes_per_row":${math.round(bytesPerRow * 10) / 10.0},""" +
       s""""provider":"${spark.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")
-        .map(_ => "rocksdb").getOrElse("hdfs-default")}",""" +
+        .map(_.split('.').last).getOrElse("hdfs-default")}",""" +
       s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
   }
 
@@ -321,7 +337,17 @@ object StreamStress {
       graft.operators.Dedup.connectedComponents(nodes, edges)
         .select(col("doc_id"), col("rep"))
     }
-    val got = cc(spark.read.parquet(outDir)).cache()
+    // an all-rejected run leaves no part files in outDir — report the
+    // zero-edge readout instead of dying on schema inference
+    val streamEdges =
+      try spark.read.parquet(outDir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import spark.implicits._
+          Seq.empty[(Long, Int, Long, Double)]
+            .toDF("doc_id", "band", "dup_of", "jaccard")
+      }
+    val got = cc(streamEdges).cache()
     val want = cc(DocsStream.nearDupVerifiedBatch(docs, docs)).cache()
     val missing = want.join(got, Seq("doc_id", "rep"), "left_anti").count()
     val extra = got.join(want, Seq("doc_id", "rep"), "left_anti").count()

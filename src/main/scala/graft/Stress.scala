@@ -625,12 +625,17 @@ object Stress {
           val bk = (0 until 4).map(b => struct(lit(b).as("band"),
             concat_ws("_", element_at(col("sig"), 2 * b + 1),
               element_at(col("sig"), 2 * b + 2)).as("bkey")))
+          // cached: the stats aggregate and BOTH sides of the distinct-
+          // pair self-join derive from this — uncached, the corpus-wide
+          // minhash scan would run three times in a census whose whole
+          // point is wall attribution
           val bandedDocs = queries.Tables(spark, dir, "documents")
             .filter(size(graft.operators.TextOps.tokens(col("text"))) >= 3)
             .select(col("doc_id"), sig.as("sig"))
             .select(col("doc_id"), explode(array(bk: _*)).as("s"))
             .select(col("doc_id"), col("s.band").as("band"),
               col("s.bkey").as("bkey"))
+            .cache()
           // coalesce: a corpus with zero multi-member buckets sums to
           // NULL, which used to NPE the getLongs below
           val stats = bandedDocs
@@ -649,6 +654,7 @@ object Stress {
           val distinctPairs = bandedDocs.join(reps, Seq("band", "bkey"))
             .filter(col("doc_id") =!= col("rep"))
             .select(col("rep"), col("doc_id")).distinct().count()
+          bandedDocs.unpersist()
           (stats, distinctPairs)
         }
         val rows = if (tag == "base") nBase else nScaled
@@ -744,10 +750,7 @@ object Stress {
           val massOk = math.abs(mass - 1.0) < nodes * 5e-10
           // per-phase attribution of the warm run (0 = prepare): the
           // same rows Bench persists — drift adjudication per stage
-          val rounds = graft.operators.PageRank.lastRunStats.map(s =>
-            s"""{"round":${s.round},"wall_sec":${math.round(s.wallSec * 1000) / 1000.0},""" +
-              s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
-              s""""spilled_bytes":${s.spillBytes}}""").mkString("[", ",", "]")
+          val rounds = graft.operators.PageRank.lastRunStatsJson
           println(s"""STRESS_PAGERANK {"corpus":"$gtag","nodes":$nodes,""" +
             s""""edges":${edges.count()},"iters":$iters,""" +
             s""""cold_sec":${runs.head._3},"warm_sec":$warmS,""" +
@@ -773,10 +776,7 @@ object Stress {
                 metrics.shuffleWrite.get(), metrics.spill.get())
             }
             val (bmass, bnodes, bwarm, bshW, bsp) = bruns.last
-            val brounds = graft.operators.PageRank.lastRunStats.map(s =>
-              s"""{"round":${s.round},"wall_sec":${math.round(s.wallSec * 1000) / 1000.0},""" +
-                s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
-                s""""spilled_bytes":${s.spillBytes}}""").mkString("[", ",", "]")
+            val brounds = graft.operators.PageRank.lastRunStatsJson
             println(s"""STRESS_PAGERANK_BUCKETED {"corpus":"$gtag",""" +
               s""""nodes":$bnodes,"iters":$iters,""" +
               s""""cold_sec":${bruns.head._3},"warm_sec":$bwarm,""" +

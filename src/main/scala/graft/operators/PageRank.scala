@@ -124,16 +124,33 @@ object PageRank {
 
   private def withPhase[T](sc: org.apache.spark.SparkContext, epoch: Long,
       round: Int)(body: => T): (T, Double) = {
-    val saved = sc.getLocalProperty("spark.jobGroup.id")
+    // save/restore ALL job-group-scoped properties: a caller may be
+    // running inside its own group (description + interruptOnCancel
+    // matter to its later cancelJobGroup / UI), and clearJobGroup
+    // wipes all three
+    val keys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel")
+    val saved = keys.map(k => k -> sc.getLocalProperty(k))
     sc.setJobGroup(s"graft.pr.$epoch.$round", s"pagerank phase $round",
       interruptOnCancel = false)
     val t0 = System.nanoTime()
     try (body, (System.nanoTime() - t0) / 1e9)
     finally {
       sc.clearJobGroup()
-      if (saved != null) sc.setLocalProperty("spark.jobGroup.id", saved)
+      saved.foreach { case (k, v) => if (v != null) sc.setLocalProperty(k, v) }
     }
   }
+
+  /** [[lastRunStats]] as one JSON array — the single serialization every
+    * artifact writer (Bench's q146_rounds, the stress harness lines)
+    * shares, so the rows can't drift in shape between artifacts.
+    */
+  def lastRunStatsJson: String =
+    lastRunStats.map(s =>
+      s"""{"round":${s.round},""" +
+        s""""wall_sec":${math.round(s.wallSec * 1000) / 1000.0},""" +
+        s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
+        s""""spilled_bytes":${s.spillBytes}}""").mkString("[", ",", "]")
 
   /** Bucketed-by-src edge storage — the cluster-scale layout the class
     * doc prescribes, as code: write the link graph ONCE with this, pass

@@ -188,11 +188,13 @@ object DocsStream {
     * micro-batch).
     *
     * Out-of-order arrival: when a later batch displaces a bucket's rep
-    * with a smaller id, the (old rep, new rep) pair IS emitted, carrying
-    * the old rep's cached shingles — so the pair goes through the same
-    * exact-Jaccard verification as any candidate and the keep-list
-    * consumer sees the link that used to be silently dropped (the r12
-    * documented over-keep boundary, now closed). Each displacement is
+    * with a smaller id, the (old rep, new rep) pair IS emitted and
+    * verified IN THE HANDLER — both shingle sets are in hand (the old
+    * rep's from the cache, the new rep's on the arriving row), so the
+    * link holds even when `history` lags the stream and the new rep
+    * isn't joinable yet — and the keep-list consumer sees the link that
+    * used to be silently dropped (the r12 documented over-keep
+    * boundary, now closed). Each displacement is
     * counted in [[displacedReps]]. Residual boundary (documented, not a
     * regression): verification is rep-anchored on BOTH paths, but the
     * stream anchors each doc at the rep current on arrival while the
@@ -209,16 +211,39 @@ object DocsStream {
     * link). Consumers building cluster LABELS may also consume
     * [[nearDupCandidates]] (connectivity-exact under any order).
     */
+  /** Exact Jaccard of two SORTED distinct shingle-hash arrays — the
+    * Scala twin of `SortedSetOps.jaccard` for in-handler use (the
+    * displaced pair is verified inside the state handler, where both
+    * sets are in hand). Hashes are 56-bit unsigned in a Long, so the
+    * signed merge compare is order-correct. Both-empty yields 0.0
+    * (the expression form yields null; both fall to the ≥ τ filter).
+    */
+  private[streaming] def jaccardSortedSeq(a: Seq[Long], b: Seq[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   def nearDupVerified(stream: DataFrame, history: DataFrame,
       ttlMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val displaced = displacedReps(spark)
+    // 5th field: the displaced pair's IN-HANDLER jaccard (−1 marks a
+    // normal candidate, verified downstream against history). One
+    // linear plan — a filter-and-union split would duplicate the
+    // stateful operator and its store.
     val cand = banded(stream)
       .select(col("band"), col("bkey"), col("doc_id"), col("shset"))
       .as[(Int, String, Long, Seq[Long])]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Int, Long, Seq[Long])](
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Int, Long, Seq[Long], Double)](
         OutputMode.Append, timeoutConf(ttlMs)) {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -226,16 +251,17 @@ object DocsStream {
             // same emission semantics as nearDupCandidates; the arriving
             // doc's shingle set is carried on each emitted row, and the
             // BUCKET REP's set is cached in state so a displacement can
-            // emit the (old rep, new rep) pair verifiably
+            // emit the (old rep, new rep) pair verified on the spot
             val arr = rows.toArray.sortBy(_._3)
             var (minSeen, repSh) = state.getOption
               .getOrElse((Long.MaxValue, Seq.empty[Long]))
-            val out = Array.newBuilder[(Long, Int, Long, Seq[Long])]
+            val out = Array.newBuilder[(Long, Int, Long, Seq[Long], Double)]
             arr.foreach { r =>
-              if (minSeen < r._3) out += ((r._3, band, minSeen, r._4))
+              if (minSeen < r._3) out += ((r._3, band, minSeen, r._4, -1.0))
               else if (r._3 < minSeen) {
                 if (minSeen != Long.MaxValue) {
-                  out += ((minSeen, band, r._3, repSh))
+                  out += ((minSeen, band, r._3, repSh,
+                    jaccardSortedSeq(repSh, r._4)))
                   displaced.add(1L)
                 }
                 minSeen = r._3; repSh = r._4
@@ -246,8 +272,21 @@ object DocsStream {
             out.result().iterator
           }
       }
-      .toDF("doc_id", "band", "dup_of", "shset")
-    verifyAgainstReps(cand, history)
+      .toDF("doc_id", "band", "dup_of", "shset", "pre_j")
+    // stream-static LEFT join: a normal candidate whose rep is missing
+    // from history gets null jaccard and falls to the filter (as the
+    // old inner join dropped it); a displaced pair carries its
+    // in-handler value and never needs the lookup
+    val hw = TextOps.tokens(col("text"))
+    val reps = history.filter(size(hw) >= 3)
+      .select(col("doc_id").as("dup_of"),
+        graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("rep_sh"))
+    cand.join(reps, Seq("dup_of"), "left")
+      .select(col("doc_id"), col("band"), col("dup_of"),
+        when(col("pre_j") >= 0, col("pre_j"))
+          .otherwise(graft.functions.SetFunctions.jaccardSorted(
+            col("shset"), col("rep_sh"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
   }
 
   /** `foreachBatch` sink maintaining a near-dup CLUSTER LABELING across
