@@ -218,7 +218,7 @@ object DocsStream {
     * signed merge compare is order-correct. Both-empty yields 0.0
     * (the expression form yields null; both fall to the ≥ τ filter).
     */
-  private[streaming] def jaccardSortedSeq(a: Seq[Long], b: Seq[Long]): Double = {
+  private[graft] def jaccardSortedSeq(a: Seq[Long], b: Seq[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)

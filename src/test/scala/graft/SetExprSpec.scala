@@ -89,6 +89,31 @@ class SetExprSpec extends AnyFunSuite {
     }
   }
 
+  test("in-handler jaccardSortedSeq == SortedSetOps.jaccard bit-for-bit " +
+      "(displaced rows and joined rows share one output column)") {
+    // DocsStream.nearDupVerified verifies displaced pairs with the Scala
+    // kernel inside the state handler and everything else with the
+    // codegen'd expression downstream — the two land in the SAME jaccard
+    // column, so they must agree exactly on every input, including the
+    // empty/empty case (expression: null; handler: 0.0 — both fall to
+    // the >= tau filter, asserted here as the documented equivalence)
+    val universe = Array(-5L, 0L, 3L, 7L, 100L, Long.MaxValue)
+    val subsets = (0 until 64).map(m =>
+      universe.zipWithIndex.collect { case (v, i) if (m & (1 << i)) != 0 => v })
+    for (a <- subsets; b <- subsets) {
+      val expr = SortedSetOps.jaccard(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      val handler = graft.streaming.DocsStream.jaccardSortedSeq(
+        a.toIndexedSeq, b.toIndexedSeq)
+      if (a.isEmpty && b.isEmpty) {
+        assert(expr == null && handler == 0.0)
+        assert(!(handler >= 0.5), "both forms must fail the threshold")
+      } else assert(expr.doubleValue() == handler,
+        s"kernel divergence on ${a.toSeq} / ${b.toSeq}")
+    }
+  }
+
   test("sorted-set kernels reject nullable-element arrays at analysis time") {
     import spark.implicits._
     val df = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L)))
