@@ -248,7 +248,12 @@ object StreamStress {
       val parts = new java.io.File(ordered).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1000000000L + i * 10000L); () }
+        // a rejected mtime update silently degrades the time-ordered
+        // replay to arbitrary file order (mass watermark drops) — fail
+        // loudly instead of measuring the wrong regime
+        require(f.setLastModified(1000000000L + i * 10000L),
+          s"setLastModified rejected on $f — staged replay order broken")
+      }
       java.nio.file.Files.writeString(fpFile, srcFp + "\n")
     }
     val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
@@ -315,7 +320,9 @@ object StreamStress {
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     // part-00000 holds the LOWEST ids — newest mtime, so it lands last
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1000000000L + (parts.length - i) * 10000L); () }
+      require(f.setLastModified(1000000000L + (parts.length - i) * 10000L),
+        s"setLastModified rejected on $f — reversed replay order broken")
+    }
     val acc = new ProgressAccumulator
     spark.streams.addListener(acc)
     val before = DocsStream.displacedReps(spark).value

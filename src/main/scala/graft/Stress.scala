@@ -763,9 +763,25 @@ object Stress {
           // mass numbers must be bit-identical (layout, not semantics)
           if (sys.env.get("STRESS_PAGERANK_BUCKETED").contains("1")) {
             val tbl = s"pr_edges_bucketed_$n"
-            if (!spark.catalog.tableExists(tbl))
+            // fingerprint the bucketed table against the SOURCE graph
+            // parquet (file names+sizes), not bare tableExists — a
+            // regenerated graph must invalidate its bucketed twin (the
+            // same stale-cache class the _GENLAW marker fixes for events)
+            val srcFp = Option(new java.io.File(gpath).listFiles())
+              .getOrElse(Array.empty).sortBy(_.getName)
+              .map(f => s"${f.getName}:${f.length}").mkString(";")
+            val btPath = s"$root/pr_edges_bucketed_$n"
+            val btMarker =
+              java.nio.file.Paths.get(s"$btPath/_SRC_FINGERPRINT")
+            val btFresh = spark.catalog.tableExists(tbl) &&
+              java.nio.file.Files.exists(btMarker) &&
+              java.nio.file.Files.readString(btMarker).trim == srcFp
+            if (!btFresh) {
+              spark.sql(s"DROP TABLE IF EXISTS $tbl")
               graft.operators.PageRank.writeBucketedEdges(edges, tbl,
-                buckets = 32, path = Some(s"$root/pr_edges_bucketed_$n"))
+                buckets = 32, path = Some(btPath))
+              java.nio.file.Files.writeString(btMarker, srcFp + "\n")
+            }
             val bruns = (1 to 2).map { _ =>
               metrics.reset()
               val t0 = System.nanoTime()

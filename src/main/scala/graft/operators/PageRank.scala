@@ -70,6 +70,11 @@ object PageRank {
     val bytes = new java.util.concurrent.ConcurrentHashMap[
       (Long, Int), (java.util.concurrent.atomic.AtomicLong,
         java.util.concurrent.atomic.AtomicLong)]()
+    // (stageId, attemptNumber) already counted — a retried/resubmitted
+    // stage fires onStageCompleted once per ATTEMPT; without this a
+    // retry double-counts its shuffle/spill into the phase row
+    private val seen =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val gid = Option(js.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
@@ -87,7 +92,8 @@ object PageRank {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val key = stagePhase.get(sc.stageInfo.stageId)
       val m = sc.stageInfo.taskMetrics
-      if (key != null && m != null) {
+      if (key != null && m != null &&
+          seen.add((sc.stageInfo.stageId, sc.stageInfo.attemptNumber()))) {
         val acc = bytes.computeIfAbsent(key, _ =>
           (new java.util.concurrent.atomic.AtomicLong,
             new java.util.concurrent.atomic.AtomicLong))
@@ -95,24 +101,45 @@ object PageRank {
         acc._2.addAndGet(m.diskBytesSpilled)
       }
     }
-    def drop(epoch: Long): Unit = {
-      stagePhase.forEach((k, v) => if (v._1 != epoch) stagePhase.remove(k))
-      bytes.forEach((k, _) => if (k._1 != epoch) bytes.remove(k))
+    /** Drop every epoch the predicate rejects — called at run START with
+      * "keep = in-flight ∪ recently completed", so a concurrent run's
+      * in-progress rows and the rows a just-finished run is about to
+      * read both survive; growth stays bounded regardless.
+      */
+    def prune(keep: Long => Boolean): Unit = {
+      stagePhase.forEach((k, v) => if (!keep(v._1)) {
+        stagePhase.remove(k)
+        seen.removeIf(_._1 == k)
+      })
+      bytes.forEach((k, _) => if (!keep(k._1)) bytes.remove(k))
     }
   }
 
   private val listeners = new java.util.concurrent.ConcurrentHashMap[
     String, RoundListener]()
   private val epochs = new java.util.concurrent.atomic.AtomicLong()
+  // concurrency-safe bookkeeping: epochs currently inside run(), plus
+  // the last few completed (their stats stay readable after the run) —
+  // a new run prunes only epochs in NEITHER set, so two overlapping
+  // run() calls in one JVM can no longer corrupt each other's rows
+  private val activeEpochs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+  private val recentEpochs =
+    new java.util.concurrent.ConcurrentLinkedDeque[java.lang.Long]()
+  private val lastRunByThread =
+    new ThreadLocal[(RoundListener, Long, Seq[(Int, Double)])]
   @volatile private var lastRun: (RoundListener, Long, Seq[(Int, Double)]) =
     (null, -1L, Nil)
 
-  /** Per-phase stats of the most recent [[run]] (empty before any run).
-    * Shuffle/spill read from the listener at CALL time — call after the
-    * run returns, not mid-loop.
+  /** Per-phase stats of the most recent [[run]] — the CALLING THREAD's
+    * last run when it has one (so concurrent runs each read their own),
+    * else the JVM-wide most recent. Empty before any run. Shuffle/spill
+    * read from the listener at CALL time — call after the run returns,
+    * not mid-loop.
     */
   def lastRunStats: Seq[RoundStat] = {
-    val (l, epoch, walls) = lastRun
+    val tl = lastRunByThread.get()
+    val (l, epoch, walls) = if (tl != null) tl else lastRun
     if (l == null) Nil
     else walls.map { case (r, w) =>
       val b = l.bytes.get((epoch, r))
@@ -189,26 +216,35 @@ object PageRank {
       val l = new RoundListener; sc.addSparkListener(l); l
     })
     val epoch = epochs.incrementAndGet()
-    listener.drop(epoch) // stats of prior runs are dead once a new run starts
+    activeEpochs.add(epoch)
+    // bound listener growth: drop only epochs that are neither in-flight
+    // nor among the recently completed still being read
+    listener.prune(e => activeEpochs.contains(e) || recentEpochs.contains(e))
     val walls = Seq.newBuilder[(Int, Double)]
-    val (prep, prepWall) = withPhase(sc, epoch, 0)(
-      prepare(edges, damping, checkpointDir))
-    walls += ((0, prepWall))
-    var pr = prep.pr
-    var releasePr = prep.releasePr
-    for (i <- 1 to iters) {
-      val ((p, r), wall) = withPhase(sc, epoch, i) {
-        val stepped = step(prep, pr, damping)
-        pin(stepped, checkpointDir)
+    try {
+      val (prep, prepWall) = withPhase(sc, epoch, 0)(
+        prepare(edges, damping, checkpointDir))
+      walls += ((0, prepWall))
+      var pr = prep.pr
+      var releasePr = prep.releasePr
+      for (i <- 1 to iters) {
+        val ((p, r), wall) = withPhase(sc, epoch, i) {
+          val stepped = step(prep, pr, damping)
+          pin(stepped, checkpointDir)
+        }
+        walls += ((i, wall))
+        releasePr()
+        pr = p; releasePr = r
       }
-      walls += ((i, wall))
-      releasePr()
-      pr = p; releasePr = r
-    }
-    prep.releaseShares()
-    prep.releaseNodes()
-    lastRun = (listener, epoch, walls.result())
-    pr
+      prep.releaseShares()
+      prep.releaseNodes()
+      recentEpochs.addLast(epoch)
+      while (recentEpochs.size > 4) recentEpochs.pollFirst()
+      val stats = (listener, epoch, walls.result())
+      lastRunByThread.set(stats)
+      lastRun = stats
+      pr
+    } finally activeEpochs.remove(epoch)
   }
 
   /** The pinned per-run frames one damped round steps over (exposed

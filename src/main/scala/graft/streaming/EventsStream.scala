@@ -350,6 +350,13 @@ object EventsStream {
     * horizon plus one funnel window of that user's events; finalized
     * users hold a 3-long tombstone (required: batch anchors on the
     * GLOBAL min view, so a post-finalization view must not re-anchor).
+    * By default tombstones live forever — the price of the strict
+    * no-re-anchor guarantee on an unbounded user universe. Production
+    * deployments can bound that growth with `tombstoneTtlMs > 0`: a
+    * tombstone expires after that much event-time quiescence, trading
+    * the guarantee PAST the horizon (a view arriving later than the
+    * TTL after finalization re-anchors and may emit a second row —
+    * choose a TTL ≫ any plausible revisit gap).
     *
     * Wake-ups ride on event-time timeouts (watermark ≥ t3 / t1+W /
     * newest pre-anchor buffer), so finalization needs no further input
@@ -357,7 +364,8 @@ object EventsStream {
     * watermark covers.
     */
   def funnelCompletionsExact(windowMicros: Long = 86400000000L,
-      watermarkDelay: String = "30 minutes")(events: DataFrame): DataFrame = {
+      watermarkDelay: String = "30 minutes",
+      tombstoneTtlMs: Long = 0L)(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.Encoders
     val spark = events.sparkSession
@@ -380,8 +388,21 @@ object EventsStream {
           val wm = state.getCurrentWatermarkMs() * 1000L
           var s = state.getOption.getOrElse(
             FunnelState(Long.MaxValue, Nil, Nil, done = false))
-          if (s.done) Iterator.empty
-          else {
+          if (s.done) {
+            // tombstone GC dial: ttl == 0 keeps tombstones forever (the
+            // strict global-min-anchor contract); ttl > 0 expires a
+            // tombstone after tombstoneTtlMs of event-time quiescence —
+            // a view arriving PAST the horizon can then re-anchor (and
+            // re-emit) for that user, the documented trade for bounding
+            // state on long-lived streams
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              if (tombstoneTtlMs > 0)
+                state.setTimeoutTimestamp(
+                  state.getCurrentWatermarkMs() + tombstoneTtlMs)
+              Iterator.empty
+            }
+          } else {
             rows.foreach { case (_, tp, tu, _) =>
               tp match {
                 case "view" => if (tu < s.t1) s = s.copy(t1 = tu)
@@ -414,6 +435,9 @@ object EventsStream {
                 case _ => Iterator.empty
               }
               state.update(FunnelState(s.t1, Nil, Nil, done = true))
+              if (tombstoneTtlMs > 0)
+                state.setTimeoutTimestamp(
+                  state.getCurrentWatermarkMs() + tombstoneTtlMs)
               out
             } else if (s.t1 == Long.MaxValue &&
                 s.clicks.isEmpty && s.purchases.isEmpty) {

@@ -359,6 +359,80 @@ class StreamingSpec extends AnyFunSuite {
       micros("2024-03-01 10:00:00")), s"frozen twin: $frozenRows")
   }
 
+  test("exact funnel tombstone TTL bounds state without changing emissions " +
+      "(ST15t)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the GC dial the long-lived-stream deployment needs: ttl=0 keeps a
+    // permanent tombstone per finalized user (the strict no-re-anchor
+    // contract); ttl>0 expires it after that much event-time quiescence.
+    // Emitted rows must be IDENTICAL either way on a replay whose late
+    // arrivals all land inside the TTL.
+    def run(ttl: Long): (Set[(Long, Long, Long, Long)], Long) = {
+      val d = java.nio.file.Files.createTempDirectory(s"funnel-ttl-$ttl")
+      def write(name: String, mtime: Long,
+          rows: Seq[(Long, String, String)]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("funnel-ttl-w")
+        rows.zipWithIndex.map { case ((uid, ts, tp), i) =>
+          (i.toLong, java.sql.Timestamp.valueOf(ts), uid, tp, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(s"$d/$name")
+        java.nio.file.Files.copy(part.toPath, dest)
+        assert(dest.toFile.setLastModified(mtime))
+      }
+      // u1 completes inside batch 1; u99's far-future views drive the
+      // watermark far past u1's finalization + any 1h TTL
+      write("b1.parquet", 1000000L, Seq(
+        (1L, "2024-03-01 10:00:00", "view"),
+        (1L, "2024-03-01 10:05:00", "click"),
+        (1L, "2024-03-01 10:10:00", "purchase")))
+      write("b2.parquet", 2000000L, Seq((99L, "2024-03-01 20:00:00", "view")))
+      write("b3.parquet", 3000000L, Seq((99L, "2024-03-20 10:00:00", "view")))
+      write("b4.parquet", 4000000L, Seq((99L, "2024-04-20 10:00:00", "view")))
+      val peak = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val last = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          e.progress.stateOperators.headOption.foreach { s =>
+            peak.getAndUpdate(c => math.max(c, s.numRowsTotal))
+            last.set(s.numRowsTotal)
+          }
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q = EventsStream.funnelCompletionsExact(tombstoneTtlMs = ttl)(
+          EventsStream.readStream(spark, d.toString, Some(1)))
+          .writeStream.format("memory").queryName(s"funnel_ttl_$ttl")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        (spark.table(s"funnel_ttl_$ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet, last.get())
+      } finally spark.streams.removeListener(listener)
+    }
+    val (rows0, state0) = run(0L)
+    val (rowsT, stateT) = run(3600000L)
+    def micros(ts: String) = java.sql.Timestamp.valueOf(ts).getTime * 1000L
+    val expected = Set((1L, micros("2024-03-01 10:00:00"),
+      micros("2024-03-01 10:05:00"), micros("2024-03-01 10:10:00")))
+    assert(rows0 == expected, s"ttl=0 rows: $rows0")
+    assert(rowsT == expected, s"ttl=1h rows: $rowsT")
+    // ttl=0 holds u1's tombstone forever; ttl=1h must have expired it
+    // once the watermark passed finalization + 1h
+    assert(state0 >= 1, s"ttl=0 final state rows $state0")
+    assert(stateT < state0,
+      s"TTL did not shrink final state: ttl0=$state0 ttl1h=$stateT")
+  }
+
   test("streaming retention activations fold to the batch cohort rollup (ST16)") {
     import org.apache.spark.sql.functions._
     val stream = EventsStream.runToMemory(spark, streamDir,
