@@ -39,6 +39,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // per-phase attribution via the shared PhaseStats job-group scheme
+  // (round 0 = prepare/pin, 1..N the propagation/star rounds) — exists
+  // for the same reason as PageRank's q146_rounds: the iterative
+  // checkpoint-heavy queries (q87/q128) drift in wide same-box bands,
+  // and without per-round rows in the artifact every flag burns an A/B.
+  // Thread-local first so concurrent runs read their own rows.
+  private val lastFixpointByThread = new ThreadLocal[PhaseStats.Handle]
+  @volatile private var lastFixpoint: PhaseStats.Handle = PhaseStats.emptyHandle
+  private val lastCcByThread = new ThreadLocal[PhaseStats.Handle]
+  @volatile private var lastCc: PhaseStats.Handle = PhaseStats.emptyHandle
+
+  /** Per-phase stats of the calling thread's (else the JVM's) most
+    * recent [[keepListToFixpoint]], as the shared JSON row shape. Read
+    * AFTER the run returns. */
+  def lastFixpointStatsJson: String = {
+    val tl = lastFixpointByThread.get()
+    (if (tl != null) tl else lastFixpoint).json
+  }
+
+  /** Per-phase stats of the calling thread's (else the JVM's) most
+    * recent [[connectedComponents]] run, same shape. */
+  def lastCcStatsJson: String = {
+    val tl = lastCcByThread.get()
+    (if (tl != null) tl else lastCc).json
+  }
+
   /** @param docs  one row per document; `idCol` must be its unique id
     * @param edges verified near-dup pairs in BOTH directions, columns
     *              `src`, `dst` (same type as `idCol`)
@@ -54,47 +80,67 @@ object Dedup {
     */
   def keepListToFixpoint(docs: DataFrame, edges: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    val (e, releaseE) = Pin.pin(edges.select(col("src"), col("dst")), checkpointDir)
-    var (labels, releaseLabels) = Pin.pin(
-      docs.select(col(idCol), col(idCol).as("rep")), checkpointDir)
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val nbr = e.join(
-          labels.select(col(idCol).as("nbr_id"), col("rep").as("nrep")),
-          col("dst") === col("nbr_id"))
-        .groupBy(col("src")).agg(min(col("nrep")).as("minrep"))
-      val steppedDf = labels.join(nbr, labels(idCol) === nbr("src"), "left")
-        .select(col(idCol), col("rep").as("prev"),
-          least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
-      // fuse the convergence test into the materializing pass: a separate
-      // `filter(changed).count()` would re-read the full label table once
-      // more per round — at corpus scale that is a whole extra pass. The
-      // fold is DETERMINISTIC (an aggregate over the pinned UnsafeRows —
-      // a retried task recomputes the same count, unlike the old
-      // accumulator form, which could only over-count), and runs as the
-      // ONE action that materializes the round's checkpoint.
-      val (stepped, steppedRdd, releaseStepped) = Pin.arm(steppedDf, checkpointDir)
-      val dt = steppedDf.schema(1).dataType // prev/rep share idCol's type
-      changed = steppedRdd.aggregate(0L)(
-        (n, r) => n + (if (r.get(1, dt) != r.get(2, dt)) 1L else 0L),
-        _ + _)
-      releaseLabels() // prior round no longer referenced: blocks + files
-      labels = stepped.select(col(idCol), col("rep"))
-      releaseLabels = releaseStepped
-      round += 1
-    }
-    releaseE()
-    // non-convergence aborts: release the final round too, or its blocks
-    // stay pinned in the block manager for the life of the session. On
-    // success the final round's storage intentionally survives — the
-    // returned frame reads from it.
-    if (changed != 0) releaseLabels()
-    require(changed == 0,
-      s"keepListToFixpoint did not converge in $maxRounds rounds — " +
-        "either raise maxRounds or check the edge set for corruption " +
-        "(a component's propagation path can't exceed its node count)")
-    labels.withColumn("is_kept", col(idCol) === col("rep"))
+    val runStats = PhaseStats.start(docs.sparkSession.sparkContext, "dedup-fixpoint")
+    try {
+      // phase 0 = prepare: pinning the edges MATERIALIZES the caller's
+      // candidate-generation lineage (banding + verification run exactly
+      // once, here) — so round 0's row carries that whole cost, exactly
+      // the prepare-vs-rounds split a drift flag needs
+      val (e, releaseE, labels0, releaseLabels0) = runStats.phase(0) {
+        val (e, releaseE) =
+          Pin.pin(edges.select(col("src"), col("dst")), checkpointDir)
+        val (l, rl) = Pin.pin(
+          docs.select(col(idCol), col(idCol).as("rep")), checkpointDir)
+        (e, releaseE, l, rl)
+      }
+      var labels = labels0
+      var releaseLabels = releaseLabels0
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxRounds) {
+        val (stepped, releaseStepped, nChanged) = runStats.phase(round + 1) {
+          val nbr = e.join(
+              labels.select(col(idCol).as("nbr_id"), col("rep").as("nrep")),
+              col("dst") === col("nbr_id"))
+            .groupBy(col("src")).agg(min(col("nrep")).as("minrep"))
+          val steppedDf = labels.join(nbr, labels(idCol) === nbr("src"), "left")
+            .select(col(idCol), col("rep").as("prev"),
+              least(col("rep"), coalesce(col("minrep"), col("rep"))).as("rep"))
+          // fuse the convergence test into the materializing pass: a separate
+          // `filter(changed).count()` would re-read the full label table once
+          // more per round — at corpus scale that is a whole extra pass. The
+          // fold is DETERMINISTIC (an aggregate over the pinned UnsafeRows —
+          // a retried task recomputes the same count, unlike the old
+          // accumulator form, which could only over-count), and runs as the
+          // ONE action that materializes the round's checkpoint.
+          val (stepped, steppedRdd, releaseStepped) = Pin.arm(steppedDf, checkpointDir)
+          val dt = steppedDf.schema(1).dataType // prev/rep share idCol's type
+          val n = steppedRdd.aggregate(0L)(
+            (n, r) => n + (if (r.get(1, dt) != r.get(2, dt)) 1L else 0L),
+            _ + _)
+          (stepped, releaseStepped, n)
+        }
+        changed = nChanged
+        releaseLabels() // prior round no longer referenced: blocks + files
+        labels = stepped.select(col(idCol), col("rep"))
+        releaseLabels = releaseStepped
+        round += 1
+      }
+      releaseE()
+      // non-convergence aborts: release the final round too, or its blocks
+      // stay pinned in the block manager for the life of the session. On
+      // success the final round's storage intentionally survives — the
+      // returned frame reads from it.
+      if (changed != 0) releaseLabels()
+      require(changed == 0,
+        s"keepListToFixpoint did not converge in $maxRounds rounds — " +
+          "either raise maxRounds or check the edge set for corruption " +
+          "(a component's propagation path can't exceed its node count)")
+      val handle = runStats.finish()
+      lastFixpointByThread.set(handle)
+      lastFixpoint = handle
+      labels.withColumn("is_kept", col(idCol) === col("rep"))
+    } catch { case t: Throwable => runStats.abort(); throw t }
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
@@ -181,47 +227,58 @@ object Dedup {
         (x, y) => (x._1 + y._1, x._2 ^ y._2))
       (pinned, release, st)
     }
-    var (e, releaseE, prev) = pinWithStats(e0)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // ---- large-star: neighbors v > u re-attach to m = min(N(u) ∪ u)
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy(col("src").as("u"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = sym.join(mins, sym("src") === mins("u"))
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst")) // m ≤ u < v
-        .distinct()
-      // ---- small-star on the (src > dst)-oriented output: each node's
-      // smaller neighborhood collapses onto its minimum
-      val smins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-      val ss = ls.join(smins, ls("src") === smins("u"))
-        .filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst")) // b > m
-        .union(smins.select(col("u").as("src"), col("m").as("dst"))) // u > m
-        .distinct()
-      val (stepped, releaseStepped, cur) = pinWithStats(ss)
-      releaseE()
-      e = stepped; releaseE = releaseStepped
-      converged = cur == prev
-      prev = cur
-      round += 1
-    }
-    if (!converged) releaseE()
-    require(converged,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "the alternating star algorithm needs O(log n) rounds, so this " +
-        "indicates edge-set corruption (e.g. NULL ids), not graph size")
-    // converged edges are stars: every non-root node carries exactly one
-    // edge to its component minimum (min(dst) guards the contract even
-    // if a future edit relaxes the invariant)
-    val reps = e.groupBy(col("src").as("cc_id")).agg(min(col("dst")).as("cc_rep"))
-    val labels = docs.select(col(idCol))
-      .join(reps, col(idCol) === col("cc_id"), "left")
-      .select(col(idCol), coalesce(col("cc_rep"), col(idCol)).as("rep"))
-      .withColumn("is_kept", col(idCol) === col("rep"))
-    (labels, round)
+    val runStats = PhaseStats.start(spark.sparkContext, "dedup-cc")
+    try {
+      // phase 0 = prepare: orienting + pinning e0 materializes the
+      // caller's edge-derivation lineage (same prepare-cost attribution
+      // as keepListToFixpoint's round 0)
+      var (e, releaseE, prev) = runStats.phase(0)(pinWithStats(e0))
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val (stepped, releaseStepped, cur) = runStats.phase(round + 1) {
+          // ---- large-star: neighbors v > u re-attach to m = min(N(u) ∪ u)
+          val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          val mins = sym.groupBy(col("src").as("u"))
+            .agg(min(col("dst")).as("mn"))
+            .select(col("u"), least(col("u"), col("mn")).as("m"))
+          val ls = sym.join(mins, sym("src") === mins("u"))
+            .filter(col("dst") > col("src"))
+            .select(col("dst").as("src"), col("m").as("dst")) // m ≤ u < v
+            .distinct()
+          // ---- small-star on the (src > dst)-oriented output: each node's
+          // smaller neighborhood collapses onto its minimum
+          val smins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+          val ss = ls.join(smins, ls("src") === smins("u"))
+            .filter(col("dst") =!= col("m"))
+            .select(col("dst").as("src"), col("m").as("dst")) // b > m
+            .union(smins.select(col("u").as("src"), col("m").as("dst"))) // u > m
+            .distinct()
+          pinWithStats(ss)
+        }
+        releaseE()
+        e = stepped; releaseE = releaseStepped
+        converged = cur == prev
+        prev = cur
+        round += 1
+      }
+      if (!converged) releaseE()
+      require(converged,
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "the alternating star algorithm needs O(log n) rounds, so this " +
+          "indicates edge-set corruption (e.g. NULL ids), not graph size")
+      val handle = runStats.finish()
+      lastCcByThread.set(handle)
+      lastCc = handle
+      // converged edges are stars: every non-root node carries exactly one
+      // edge to its component minimum (min(dst) guards the contract even
+      // if a future edit relaxes the invariant)
+      val reps = e.groupBy(col("src").as("cc_id")).agg(min(col("dst")).as("cc_rep"))
+      val labels = docs.select(col(idCol))
+        .join(reps, col(idCol) === col("cc_id"), "left")
+        .select(col(idCol), coalesce(col("cc_rep"), col(idCol)).as("rep"))
+        .withColumn("is_kept", col(idCol) === col("rep"))
+      (labels, round)
+    } catch { case t: Throwable => runStats.abort(); throw t }
   }
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -51,85 +50,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object PageRank {
 
-  /** Per-phase instrumentation of the last [[run]] on this JVM: wall
-    * plus EXACT shuffle-write/spill attribution per phase (round 0 is
-    * `prepare`, 1..iters the damped rounds). Attribution is by job
-    * group — every stage of a phase's jobs is tagged at submission, so
-    * the numbers are per-phase even though listener delivery is async;
-    * read AFTER the run (e.g. from Bench's artifact writer), when the
-    * listener bus has long drained. Exists because the heaviest
-    * headline query has a ~70% box-sensitivity band across quiet boxes
-    * and every drift flag used to burn a same-box A/B — with per-round
-    * rows in the artifact, attribution is mechanical.
+  /** Per-phase instrumentation of the last [[run]]: wall plus EXACT
+    * shuffle-write/spill attribution per phase (round 0 is `prepare`,
+    * 1..iters the damped rounds), via the shared [[PhaseStats]]
+    * job-group attribution (one implementation for every iterative
+    * operator — [[Dedup]] shares it).
     */
-  final case class RoundStat(round: Int, wallSec: Double,
-      shuffleWriteBytes: Long, spillBytes: Long)
+  type RoundStat = PhaseStats.RoundStat
 
-  private final class RoundListener extends SparkListener {
-    val stagePhase = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
-    val bytes = new java.util.concurrent.ConcurrentHashMap[
-      (Long, Int), (java.util.concurrent.atomic.AtomicLong,
-        java.util.concurrent.atomic.AtomicLong)]()
-    // (stageId, attemptNumber) already counted — a retried/resubmitted
-    // stage fires onStageCompleted once per ATTEMPT; without this a
-    // retry double-counts its shuffle/spill into the phase row
-    private val seen =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
-    override def onJobStart(js: SparkListenerJobStart): Unit = {
-      val gid = Option(js.properties)
-        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
-      gid.filter(_.startsWith("graft.pr.")).foreach { g =>
-        g.stripPrefix("graft.pr.").split('.') match {
-          case Array(e, r) =>
-            try {
-              val key = (e.toLong, r.toInt)
-              js.stageIds.foreach(sid => stagePhase.put(sid, key))
-            } catch { case _: NumberFormatException => () }
-          case _ => ()
-        }
-      }
-    }
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val key = stagePhase.get(sc.stageInfo.stageId)
-      val m = sc.stageInfo.taskMetrics
-      if (key != null && m != null &&
-          seen.add((sc.stageInfo.stageId, sc.stageInfo.attemptNumber()))) {
-        val acc = bytes.computeIfAbsent(key, _ =>
-          (new java.util.concurrent.atomic.AtomicLong,
-            new java.util.concurrent.atomic.AtomicLong))
-        acc._1.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        acc._2.addAndGet(m.diskBytesSpilled)
-      }
-    }
-    /** Drop every epoch the predicate rejects — called at run START with
-      * "keep = in-flight ∪ recently completed", so a concurrent run's
-      * in-progress rows and the rows a just-finished run is about to
-      * read both survive; growth stays bounded regardless.
-      */
-    def prune(keep: Long => Boolean): Unit = {
-      stagePhase.forEach((k, v) => if (!keep(v._1)) {
-        stagePhase.remove(k)
-        seen.removeIf(_._1 == k)
-      })
-      bytes.forEach((k, _) => if (!keep(k._1)) bytes.remove(k))
-    }
-  }
-
-  private val listeners = new java.util.concurrent.ConcurrentHashMap[
-    String, RoundListener]()
-  private val epochs = new java.util.concurrent.atomic.AtomicLong()
-  // concurrency-safe bookkeeping: epochs currently inside run(), plus
-  // the last few completed (their stats stay readable after the run) —
-  // a new run prunes only epochs in NEITHER set, so two overlapping
-  // run() calls in one JVM can no longer corrupt each other's rows
-  private val activeEpochs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
-  private val recentEpochs =
-    new java.util.concurrent.ConcurrentLinkedDeque[java.lang.Long]()
-  private val lastRunByThread =
-    new ThreadLocal[(RoundListener, Long, Seq[(Int, Double)])]
-  @volatile private var lastRun: (RoundListener, Long, Seq[(Int, Double)]) =
-    (null, -1L, Nil)
+  private val lastRunByThread = new ThreadLocal[PhaseStats.Handle]
+  @volatile private var lastRun: PhaseStats.Handle = PhaseStats.emptyHandle
 
   /** Per-phase stats of the most recent [[run]] — the CALLING THREAD's
     * last run when it has one (so concurrent runs each read their own),
@@ -139,45 +69,17 @@ object PageRank {
     */
   def lastRunStats: Seq[RoundStat] = {
     val tl = lastRunByThread.get()
-    val (l, epoch, walls) = if (tl != null) tl else lastRun
-    if (l == null) Nil
-    else walls.map { case (r, w) =>
-      val b = l.bytes.get((epoch, r))
-      RoundStat(r, w,
-        if (b == null) 0L else b._1.get(),
-        if (b == null) 0L else b._2.get())
-    }
-  }
-
-  private def withPhase[T](sc: org.apache.spark.SparkContext, epoch: Long,
-      round: Int)(body: => T): (T, Double) = {
-    // save/restore ALL job-group-scoped properties: a caller may be
-    // running inside its own group (description + interruptOnCancel
-    // matter to its later cancelJobGroup / UI), and clearJobGroup
-    // wipes all three
-    val keys = Seq("spark.jobGroup.id", "spark.job.description",
-      "spark.job.interruptOnCancel")
-    val saved = keys.map(k => k -> sc.getLocalProperty(k))
-    sc.setJobGroup(s"graft.pr.$epoch.$round", s"pagerank phase $round",
-      interruptOnCancel = false)
-    val t0 = System.nanoTime()
-    try (body, (System.nanoTime() - t0) / 1e9)
-    finally {
-      sc.clearJobGroup()
-      saved.foreach { case (k, v) => if (v != null) sc.setLocalProperty(k, v) }
-    }
+    (if (tl != null) tl else lastRun).stats
   }
 
   /** [[lastRunStats]] as one JSON array — the single serialization every
     * artifact writer (Bench's q146_rounds, the stress harness lines)
     * shares, so the rows can't drift in shape between artifacts.
     */
-  def lastRunStatsJson: String =
-    lastRunStats.map(s =>
-      s"""{"round":${s.round},""" +
-        s""""wall_sec":${math.round(s.wallSec * 1000) / 1000.0},""" +
-        s""""shuffle_write_bytes":${s.shuffleWriteBytes},""" +
-        s""""spilled_bytes":${s.spillBytes}}""").mkString("[", ",", "]")
+  def lastRunStatsJson: String = {
+    val tl = lastRunByThread.get()
+    (if (tl != null) tl else lastRun).json
+  }
 
   /** Bucketed-by-src edge storage — the cluster-scale layout the class
     * doc prescribes, as code: write the link graph ONCE with this, pass
@@ -212,39 +114,26 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    val listener = listeners.computeIfAbsent(sc.applicationId, _ => {
-      val l = new RoundListener; sc.addSparkListener(l); l
-    })
-    val epoch = epochs.incrementAndGet()
-    activeEpochs.add(epoch)
-    // bound listener growth: drop only epochs that are neither in-flight
-    // nor among the recently completed still being read
-    listener.prune(e => activeEpochs.contains(e) || recentEpochs.contains(e))
-    val walls = Seq.newBuilder[(Int, Double)]
+    val runStats = PhaseStats.start(sc, "pagerank")
     try {
-      val (prep, prepWall) = withPhase(sc, epoch, 0)(
-        prepare(edges, damping, checkpointDir))
-      walls += ((0, prepWall))
+      val prep = runStats.phase(0)(prepare(edges, damping, checkpointDir))
       var pr = prep.pr
       var releasePr = prep.releasePr
       for (i <- 1 to iters) {
-        val ((p, r), wall) = withPhase(sc, epoch, i) {
+        val (p, r) = runStats.phase(i) {
           val stepped = step(prep, pr, damping)
           pin(stepped, checkpointDir)
         }
-        walls += ((i, wall))
         releasePr()
         pr = p; releasePr = r
       }
       prep.releaseShares()
       prep.releaseNodes()
-      recentEpochs.addLast(epoch)
-      while (recentEpochs.size > 4) recentEpochs.pollFirst()
-      val stats = (listener, epoch, walls.result())
-      lastRunByThread.set(stats)
-      lastRun = stats
+      val handle = runStats.finish()
+      lastRunByThread.set(handle)
+      lastRun = handle
       pr
-    } finally activeEpochs.remove(epoch)
+    } catch { case t: Throwable => runStats.abort(); throw t }
   }
 
   /** The pinned per-run frames one damped round steps over (exposed

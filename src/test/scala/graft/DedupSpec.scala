@@ -91,9 +91,15 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.keepListToFixpoint(docs, edges, checkpointDir = Some(dir))
       .orderBy("doc_id").collect()
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 1L, 1L, 1L, 7L, 8L))
-    // rounds really checkpointed to the reliable store
-    val written = new java.io.File(dir).listFiles()
-    assert(written != null && written.nonEmpty, s"no checkpoint data under $dir")
+    // rounds really checkpointed to the reliable store — assert against
+    // the context's ACTIVE checkpoint dir: the context-level dir is
+    // process-wide, so an earlier suite's dir may win over this one's
+    // (the documented, warned substitution — same rule as the scale test)
+    val effective = spark.sparkContext.getCheckpointDir
+      .map(u => new java.io.File(new java.net.URI(u))).getOrElse(new java.io.File(dir))
+    val written = effective.listFiles()
+    assert(written != null && written.nonEmpty,
+      s"no checkpoint data under $effective")
   }
 
   test("reliable checkpoint at scale: only the final round's files survive (VERDICT r5 #6)") {
