@@ -454,10 +454,10 @@ object PipelineQueries {
                                                ORDER BY d2, cid) AS rn
                   FROM pq_cs) t WHERE rn = 1)"""
 
-  private def duckSigCte(nHashes: Int): String = {
+  private def duckSigCte(nHashes: Int, tbl: String = "documents"): String = {
     val mh = (0 until nHashes)
       .map(j => s"list_min([${duckHash(j, "x")} for x in sh]) AS mh$j").mkString(",\n        ")
-    s"""t AS (SELECT doc_id, $duckWords ws FROM documents),
+    s"""t AS (SELECT doc_id, $duckWords ws FROM $tbl),
       s AS (SELECT doc_id, $duckShingles sh FROM t WHERE len(ws) >= 3),
       sig AS (SELECT doc_id, $mh FROM s)"""
   }
@@ -665,7 +665,13 @@ object PipelineQueries {
   }
 
   /** DuckDB twin of [[verifiedEdges]]: CTEs `t,s,sig,bands,cand,shset,ver,edges`. */
-  private def duckEdgesCtes: String = s"""${duckSigCte(8)},
+  private def duckEdgesCtes: String = duckEdgesCtesOf("documents")
+
+  /** [[duckEdgesCtes]] over an arbitrary (doc_id, text) CTE/table — the
+    * q160 composition runs the edge kernel over STAGE-1 SURVIVORS, not
+    * the raw corpus.
+    */
+  private def duckEdgesCtesOf(tbl: String): String = s"""${duckSigCte(8, tbl)},
       bands AS (
         SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
         SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
@@ -769,6 +775,14 @@ object PipelineQueries {
         .filter(col("containment") >= 0.7)
         .orderBy(col("doc_a"), col("doc_b"))
       }
+
+  /** The oracle-pinned token budget for q160's mixture stage — sized so
+    * that at sf0.01 the running cut FIRES (the gated population carries
+    * ~7.3k tokens; 6k cuts 217 → 175 docs) AND every split label
+    * appears downstream (train 144 / val 20 / test 11). The stress
+    * harness passes a scaled budget instead.
+    */
+  private[graft] val Q160Budget = 6000L
 
   val all: Seq[Q] = Seq(
     // ---- exact dedup: hash-groupBy on full text ----
@@ -3892,8 +3906,272 @@ object PipelineQueries {
           trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS c
         FROM documents)
       SELECT min(doc_id) AS doc_id, md5(c) AS fp, count(*) AS n_variants
-      FROM c GROUP BY c ORDER BY doc_id"""))
+      FROM c GROUP BY c ORDER BY doc_id""")),
+
+    // ---- q160: the END-TO-END pretrain-prep DAG, composed as ONE
+    // oracle-gated query (VERDICT r13 #1 / BASELINE.json.north_star).
+    // Every stage is an individually-green operator; this runs them as
+    // the composition a real user ships, each stage consuming the PRIOR
+    // stage's survivors (so e.g. the quality gate's per-source
+    // percent_rank is computed over the decontaminated population, not
+    // the raw corpus — different values than standalone q97, by design):
+    //   1. canonical exact dedup        (q155 semantics)
+    //   2. near-dup fixpoint keep-list  (q87: banded MinHash → verified
+    //      Jaccard ≥ 0.5 edges → min-label fixpoint — over stage-1
+    //      survivors, so the exact-collapse pre-pass is unnecessary:
+    //      canonicalization already merged every raw-identical text)
+    //   3. n-gram decontamination       (q101: eval suite = 8-grams of
+    //      the doc_id%10==7 docs of the FULL corpus — an eval set is
+    //      external and never shrinks because training docs were deduped;
+    //      bloom prune map-side, exact verify on survivors)
+    //   4. per-source quality gate      (q97: TTR percent_rank ≥ 0.5
+    //      within the gated population)
+    //   5. temperature-mixture materialize (q124: sqrt-weight token
+    //      targets from a Q160Budget token budget, md5-ordered running cut via
+    //      the two-level prefix sum)
+    //   6. stratified train/val/test split (q133: exact ceil quotas in
+    //      content-keyed order, two-level form)
+    //   7. sequence packing PER SPLIT   (q95: 512-token sequences in
+    //      doc_id order, two-level prefix sum within each split)
+    // Stage boundaries are pinned (localCheckpoint manifests — ids-only
+    // until the slim signal frame exists), exactly the materialization
+    // discipline a 100 TB pipeline uses between stages; see
+    // graft.Stress STRESS_PRETRAIN_E2E for the per-stage wall/shuffle/
+    // spill attribution at 1000×. The DuckDB oracle replays the whole
+    // chain (recursive-CTE fixpoint for stage 2). ----
+    Q("q160_pretrain_e2e", (s, d) => q160Frame(s, d, Q160Budget),
+      Some(q160OracleSql(Q160Budget)), bench = true)
   )
+
+  /** q160's composed pretrain-prep chain. `budget` is the stage-5 token
+    * budget; `stagePin` (stageNo, stageName, survivors) → survivors lets
+    * the stress harness materialize each stage under its own job group
+    * for per-stage attribution — the default pins stage boundaries with
+    * the bench-loop-safe [[pinReleasingPrior]] discipline (each stage's
+    * manifest is ids-only or slim, never text).
+    */
+  private[graft] def q160Frame(s: SparkSession, d: String, budget: Long,
+      stagePin: Option[(Int, String, DataFrame) => DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import graft.functions.BloomFunctions
+    def pin(i: Int, name: String, df: DataFrame): DataFrame =
+      stagePin.map(f => f(i, name, df))
+        .getOrElse(pinReleasingPrior(s"q160:$name:$d:$budget", df))
+    val all = docs(s, d)
+    val ws = TextOps.tokens(col("text"))
+
+    // stage 1 — canonical exact dedup (q155): min doc_id per NFC-
+    // canonical text class; survivors as an ids-only manifest
+    val canon = trim(regexp_replace(lower(
+      graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
+    val s1 = pin(1, "canonical_dedup",
+      all.select(col("doc_id"), canon.as("c"))
+        .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")))
+    val d1 = all.join(s1, Seq("doc_id"), "left_semi")
+
+    // stage 2 — near-dup fixpoint keep-list (q87) over the canonical
+    // survivors. No exact-collapse pre-pass: stage 1 already merged all
+    // raw-identical texts, so no clone cliques exist in this edge set.
+    // Ineligible (<3-token) docs have no edges → self-reps → kept.
+    val edges = pinReleasingPrior(s"q160edges:$d",
+      verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L))
+    val labels = graft.operators.Dedup
+      .keepListToFixpoint(d1.select(col("doc_id")), edges)
+    val s2 = pin(2, "neardup_fixpoint",
+      labels.filter(col("is_kept")).select(col("doc_id")))
+
+    // stage 3 — n-gram decontamination (q101): the eval suite's 8-gram
+    // inventory comes from the FULL corpus's doc_id%10==7 docs (an eval
+    // set is external — it does not shrink because training docs were
+    // deduped); the gram stream being CHECKED runs only over this
+    // stage's survivors. Bloom prune map-side, exact verify after.
+    def gramsOf(df: DataFrame): DataFrame =
+      df.filter(size(ws) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
+        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+    val evalGrams = gramsOf(all.filter(col("doc_id") % 10 === 7))
+      .select(col("g")).distinct()
+    val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,
+      col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+    val trainSide = all.join(s2, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 10 =!= 7)
+    val contaminated = gramsOf(trainSide)
+      .filter(BloomFunctions.mightContain(bloom, col("g")))
+      .join(evalGrams, "g").select(col("doc_id")).distinct()
+    val s3 = pin(3, "decontaminate",
+      trainSide.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")))
+
+    // stage 4 — per-source quality gate (q97) over the decontaminated
+    // survivors; the output is the SLIM per-doc signal frame every later
+    // stage consumes (text never moves past this projection)
+    val d3 = all.join(s3, Seq("doc_id"), "left_semi")
+    val sig3 = d3.select(col("doc_id"), col("source"),
+      size(ws).cast("long").as("n_tokens"),
+      (size(array_distinct(ws)) / size(ws)).as("ttr"),
+      md5(concat(lit("split|"), coalesce(col("text"), lit("")))).as("ckey"),
+      md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
+    val s4 = pin(4, "quality_gate",
+      sig3.withColumn("pr", percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("ttr"))))
+        .filter(col("pr") >= 0.5)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("ckey"), col("ord")))
+
+    // stage 5 — temperature-mixture materialize (q124): sqrt-weight
+    // token targets over the GATED population, md5-ordered running cut
+    // via the two-level prefix sum (mbkt = 3-hex-char prefix of the
+    // ordering key — 4096 sub-buckets per source)
+    val perSource = s4.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("nt"))
+      .select(col("source"), round(sqrt(col("nt")), 6).as("w"))
+    val tw = sum(col("w").cast(DecimalType(24, 6)))
+      .over(Window.partitionBy()).cast(DoubleType)
+    val targets = perSource.select(col("source"),
+      round(lit(budget.toDouble) * (col("w") / tw), 0).cast("long")
+        .as("target_tokens"))
+    val base5 = s4.withColumn("mbkt", substring(col("ord"), 1, 3))
+    val wB5 = Window.partitionBy(col("source")).orderBy(col("mbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets5 = base5.groupBy(col("source"), col("mbkt"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset", coalesce(sum(col("btotal")).over(wB5), lit(0L)))
+      .select(col("source"), col("mbkt"), col("boffset"))
+    val wIn5 = Window.partitionBy(col("source"), col("mbkt")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s5 = pin(5, "mixture_materialize",
+      base5.join(broadcast(offsets5), Seq("source", "mbkt"))
+        .join(broadcast(targets), "source")
+        .withColumn("cum", col("boffset") + sum(col("n_tokens")).over(wIn5))
+        .filter(col("cum") <= col("target_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ckey")))
+
+    // stage 6 — stratified split (q133): exact ceil quotas in content-
+    // keyed order, two-level form (bucket = leading 2 hex chars OF the
+    // sort key, so bucket order concatenates to the single-window order)
+    val base6 = s5.withColumn("bucket",
+      conv(substring(col("ckey"), 1, 2), 16, 10).cast("int"))
+    val wB6 = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets6 = base6.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boffset", coalesce(sum(col("bn")).over(wB6), lit(0L)))
+      .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
+        col("boffset"))
+    val totals6 = base6.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source").as("t_source"), col("n"))
+    val wIn6 = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("ckey"), col("doc_id"))
+    val s6 = base6
+      .join(broadcast(offsets6), col("source") === col("o_source") &&
+        col("bucket") === col("o_bucket"))
+      .join(broadcast(totals6), col("source") === col("t_source"))
+      .withColumn("pos", col("boffset") + row_number().over(wIn6).cast("long"))
+      .withColumn("n_train", expr("(n * 8 + 9) DIV 10"))
+      .withColumn("n_val", expr("(n + 9) DIV 10"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("pos") <= col("n_train"), lit("train"))
+          .when(col("pos") <= col("n_train") + col("n_val"), lit("val"))
+          .otherwise(lit("test")).as("split"))
+
+    // stage 7 — sequence packing (q95) PER SPLIT: 512-token sequences in
+    // doc_id order, two-level prefix sum within each split
+    val bucketW = 50
+    val base7 = s6.withColumn("bucket", expr(s"doc_id DIV $bucketW"))
+    val wB7 = Window.partitionBy(col("split")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets7 = base7.groupBy(col("split"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset", coalesce(sum(col("btotal")).over(wB7), lit(0L)))
+      .select(col("split").as("p_split"), col("bucket").as("p_bucket"),
+        col("boffset"))
+    val wIn7 = Window.partitionBy(col("split"), col("bucket"))
+      .orderBy(col("doc_id"))
+    base7.join(broadcast(offsets7),
+        col("split") === col("p_split") && col("bucket") === col("p_bucket"))
+      .withColumn("cum_tokens",
+        col("boffset") + sum(col("n_tokens")).over(wIn7))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+        col("cum_tokens"), expr("(cum_tokens - 1) DIV 512").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB full-chain replay of [[q160Frame]] — every stage in one WITH
+    * list; stage 2's fixpoint is the recursive-CTE transitive closure
+    * over the edge kernel applied to the STAGE-1 SURVIVORS (`d1`).
+    */
+  private[graft] def q160OracleSql(budget: Long): String = s"""
+      WITH RECURSIVE
+      cn1 AS (SELECT doc_id,
+          trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS c
+        FROM documents),
+      s1 AS (SELECT min(doc_id) AS doc_id FROM cn1 GROUP BY c),
+      d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
+      ${duckEdgesCtesOf("d1")},
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d1
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      s2 AS (SELECT doc_id FROM (
+               SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id)
+             WHERE doc_id = rep),
+      tg8 AS (SELECT doc_id, $duckWords ws FROM documents),
+      g8 AS (SELECT doc_id, ${duckHash32("gr")} AS g FROM (
+              SELECT doc_id, unnest(list_distinct(
+                [array_to_string(ws[i:i+7], ' ')
+                 for i in generate_series(1, len(ws) - 7)])) gr
+              FROM tg8 WHERE len(ws) >= 8)),
+      ev AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 10 = 7),
+      cont AS (SELECT DISTINCT doc_id FROM g8
+               WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev)),
+      d3 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+             JOIN s2 USING (doc_id)
+             WHERE d.doc_id % 10 <> 7
+               AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+      sg AS (SELECT doc_id, source,
+               CAST(len($duckWords) AS BIGINT) AS n_tokens,
+               len(list_distinct($duckWords)) / len($duckWords) AS ttr,
+               md5('split|' || coalesce(text, '')) AS ckey,
+               md5('mix|' || CAST(doc_id AS VARCHAR)) AS ord
+             FROM d3),
+      s4 AS (SELECT doc_id, source, n_tokens, ckey, ord FROM (
+               SELECT *, percent_rank() OVER (
+                 PARTITION BY source ORDER BY ttr) AS pr FROM sg)
+             WHERE pr >= 0.5),
+      t5 AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS nt
+             FROM s4 GROUP BY source),
+      w5 AS (SELECT source, round(sqrt(nt), 6) AS w FROM t5),
+      tot5 AS (SELECT ${Det.duckSum("w", 6)} AS tw FROM w5),
+      tg5 AS (SELECT source,
+                CAST(round(${budget.toDouble} * (w / tw), 0) AS BIGINT)
+                  AS target_tokens
+              FROM w5, tot5),
+      c5 AS (SELECT s4.doc_id, s4.source, s4.n_tokens, s4.ckey,
+               tg5.target_tokens,
+               CAST(sum(s4.n_tokens) OVER (PARTITION BY s4.source
+                 ORDER BY s4.ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM s4 JOIN tg5 USING (source)),
+      s5 AS (SELECT doc_id, source, n_tokens, ckey FROM c5
+             WHERE cum <= target_tokens),
+      p6 AS (SELECT doc_id, source, n_tokens,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ckey, doc_id) AS BIGINT) AS pos,
+               COUNT(*) OVER (PARTITION BY source) AS n
+             FROM s5),
+      s6 AS (SELECT doc_id, source, n_tokens,
+               CASE WHEN pos <= (8 * n + 9) // 10 THEN 'train'
+                    WHEN pos <= (8 * n + 9) // 10 + (n + 9) // 10 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM p6),
+      c7 AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY split
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
+             FROM s6)
+      SELECT doc_id, source, split, n_tokens, cum_tokens,
+        (cum_tokens - 1) // 512 AS seq_id
+      FROM c7 ORDER BY doc_id"""
 
   /** q143's bootstrap pieces — shared by the shipped broadcast-model
     * form and the compositional join twin the parity spec locks

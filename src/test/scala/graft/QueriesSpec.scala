@@ -1147,4 +1147,44 @@ class QueriesSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 1L, 1.0),
       ("2024-01-08", 1, 1L, 1L, 1.0)), s"got ${rows.mkString("\n")}")
   }
+
+  test("q160 composition: stage survivor sets shrink monotonically and later stages respect earlier keep-lists") {
+    // drive the chain through the stagePin hook — the same seam the
+    // stress harness uses for per-stage attribution — capturing each
+    // stage's survivor manifest
+    val stages = scala.collection.mutable.LinkedHashMap[Int, (String, Set[Long])]()
+    val out = queries.PipelineQueries.q160Frame(spark, dir, 6000L,
+      stagePin = Some((i, name, df) => {
+        val pinned = df.localCheckpoint()
+        stages(i) = (name, pinned.select("doc_id").collect().map(_.getLong(0)).toSet)
+        pinned
+      })).collect()
+    assert(stages.keySet == Set(1, 2, 3, 4, 5), s"stages seen: ${stages.keys}")
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val s1 = stages(1)._2; val s2 = stages(2)._2; val s3 = stages(3)._2
+    val s4 = stages(4)._2; val s5 = stages(5)._2
+    // monotone containment down the chain
+    assert(s1.size <= total)
+    assert(s2.subsetOf(s1), "near-dup keep-list escaped the canonical survivors")
+    assert(s3.subsetOf(s2), "decontamination escaped the near-dup keep-list")
+    assert(s4.subsetOf(s3), "quality gate escaped the decontaminated set")
+    assert(s5.subsetOf(s4), "mixture cut escaped the gated set")
+    // stage 3 removed every eval doc (doc_id % 10 == 7) from the train side
+    assert(s3.forall(_ % 10 != 7), "an eval doc survived decontamination")
+    // final output is exactly the stage-5 manifest, each row labeled + packed
+    val outIds = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(outIds == s5, "output rows != mixture-materialized manifest")
+    val splits = out.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    // per-split packing: cum_tokens strictly increasing in doc_id order and
+    // seq boundaries at 512
+    out.groupBy(_.getAs[String]("split")).foreach { case (sp, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      val cums = sorted.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, s"cum not increasing in $sp")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_id") == (r.getAs[Long]("cum_tokens") - 1) / 512)
+      }
+    }
+  }
 }
