@@ -326,6 +326,7 @@ object StreamStress {
     val acc = new ProgressAccumulator
     spark.streams.addListener(acc)
     val before = DocsStream.displacedReps(spark).value
+    val beforeOc = DocsStream.overConnectMerges(spark).value
     val outDir = java.nio.file.Files.createTempDirectory("verified-edges").toString
     val t0 = System.nanoTime()
     val q = DocsStream.nearDupVerified(DocsStream.readStream(spark, staged, 2), docs)
@@ -337,6 +338,7 @@ object StreamStress {
     finally { q.stop(); spark.streams.removeListener(acc) }
     val wall = (System.nanoTime() - t0) / 1e9
     val displaced = DocsStream.displacedReps(spark).value - before
+    val overConnect = DocsStream.overConnectMerges(spark).value - beforeOc
     def cc(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val edges = e.select(col("doc_id").as("src"), col("dup_of").as("dst"))
       val nodes = edges.select(col("src").as("doc_id"))
@@ -362,7 +364,8 @@ object StreamStress {
       want.select(col("rep")).distinct().count())
     got.unpersist(); want.unpersist()
     println(s"""STREAMSTRESS_VERIFIED {"corpus":"$corpus","docs":$nDocs,""" +
-      s""""displaced":$displaced,"state_rows_peak":${acc.stateRowsPeak.get},""" +
+      s""""displaced":$displaced,"overconnect_merges":$overConnect,""" +
+      s""""state_rows_peak":${acc.stateRowsPeak.get},""" +
       s""""state_bytes_peak":${acc.stateBytesPeak.get},""" +
       s""""label_missing":$missing,"label_extra":$extra,""" +
       s""""components_stream":${comps._1},"components_batch":${comps._2},""" +

@@ -704,6 +704,51 @@ object Stress {
         println(s"""STRESS_DIVERSITY {"corpus":"$tag",""" +
           forms.mkString(",") + s""","max_rel_err":$err}""")
       }
+      // STRESS_PRETRAIN_E2E=budget: the composed q160 pretrain-prep DAG
+      // (canonical dedup → near-dup fixpoint → decontaminate → quality
+      // gate → mixture materialize → split → pack) as ONE run with
+      // per-stage job-group attribution — the stage interactions
+      // (fixpoint checkpoint pressure feeding windows, cross-stage AQE
+      // re-planning) that single-query bench rows can't see. Each stage
+      // runs inside its own PhaseStats phase (the stageRun hook covers
+      // the stage's ENTIRE construction, eager work included); phase 6
+      // is the unmaterialized tail (split + pack + output). Stage 2's
+      // shuffle/spill largely lands in the fixpoint's OWN epoch (its
+      // internal phases re-tag the job group), so the fixpoint rounds
+      // are reported alongside; stage walls are exact regardless.
+      sys.env.get("STRESS_PRETRAIN_E2E").map(_.toLong).foreach { budget =>
+        val run = operators.PhaseStats.start(spark.sparkContext, s"q160-$tag")
+        metrics.reset()
+        val stageRows = scala.collection.mutable.LinkedHashMap[String, Long]()
+        val t0 = System.nanoTime()
+        // replicated ids are base*factor+r, so the oracle's doc_id%10==7
+        // eval law would select "replica r≡7 of EVERY doc" and contaminate
+        // every keep-list survivor with its own replica; lift the law to
+        // the base id so the eval suite is base eval docs + their replicas
+        val evalPred = if (tag == "base") col("doc_id") % 10 === 7
+          else expr(s"(doc_id DIV $factor) % 10 = 7")
+        val out = queries.PipelineQueries.q160Frame(spark, dir, budget,
+          stageRun = Some((i, name, mk) => run.phase(i) {
+            val pinned = mk().localCheckpoint()
+            stageRows(s"s$i" + s"_$name") = pinned.count()
+            pinned
+          }),
+          evalPred = evalPred)
+        val outRows = run.phase(6) {
+          out.write.format("noop").mode("overwrite").save()
+          out.count()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val handle = run.finish()
+        val rowsJson = stageRows.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")
+        println(s"""STRESS_PRETRAIN_E2E {"corpus":"$tag","docs":${
+          if (tag == "base") nBase else nScaled},"budget":$budget,""" +
+          s""""wall_sec":$wall,"shuffle_write_bytes":${metrics.shuffleWrite.get},""" +
+          s""""spilled_bytes":${metrics.spill.get},"out_rows":$outRows,""" +
+          s""""stage_rows":$rowsJson,"stages":${handle.json},""" +
+          s""""fixpoint_rounds":${operators.Dedup.lastFixpointStatsJson}}""")
+      }
     }
 
     // STRESS_PAGERANK=iters: q146's engine on its own scale ladder — a

@@ -3944,42 +3944,56 @@ object PipelineQueries {
   )
 
   /** q160's composed pretrain-prep chain. `budget` is the stage-5 token
-    * budget; `stagePin` (stageNo, stageName, survivors) → survivors lets
-    * the stress harness materialize each stage under its own job group
-    * for per-stage attribution — the default pins stage boundaries with
-    * the bench-loop-safe [[pinReleasingPrior]] discipline (each stage's
-    * manifest is ids-only or slim, never text).
+    * budget; `stageRun` (stageNo, stageName, buildSurvivors) → survivors
+    * lets the stress harness run EACH STAGE'S WHOLE CONSTRUCTION —
+    * including its eager work (edge generation + fixpoint in stage 2,
+    * bloom training in stage 3) — under its own job group for per-stage
+    * attribution, and materialize the result however it wants. The
+    * default materializes stage boundaries with the bench-loop-safe
+    * [[pinReleasingPrior]] discipline (each stage's manifest is ids-only
+    * or slim, never text). `evalPred` selects the eval-suite docs
+    * (default: the oracle-pinned doc_id%10==7); the replicated stress
+    * corpora pass `(doc_id DIV factor) % 10 == 7` instead, because their
+    * ids are base*factor+r and the raw mod would select "replica r≡7 of
+    * EVERY doc" — making every kept doc contaminated by its own replica.
     */
   private[graft] def q160Frame(s: SparkSession, d: String, budget: Long,
-      stagePin: Option[(Int, String, DataFrame) => DataFrame] = None): DataFrame = {
+      stageRun: Option[(Int, String, () => DataFrame) => DataFrame] = None,
+      evalPred: org.apache.spark.sql.Column = col("doc_id") % 10 === 7)
+      : DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.BloomFunctions
-    def pin(i: Int, name: String, df: DataFrame): DataFrame =
-      stagePin.map(f => f(i, name, df))
-        .getOrElse(pinReleasingPrior(s"q160:$name:$d:$budget", df))
+    def stage(i: Int, name: String)(mk: => DataFrame): DataFrame =
+      stageRun.map(f => f(i, name, () => mk))
+        .getOrElse(pinReleasingPrior(s"q160:$name:$d:$budget", mk))
     val all = docs(s, d)
     val ws = TextOps.tokens(col("text"))
 
     // stage 1 — canonical exact dedup (q155): min doc_id per NFC-
     // canonical text class; survivors as an ids-only manifest
-    val canon = trim(regexp_replace(lower(
-      graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
-    val s1 = pin(1, "canonical_dedup",
+    val s1 = stage(1, "canonical_dedup") {
+      val canon = trim(regexp_replace(lower(
+        graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
       all.select(col("doc_id"), canon.as("c"))
         .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id")))
+        .select(col("doc_id"))
+    }
     val d1 = all.join(s1, Seq("doc_id"), "left_semi")
 
     // stage 2 — near-dup fixpoint keep-list (q87) over the canonical
     // survivors. No exact-collapse pre-pass: stage 1 already merged all
     // raw-identical texts, so no clone cliques exist in this edge set.
     // Ineligible (<3-token) docs have no edges → self-reps → kept.
-    val edges = pinReleasingPrior(s"q160edges:$d",
-      verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L))
-    val labels = graft.operators.Dedup
-      .keepListToFixpoint(d1.select(col("doc_id")), edges)
-    val s2 = pin(2, "neardup_fixpoint",
-      labels.filter(col("is_kept")).select(col("doc_id")))
+    // keepListToFixpoint pins the edges itself (materializing the
+    // banding+verify lineage as its round-0 prepare) and releases them
+    // on return — no outer pin needed; its per-round attribution is
+    // readable from Dedup.lastFixpointStatsJson.
+    val s2 = stage(2, "neardup_fixpoint") {
+      val edges = verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
+      graft.operators.Dedup
+        .keepListToFixpoint(d1.select(col("doc_id")), edges)
+        .filter(col("is_kept")).select(col("doc_id"))
+    }
 
     // stage 3 — n-gram decontamination (q101): the eval suite's 8-gram
     // inventory comes from the FULL corpus's doc_id%10==7 docs (an eval
@@ -3991,62 +4005,67 @@ object PipelineQueries {
         .select(col("doc_id"), explode(array_distinct(
           graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
         .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
-    val evalGrams = gramsOf(all.filter(col("doc_id") % 10 === 7))
-      .select(col("g")).distinct()
-    val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,
-      col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
-    val trainSide = all.join(s2, Seq("doc_id"), "left_semi")
-      .filter(col("doc_id") % 10 =!= 7)
-    val contaminated = gramsOf(trainSide)
-      .filter(BloomFunctions.mightContain(bloom, col("g")))
-      .join(evalGrams, "g").select(col("doc_id")).distinct()
-    val s3 = pin(3, "decontaminate",
+    val s3 = stage(3, "decontaminate") {
+      val evalGrams = gramsOf(all.filter(evalPred))
+        .select(col("g")).distinct()
+      // key carries the eval predicate: a stress run's DIV-based law must
+      // not reuse a bloom trained under the default mod law (or vice versa)
+      val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d:$evalPred",
+        evalGrams, col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+      val trainSide = all.join(s2, Seq("doc_id"), "left_semi")
+        .filter(!evalPred)
+      val contaminated = gramsOf(trainSide)
+        .filter(BloomFunctions.mightContain(bloom, col("g")))
+        .join(evalGrams, "g").select(col("doc_id")).distinct()
       trainSide.join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id")))
+        .select(col("doc_id"))
+    }
 
     // stage 4 — per-source quality gate (q97) over the decontaminated
     // survivors; the output is the SLIM per-doc signal frame every later
     // stage consumes (text never moves past this projection)
-    val d3 = all.join(s3, Seq("doc_id"), "left_semi")
-    val sig3 = d3.select(col("doc_id"), col("source"),
-      size(ws).cast("long").as("n_tokens"),
-      (size(array_distinct(ws)) / size(ws)).as("ttr"),
-      md5(concat(lit("split|"), coalesce(col("text"), lit("")))).as("ckey"),
-      md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
-    val s4 = pin(4, "quality_gate",
+    val s4 = stage(4, "quality_gate") {
+      val d3 = all.join(s3, Seq("doc_id"), "left_semi")
+      val sig3 = d3.select(col("doc_id"), col("source"),
+        size(ws).cast("long").as("n_tokens"),
+        (size(array_distinct(ws)) / size(ws)).as("ttr"),
+        md5(concat(lit("split|"), coalesce(col("text"), lit("")))).as("ckey"),
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
       sig3.withColumn("pr", percent_rank().over(
           Window.partitionBy(col("source")).orderBy(col("ttr"))))
         .filter(col("pr") >= 0.5)
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("ckey"), col("ord")))
+          col("ckey"), col("ord"))
+    }
 
     // stage 5 — temperature-mixture materialize (q124): sqrt-weight
     // token targets over the GATED population, md5-ordered running cut
     // via the two-level prefix sum (mbkt = 3-hex-char prefix of the
     // ordering key — 4096 sub-buckets per source)
-    val perSource = s4.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("nt"))
-      .select(col("source"), round(sqrt(col("nt")), 6).as("w"))
-    val tw = sum(col("w").cast(DecimalType(24, 6)))
-      .over(Window.partitionBy()).cast(DoubleType)
-    val targets = perSource.select(col("source"),
-      round(lit(budget.toDouble) * (col("w") / tw), 0).cast("long")
-        .as("target_tokens"))
-    val base5 = s4.withColumn("mbkt", substring(col("ord"), 1, 3))
-    val wB5 = Window.partitionBy(col("source")).orderBy(col("mbkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets5 = base5.groupBy(col("source"), col("mbkt"))
-      .agg(sum(col("n_tokens")).as("btotal"))
-      .withColumn("boffset", coalesce(sum(col("btotal")).over(wB5), lit(0L)))
-      .select(col("source"), col("mbkt"), col("boffset"))
-    val wIn5 = Window.partitionBy(col("source"), col("mbkt")).orderBy(col("ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s5 = pin(5, "mixture_materialize",
+    val s5 = stage(5, "mixture_materialize") {
+      val perSource = s4.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("nt"))
+        .select(col("source"), round(sqrt(col("nt")), 6).as("w"))
+      val tw = sum(col("w").cast(DecimalType(24, 6)))
+        .over(Window.partitionBy()).cast(DoubleType)
+      val targets = perSource.select(col("source"),
+        round(lit(budget.toDouble) * (col("w") / tw), 0).cast("long")
+          .as("target_tokens"))
+      val base5 = s4.withColumn("mbkt", substring(col("ord"), 1, 3))
+      val wB5 = Window.partitionBy(col("source")).orderBy(col("mbkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets5 = base5.groupBy(col("source"), col("mbkt"))
+        .agg(sum(col("n_tokens")).as("btotal"))
+        .withColumn("boffset", coalesce(sum(col("btotal")).over(wB5), lit(0L)))
+        .select(col("source"), col("mbkt"), col("boffset"))
+      val wIn5 = Window.partitionBy(col("source"), col("mbkt")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       base5.join(broadcast(offsets5), Seq("source", "mbkt"))
         .join(broadcast(targets), "source")
         .withColumn("cum", col("boffset") + sum(col("n_tokens")).over(wIn5))
         .filter(col("cum") <= col("target_tokens"))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("ckey")))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ckey"))
+    }
 
     // stage 6 — stratified split (q133): exact ceil quotas in content-
     // keyed order, two-level form (bucket = leading 2 hex chars OF the

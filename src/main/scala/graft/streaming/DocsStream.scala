@@ -175,6 +175,23 @@ object DocsStream {
     displacedAccs.computeIfAbsent(spark.sparkContext.applicationId,
       _ => spark.sparkContext.longAccumulator("docsstream.displaced_rep"))
 
+  /** Displaced-rep emissions that PASSED in-handler verification — each
+    * one folds the old rep's cluster into the new rep's, which is the
+    * OVER-CONNECTION channel of the documented rep-anchoring boundary
+    * (the stream anchors at the rep current on arrival, the batch twin
+    * at the final minimum; a verified relink can merge what batch keeps
+    * apart — over-keep only, since the link itself is exact-Jaccard
+    * verified). Counting them makes the over-connection RATE observable
+    * at stress scale (ST11 contract: every folded edge is an
+    * individually verified pair; this bounds how many merges the
+    * anchoring difference can contribute).
+    */
+  private val overConnectAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  def overConnectMerges(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    overConnectAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("docsstream.overconnect_merge"))
+
   /** [[nearDupCandidates]] extended through VERIFICATION: candidates are
     * exact-Jaccard-checked (≥ 0.5) against their bucket representative,
     * so the stream emits confirmed near-dups, not just bucket
@@ -235,6 +252,7 @@ object DocsStream {
     val spark = stream.sparkSession
     import spark.implicits._
     val displaced = displacedReps(spark)
+    val overConnect = overConnectMerges(spark)
     // 5th field: the displaced pair's IN-HANDLER jaccard (−1 marks a
     // normal candidate, verified downstream against history). One
     // linear plan — a filter-and-union split would duplicate the
@@ -260,9 +278,12 @@ object DocsStream {
               if (minSeen < r._3) out += ((r._3, band, minSeen, r._4, -1.0))
               else if (r._3 < minSeen) {
                 if (minSeen != Long.MaxValue) {
-                  out += ((minSeen, band, r._3, repSh,
-                    jaccardSortedSeq(repSh, r._4)))
+                  val j = jaccardSortedSeq(repSh, r._4)
+                  out += ((minSeen, band, r._3, repSh, j))
                   displaced.add(1L)
+                  // a VERIFIED relink folds the old rep's cluster into
+                  // the new rep's — the over-connection channel
+                  if (j >= 0.5) overConnect.add(1L)
                 }
                 minSeen = r._3; repSh = r._4
               }

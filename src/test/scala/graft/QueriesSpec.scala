@@ -1154,8 +1154,8 @@ class QueriesSpec extends AnyFunSuite {
     // stage's survivor manifest
     val stages = scala.collection.mutable.LinkedHashMap[Int, (String, Set[Long])]()
     val out = queries.PipelineQueries.q160Frame(spark, dir, 6000L,
-      stagePin = Some((i, name, df) => {
-        val pinned = df.localCheckpoint()
+      stageRun = Some((i, name, mk) => {
+        val pinned = mk().localCheckpoint()
         stages(i) = (name, pinned.select("doc_id").collect().map(_.getLong(0)).toSet)
         pinned
       })).collect()

@@ -968,6 +968,109 @@ class StreamingSpec extends AnyFunSuite {
       "reversed-arrival verified labels != batch CC")
   }
 
+  test("ST11 contract: every edge the streaming labeler folds is an " +
+      "individually Jaccard-verified pair; sub-threshold docs are never " +
+      "folded; over-connection merges are counted (ST11c)") {
+    // the residual rep-anchoring boundary, pinned as a CONTRACT rather
+    // than a stress count: on threshold-MARGINAL chains the stream can
+    // over-connect vs the batch twin, but only along edges that are
+    // individually exact-Jaccard >= 0.5 — so a merge can only join
+    // genuinely-similar docs, and a wrongly-DROPPED doc (under-keep)
+    // would require a spurious edge, which this asserts cannot be
+    // emitted. overConnectMerges makes the merge rate observable.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    // marginal ladder: j(10,11)=5/7, j(10,12)=0.5 (exactly at the
+    // threshold), 13 at j=0.2 to everything (below threshold); clones
+    // 20/21 plus a 0.8 neighbor 22 — probed: all >= 0.5 pairs band
+    val texts = Seq(
+      10L -> "a b c d e f g h",
+      11L -> "a b c d e f g z",
+      12L -> "a b c d e f y z",
+      13L -> "a b c d q r y z",
+      20L -> "one two three four five six",
+      21L -> "one two three four five six",
+      22L -> "one two three four five six seven")
+    val docs = texts.map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sd = java.nio.file.Files.createTempDirectory("st11c")
+    def stage(ids: Seq[Long], name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("st11c-w")
+      docs.filter(col("doc_id").isin(ids: _*))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      assert(dest.toFile.setLastModified(mtime))
+    }
+    // REVERSED: cluster minima (10 and 20) arrive last — maximum
+    // displacement; every displaced relink in this fixture verifies
+    stage(Seq(11L, 12L, 13L, 21L, 22L), "a.parquet", 1000000L)
+    stage(Seq(10L, 20L), "b.parquet", 2000000L)
+    val beforeD = DocsStream.displacedReps(spark).value
+    val beforeOc = DocsStream.overConnectMerges(spark).value
+    val q = DocsStream.nearDupVerified(
+        DocsStream.readStream(spark, sd.toString), docs)
+      .writeStream.format("memory").queryName("st11c_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val edges = spark.table("st11c_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(edges.nonEmpty, "fixture produced no edges — banding broken")
+    // ground truth from the raw texts, independent of the handler
+    val tmap = texts.toMap
+    def shingles(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(3).toSet
+    def truthJ(a: Long, b: Long): Double = {
+      val (x, y) = (shingles(tmap(a)), shingles(tmap(b)))
+      if ((x ++ y).isEmpty) 0.0
+      else x.intersect(y).size.toDouble / (x ++ y).size
+    }
+    // CONTRACT 1: every emitted edge is an individually verified pair —
+    // its carried jaccard equals the ground-truth jaccard of the two
+    // TEXTS (so the cached rep shingles really were the old rep's), and
+    // it clears the threshold
+    edges.foreach { case (a, b, j) =>
+      assert(math.abs(j - truthJ(a, b)) < 1e-9,
+        s"edge ($a,$b) carries j=$j but texts give ${truthJ(a, b)}")
+      assert(j >= 0.5, s"sub-threshold edge emitted: ($a,$b,$j)")
+    }
+    // CONTRACT 2: the below-threshold doc is never folded — under-keep
+    // would need a spurious edge
+    assert(!edges.exists(e => e._1 == 13L || e._2 == 13L),
+      s"doc 13 (max truth jaccard 0.2) was folded: ${edges.toSeq}")
+    // the at-threshold doc 12 was folded along SOME verified link — in
+    // the reversed replay it anchors at the rep current on arrival (11,
+    // j(11,12)=0.5 exactly), then the displacement relinks 11→10: the
+    // rep-anchoring path, every hop individually verified
+    assert(edges.exists(e => e._1 == 12L || e._2 == 12L),
+      s"the at-threshold doc 12 was never folded: ${edges.toSeq}")
+    // and the verified chain connects the marginal cluster end to end
+    val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(from: Long): Set[Long] = {
+      var seen = Set(from); var frontier = Set(from)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    assert(Set(10L, 11L, 12L).subsetOf(reach(10L)),
+      s"marginal cluster not connected: ${reach(10L)}")
+    // CONTRACT 3: over-connection merges observable; in this fixture
+    // every displaced relink verifies, so the two counters move together
+    val dDelta = DocsStream.displacedReps(spark).value - beforeD
+    val ocDelta = DocsStream.overConnectMerges(spark).value - beforeOc
+    assert(dDelta > 0, "reversed staging never displaced a rep")
+    assert(ocDelta == dDelta,
+      s"all displaced relinks verify here, but overConnect=$ocDelta, displaced=$dDelta")
+    spark.sql("DROP TABLE IF EXISTS st11c_out")
+  }
+
   test("stream defined on an EMPTY landing dir uses the declared schema; " +
       "files arriving later are processed (ADVICE r8)") {
     // production file streams are defined BEFORE data lands; the schema
