@@ -262,11 +262,19 @@ object StreamStress {
         case "funnel_eager" => graft.streaming.EventsStream.funnelCompletions()
         case "retention" => graft.streaming.EventsStream.retentionActivations()
         case "paths" => graft.streaming.EventsStream.sessionPaths
+        case "paths_rollup" => graft.streaming.EventsStream.sessionPathRollup
         case other => sys.error(s"unknown STREAM_STRESS_ANALYTICS mode: $other")
       }
     val acc = new ProgressAccumulator
     spark.streams.addListener(acc)
     val emitted = new java.util.concurrent.atomic.AtomicLong
+    // sink-body wall: foreachBatch's count() EXECUTES the batch (the df
+    // is lazy), so this is the time inside micro-batch execution —
+    // source scan + state maintenance + emission — vs. the run's
+    // planning/listing/commit overhead (wall − sink). The state-vs-
+    // emission split itself comes from the paths vs paths_rollup A/B
+    // (same session-window state work, 95M-row vs |days×paths| output).
+    val sinkNanos = new java.util.concurrent.atomic.AtomicLong
     val t0 = System.nanoTime()
     // stream from the staged time-ordered directory (never the x-dir
     // root — it also holds the other tables)
@@ -274,7 +282,9 @@ object StreamStress {
         Some(sys.env.getOrElse("STREAM_STRESS_MFT", "2").toInt)))
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        emitted.addAndGet(df.count()); ()
+        val b0 = System.nanoTime()
+        emitted.addAndGet(df.count())
+        sinkNanos.addAndGet(System.nanoTime() - b0); ()
       }.start()
     try q.processAllAvailable()
     finally { q.stop(); spark.streams.removeListener(acc) }
@@ -293,6 +303,7 @@ object StreamStress {
       s""""provider":"${spark.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")
         .map(_.split('.').last).getOrElse("hdfs-default")}",""" +
+      s""""batch_exec_sec":${math.round(sinkNanos.get / 1e8) / 10.0},""" +
       s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
   }
 

@@ -717,37 +717,65 @@ object Stress {
       // internal phases re-tag the job group), so the fixpoint rounds
       // are reported alongside; stage walls are exact regardless.
       sys.env.get("STRESS_PRETRAIN_E2E").map(_.toLong).foreach { budget =>
-        val run = operators.PhaseStats.start(spark.sparkContext, s"q160-$tag")
-        metrics.reset()
-        val stageRows = scala.collection.mutable.LinkedHashMap[String, Long]()
-        val t0 = System.nanoTime()
-        // replicated ids are base*factor+r, so the oracle's doc_id%10==7
-        // eval law would select "replica r≡7 of EVERY doc" and contaminate
-        // every keep-list survivor with its own replica; lift the law to
-        // the base id so the eval suite is base eval docs + their replicas
-        val evalPred = if (tag == "base") col("doc_id") % 10 === 7
-          else expr(s"(doc_id DIV $factor) % 10 = 7")
-        val out = queries.PipelineQueries.q160Frame(spark, dir, budget,
-          stageRun = Some((i, name, mk) => run.phase(i) {
-            val pinned = mk().localCheckpoint()
-            stageRows(s"s$i" + s"_$name") = pinned.count()
-            pinned
-          }),
-          evalPred = evalPred)
-        val outRows = run.phase(6) {
-          out.write.format("noop").mode("overwrite").save()
-          out.count()
+        // STRESS_PRETRAIN_REP: "1" → stage 2 uses the rep-anchored edge
+        // form (the flat-memory shape for clique-heavy corpora — the
+        // pairwise form's edge set is ~b²/2 per planted b-member clique,
+        // ~10⁹ rows at 1000×); "both" → run both forms and print the
+        // stage-2 survivor agreement (planted-truth: the replicated
+        // variants all verify against their bucket rep, so the forms
+        // must agree exactly here). Unset → pairwise (the oracle form).
+        val forms: Seq[(String, Boolean)] =
+          sys.env.get("STRESS_PRETRAIN_REP") match {
+            case Some("both") => Seq("pairwise" -> false, "rep" -> true)
+            case Some("1") => Seq("rep" -> true)
+            case _ => Seq("pairwise" -> false)
+          }
+        val s2Manifests = scala.collection.mutable.LinkedHashMap[
+          String, org.apache.spark.sql.DataFrame]()
+        forms.foreach { case (form, repAnchored) =>
+          val run = operators.PhaseStats.start(spark.sparkContext,
+            s"q160-$tag-$form")
+          metrics.reset()
+          val stageRows = scala.collection.mutable.LinkedHashMap[String, Long]()
+          val t0 = System.nanoTime()
+          // replicated ids are base*factor+r, so the oracle's doc_id%10==7
+          // eval law would select "replica r≡7 of EVERY doc" and contaminate
+          // every keep-list survivor with its own replica; lift the law to
+          // the base id so the eval suite is base eval docs + their replicas
+          val evalPred = if (tag == "base") col("doc_id") % 10 === 7
+            else expr(s"(doc_id DIV $factor) % 10 = 7")
+          val out = queries.PipelineQueries.q160Frame(spark, dir, budget,
+            stageRun = Some((i, name, mk) => run.phase(i) {
+              val pinned = mk().localCheckpoint()
+              stageRows(s"s$i" + s"_$name") = pinned.count()
+              if (i == 2) s2Manifests(form) = pinned
+              pinned
+            }),
+            evalPred = evalPred,
+            repAnchoredNearDup = repAnchored)
+          val outRows = run.phase(6) {
+            out.write.format("noop").mode("overwrite").save()
+            out.count()
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val handle = run.finish()
+          val rowsJson = stageRows.map { case (k, v) => s""""$k":$v""" }
+            .mkString("{", ",", "}")
+          println(s"""STRESS_PRETRAIN_E2E {"corpus":"$tag","form":"$form","docs":${
+            if (tag == "base") nBase else nScaled},"budget":$budget,""" +
+            s""""wall_sec":$wall,"shuffle_write_bytes":${metrics.shuffleWrite.get},""" +
+            s""""spilled_bytes":${metrics.spill.get},"out_rows":$outRows,""" +
+            s""""stage_rows":$rowsJson,"stages":${handle.json},""" +
+            s""""fixpoint_rounds":${operators.Dedup.lastFixpointStatsJson}}""")
         }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val handle = run.finish()
-        val rowsJson = stageRows.map { case (k, v) => s""""$k":$v""" }
-          .mkString("{", ",", "}")
-        println(s"""STRESS_PRETRAIN_E2E {"corpus":"$tag","docs":${
-          if (tag == "base") nBase else nScaled},"budget":$budget,""" +
-          s""""wall_sec":$wall,"shuffle_write_bytes":${metrics.shuffleWrite.get},""" +
-          s""""spilled_bytes":${metrics.spill.get},"out_rows":$outRows,""" +
-          s""""stage_rows":$rowsJson,"stages":${handle.json},""" +
-          s""""fixpoint_rounds":${operators.Dedup.lastFixpointStatsJson}}""")
+        if (s2Manifests.size == 2) {
+          val Seq(a, b) = s2Manifests.values.toSeq
+          val onlyA = a.except(b).count()
+          val onlyB = b.except(a).count()
+          println(s"""STRESS_PRETRAIN_REP {"corpus":"$tag",""" +
+            s""""pairwise_only":$onlyA,"rep_only":$onlyB,""" +
+            s""""agree":${onlyA == 0 && onlyB == 0}}""")
+        }
       }
     }
 

@@ -3959,7 +3959,8 @@ object PipelineQueries {
     */
   private[graft] def q160Frame(s: SparkSession, d: String, budget: Long,
       stageRun: Option[(Int, String, () => DataFrame) => DataFrame] = None,
-      evalPred: org.apache.spark.sql.Column = col("doc_id") % 10 === 7)
+      evalPred: org.apache.spark.sql.Column = col("doc_id") % 10 === 7,
+      repAnchoredNearDup: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.BloomFunctions
@@ -3988,8 +3989,26 @@ object PipelineQueries {
     // banding+verify lineage as its round-0 prepare) and releases them
     // on return — no outer pin needed; its per-round attribution is
     // readable from Dedup.lastFixpointStatsJson.
+    // `repAnchoredNearDup` swaps the ALL-PAIRS bucket verify for the
+    // bucket-minimum REP anchoring (the q157/DocsStream discipline:
+    // b−1 verify calls and ≤4 edges per doc instead of ~b²/2 per
+    // bucket) — the shape you ship when the corpus carries large
+    // near-dup cliques (boilerplate/templates; the 1000× replicated
+    // stress corpus plants ~667-member cliques per base doc, whose
+    // pairwise edge set is ~10⁹ rows — the documented raw-clique
+    // boundary). Components can under-connect only on threshold-
+    // marginal chains (every folded edge is still individually
+    // verified) — i.e. the rep form can OVER-KEEP, never over-merge.
+    // Measured by STRESS_PRETRAIN_REP: survivor sets identical on the
+    // base corpus, rep form over-kept 1 of 4,758 at 10× (one marginal
+    // link the pairwise form closes transitively).
     val s2 = stage(2, "neardup_fixpoint") {
-      val edges = verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
+      val edges = if (repAnchoredNearDup) {
+        val rep = graft.streaming.DocsStream.nearDupVerifiedBatch(d1, d1)
+          .select(col("doc_id").as("src"), col("dup_of").as("dst"))
+          .distinct()
+        rep.union(rep.select(col("dst").as("src"), col("src").as("dst")))
+      } else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
       graft.operators.Dedup
         .keepListToFixpoint(d1.select(col("doc_id")), edges)
         .filter(col("is_kept")).select(col("doc_id"))

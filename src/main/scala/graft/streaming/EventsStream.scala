@@ -571,6 +571,34 @@ object EventsStream {
         unix_micros(col("session_window.end")).as("send"),
         col("path"))
 
+  /** Streaming ROLLUP twin of q156's path aggregate — a SECOND stateful
+    * stage consuming the closed-session stream: daily tumbling window
+    * (on the session's event time via `window_time`) × path counts, so
+    * the sink sees |days × distinct paths| rows instead of every closed
+    * session (95M at the 1000× corpus) — the bounded-output option for
+    * a deployment that wants the q156 rollup, not the session log.
+    * Chained stateful aggregations are legal because both stages are
+    * event-time windowed under one watermark (Spark's multiple-stateful-
+    * operator support); a day's row emits only once the watermark passes
+    * the day end, by which point every session ending inside the day has
+    * closed — so emitted day rows carry their EXACT final counts.
+    * Runs identically on a batch frame (watermark no-op), so the ST17r
+    * parity spec compares directly up to the watermark tail.
+    */
+  def sessionPathRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(concat_ws(">", transform(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("tu"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy(window(window_time(col("session_window")), "1 day"),
+        col("path"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("path"), col("n"))
+
   /** Idempotent `foreachBatch` parquet sink: each micro-batch OVERWRITES
     * its own epoch directory, so a replayed batch (failure between sink
     * write and checkpoint commit — the at-least-once window every

@@ -561,6 +561,36 @@ class StreamingSpec extends AnyFunSuite {
       "vacuous: nothing emitted before the tail")
   }
 
+  test("streaming session-path ROLLUP == batch up to the watermark tail " +
+      "(ST17r: chained stateful stages, bounded output)") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val stream = EventsStream.runToMemory(spark, streamDir,
+      EventsStream.sessionPathRollup, "sesspathru_out", outputMode = "append")
+    val batch = EventsStream.sessionPathRollup(batchEvents)
+    val s = sortedRows(stream).toSet
+    val b = sortedRows(batch).toSet
+    // a day emits only once the watermark passes its end, when every
+    // session ending inside it has closed — so emitted rows are EXACT
+    assert(s.subsetOf(b), s"stream emitted a non-batch rollup row: " +
+      s"${(s diff b).take(3)}")
+    // complete up to the final watermark: every batch day that ended
+    // before max(ts) − 30 min must have flushed with its full counts
+    val cutoffDay = batchEvents
+      .agg(org.apache.spark.sql.functions.date_format(
+        fmax(col("ts")) - org.apache.spark.sql.functions.expr(
+          "INTERVAL 30 MINUTES") - org.apache.spark.sql.functions.expr(
+          "INTERVAL 1 DAY"), "yyyy-MM-dd"))
+      .head().getString(0)
+    val mustFlush = sortedRows(batch.filter(col("day") < cutoffDay)).toSet
+    assert(mustFlush.subsetOf(s), s"closed day not flushed: " +
+      s"${(mustFlush diff s).take(3)}")
+    assert(s.nonEmpty, "vacuous: nothing emitted before the tail")
+    // bounded output: the rollup emits far fewer rows than the session log
+    val nSessions = EventsStream.sessionPaths(batchEvents).count()
+    assert(stream.count() < nSessions,
+      s"rollup (${stream.count()}) not smaller than session log ($nSessions)")
+  }
+
   test("stream-stream interval join: stream == batch (ST8)") {
     val stream = EventsStream.runToMemory(spark, streamDir,
       EventsStream.intervalJoin(_), "ssjoin_out", outputMode = "append")
