@@ -58,7 +58,11 @@ object ClusterPerf {
       .config("spark.executor.memory", execMem)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // CLUSTERPERF_COALESCE=0 gives the STATIC control: AQE on (join
+      // planning unchanged) but partition count pinned at the initial
+      // value — the configuration whose spill the prescription targets
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("CLUSTERPERF_COALESCE", "1") != "0")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (advisoryMB.toLong << 20).toString)
       // honor the advisory SIZE: by default AQE prefers parallelism and
