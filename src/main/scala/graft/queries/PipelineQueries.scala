@@ -690,6 +690,34 @@ object PipelineQueries {
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
                 UNION ALL SELECT doc_b, doc_a FROM ver)"""
 
+  /** Rep-anchored DuckDB twin of [[graft.streaming.DocsStream
+    * .nearDupVerifiedBatch]] over an arbitrary (doc_id, text) table:
+    * candidates pair each bucket member with the bucket-MINIMUM rep
+    * only (b−1 per bucket, the q157 discipline), verified at exact
+    * Jaccard ≥ 0.5 — the clique-safe edge form q161 oracle-pins. Same
+    * CTE names as [[duckEdgesCtesOf]] so the chain body is shared.
+    */
+  private def duckRepEdgesCtesOf(tbl: String): String = s"""${duckSigCte(8, tbl)},
+      bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      brep AS (SELECT band, bkey, min(doc_id) AS rep_id
+               FROM bands GROUP BY band, bkey),
+      cand AS (SELECT DISTINCT b.doc_id AS doc_a, r.rep_id AS doc_b
+               FROM bands b JOIN brep r USING (band, bkey)
+               WHERE r.rep_id < b.doc_id),
+      shset AS (SELECT doc_id,
+                  list_distinct([${duckHash56("x")} for x in sh]) sh FROM s),
+      ver AS (SELECT c.doc_a, c.doc_b FROM cand c
+              JOIN shset x ON x.doc_id = c.doc_a
+              JOIN shset y ON y.doc_id = c.doc_b
+              WHERE len(list_distinct(list_intersect(x.sh, y.sh)))
+                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver)"""
+
   /** q127's frame, exposed for the spec that forces BOTH shingle-stream
     * modes (map-side ShinglesK vs windowed lead) and asserts identical
     * results. `forceMapSide` overrides the split-count probe.
@@ -3940,7 +3968,20 @@ object PipelineQueries {
     // spill attribution at 1000×. The DuckDB oracle replays the whole
     // chain (recursive-CTE fixpoint for stage 2). ----
     Q("q160_pretrain_e2e", (s, d) => q160Frame(s, d, Q160Budget),
-      Some(q160OracleSql(Q160Budget)), bench = true)
+      Some(q160OracleSql(Q160Budget)), bench = true),
+
+    // ---- q161: the SAME composed DAG with stage 2 in its 100 TB-
+    // DEFAULT form — rep-anchored near-dup edges (bucket-minimum
+    // verify, b−1 calls and ≤4 edges per doc; clique-safe where the
+    // pairwise form's edge set is ~b²/2 per near-dup clique). q160
+    // oracle-pins the exact-fixpoint semantics; this pins the shape
+    // you actually ship on clique-heavy corpora, so BOTH forms are
+    // cross-engine hash-gated, not just stress-measured. Divergence
+    // channel is over-keep only (ST11c contract; QueriesSpec asserts
+    // rep survivors ⊇ pairwise survivors). ----
+    Q("q161_pretrain_e2e_rep",
+      (s, d) => q160Frame(s, d, Q160Budget, repAnchoredNearDup = true),
+      Some(q160OracleSql(Q160Budget, duckRepEdgesCtesOf("d1"))))
   )
 
   /** q160's composed pretrain-prep chain. `budget` is the stage-5 token
@@ -4140,14 +4181,15 @@ object PipelineQueries {
     * list; stage 2's fixpoint is the recursive-CTE transitive closure
     * over the edge kernel applied to the STAGE-1 SURVIVORS (`d1`).
     */
-  private[graft] def q160OracleSql(budget: Long): String = s"""
+  private[graft] def q160OracleSql(budget: Long,
+      edgesCtes: String = null): String = s"""
       WITH RECURSIVE
       cn1 AS (SELECT doc_id,
           trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS c
         FROM documents),
       s1 AS (SELECT min(doc_id) AS doc_id FROM cn1 GROUP BY c),
       d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
-      ${duckEdgesCtesOf("d1")},
+      ${Option(edgesCtes).getOrElse(duckEdgesCtesOf("d1"))},
       reach(doc_id, r) AS (
         SELECT doc_id, doc_id FROM d1
         UNION

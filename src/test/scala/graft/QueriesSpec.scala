@@ -1187,4 +1187,27 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q161 rep-anchored composition can only OVER-keep vs q160's pairwise form") {
+    // the rep form's divergence channel is under-CONNECTION on
+    // threshold-marginal chains (ST11c contract: every folded edge is
+    // individually verified, so it can only fail to merge, never merge
+    // wrongly) — at the keep-list level that means rep survivors are a
+    // SUPERSET of pairwise survivors
+    def s2Of(rep: Boolean): Set[Long] = {
+      var s2: Set[Long] = Set.empty
+      queries.PipelineQueries.q160Frame(spark, dir, 6000L,
+        stageRun = Some((i, name, mk) => {
+          val pinned = mk().localCheckpoint()
+          if (i == 2) s2 = pinned.collect().map(_.getLong(0)).toSet
+          pinned
+        }),
+        repAnchoredNearDup = rep).queryExecution.logical // construct only
+      s2
+    }
+    val pairwise = s2Of(rep = false)
+    val repAnchored = s2Of(rep = true)
+    assert(pairwise.subsetOf(repAnchored),
+      s"rep form LOST survivors: ${(pairwise diff repAnchored).take(10)}")
+  }
 }
