@@ -3984,6 +3984,59 @@ object PipelineQueries {
       Some(q160OracleSql(Q160Budget, duckRepEdgesCtesOf("d1"))))
   )
 
+  /** Rep-anchored verified near-dup edges over a (doc_id, text, ...)
+    * frame, in the q157 ID-JOIN discipline: band IDS ONLY (no shingle
+    * payload rides the 4×-corpus band explode), bucket-minimum rep via
+    * a partial-aggregated min, distinct (doc, rep) id pairs BEFORE any
+    * shingle set moves, then ONE shingle-set join per side feeding the
+    * codegen'd merge-scan Jaccard verify (≥ 0.5). Emits both
+    * directions. Edge SET is identical to deriving them from
+    * [[graft.streaming.DocsStream.nearDupVerifiedBatch]] (spec-locked)
+    * — this form exists because the payload-carrying twin moves ~5
+    * shingle-set copies per doc where this moves 2 (measured at the
+    * 1000× e2e ladder: the stage-2 prepare's shuffle AND its spill live
+    * here).
+    */
+  private def repAnchoredEdges(docsDf: DataFrame): DataFrame = {
+    import graft.functions.SetFunctions
+    val nBands = 4
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
+    val bkeys = array((0 until nBands).map(b => concat_ws("_",
+      element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
+    val eligible = docsDf.filter(size(TextOps.tokens(col("text"))) >= 3)
+    // literal-index explode (the InferFiltersFromGenerate discipline of
+    // verifiedEdgesOf: a computed-array explode would push a synthesized
+    // size()>0 filter with the minhash kernel inlined)
+    val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
+    val bands = eligible
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), bkeys.as("bkeys"))
+      .select(col("doc_id"), col("bkeys"), bandIdx)
+      .select(col("doc_id"), col("band"),
+        element_at(col("bkeys"), col("band") + 1).as("bkey"))
+    val reps = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("rep"))
+    // the groupBy's (band, bkey) exchange and this join's are identical
+    // subplans — ReuseExchange dedupes the banding pass
+    val pairs = bands.join(reps, Seq("band", "bkey"))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("doc_id"), col("rep")).distinct()
+    val sh = eligible.select(col("doc_id"),
+      SetFunctions.shingleHashSet(col("text"), 3).as("sh"))
+    val ver = pairs
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(sh.select(col("doc_id").as("rep"), col("sh").as("sh_b")), "rep")
+      .filter(SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
+    ver.union(ver.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[repAnchoredEdges]] exposed for the parity spec that locks it to
+    * the payload-carrying batch-twin derivation.
+    */
+  private[graft] def repAnchoredEdgesOf(docsDf: DataFrame): DataFrame =
+    repAnchoredEdges(docsDf)
+
   /** q160's composed pretrain-prep chain. `budget` is the stage-5 token
     * budget; `stageRun` (stageNo, stageName, buildSurvivors) → survivors
     * lets the stress harness run EACH STAGE'S WHOLE CONSTRUCTION —
@@ -4044,12 +4097,8 @@ object PipelineQueries {
     // base corpus, rep form over-kept 1 of 4,758 at 10× (one marginal
     // link the pairwise form closes transitively).
     val s2 = stage(2, "neardup_fixpoint") {
-      val edges = if (repAnchoredNearDup) {
-        val rep = graft.streaming.DocsStream.nearDupVerifiedBatch(d1, d1)
-          .select(col("doc_id").as("src"), col("dup_of").as("dst"))
-          .distinct()
-        rep.union(rep.select(col("dst").as("src"), col("src").as("dst")))
-      } else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
+      val edges = if (repAnchoredNearDup) repAnchoredEdges(d1)
+        else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
       graft.operators.Dedup
         .keepListToFixpoint(d1.select(col("doc_id")), edges)
         .filter(col("is_kept")).select(col("doc_id"))

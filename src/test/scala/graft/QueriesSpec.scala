@@ -1210,4 +1210,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(pairwise.subsetOf(repAnchored),
       s"rep form LOST survivors: ${(pairwise diff repAnchored).take(10)}")
   }
+
+  test("rep-anchored id-join edges == the payload-carrying batch-twin derivation") {
+    // q160/q161's stage-2 rep form uses the q157 id-join discipline (no
+    // shingle payload on the band explode); the streaming batch twin
+    // carries payloads. Same semantics by construction — locked here on
+    // the real corpus so a drift in either kernel (banding, rep choice,
+    // verify threshold) breaks loudly.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idJoin = norm(queries.PipelineQueries.repAnchoredEdgesOf(docs)
+      .select(col("src"), col("dst")))
+    val twin = graft.streaming.DocsStream.nearDupVerifiedBatch(docs, docs)
+      .select(col("doc_id").as("src"), col("dup_of").as("dst")).distinct()
+    val twinBoth = norm(twin.union(
+      twin.select(col("dst").as("src"), col("src").as("dst"))))
+    assert(idJoin == twinBoth,
+      s"edge sets differ: onlyIdJoin=${(idJoin diff twinBoth).take(5)} " +
+        s"onlyTwin=${(twinBoth diff idJoin).take(5)}")
+    assert(idJoin.nonEmpty, "vacuous: corpus produced no rep edges")
+  }
 }
