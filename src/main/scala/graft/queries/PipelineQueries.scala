@@ -2826,6 +2826,63 @@ object PipelineQueries {
     // (one row per bucket) get a tiny global cumsum and broadcast back
     // as offsets; each row then needs only a WITHIN-bucket running sum.
     // The only global ordering touches |buckets| rows, not the corpus. ----
+    // ---- LENGTH-BUCKETED sequence packing (the bucketed-batching form
+    // production training pipelines run alongside q95's contiguous
+    // packing): docs are binned by 64-token length grade (capped at the
+    // 512 sequence size), and each sequence holds exactly
+    // floor(512/grade) docs of its grade — so padding per doc is
+    // bounded by its grade remainder and NO sequence straddles a doc
+    // (q95's cum form splits logical docs across sequence boundaries;
+    // this form never does, at the price of the per-grade tail
+    // sequence running partially empty). Deterministic: rank within
+    // grade is (doc_id) order. Scale shape: a plain per-grade window
+    // funnels corpus/|grades| rows into ≤8 tasks (the q129 hot-domain
+    // problem with only 8 "domains"), so rank comes from the q95/q133
+    // two-level prefix sum — per-(grade, id-bucket) counts get a tiny
+    // per-grade cumsum broadcast back as offsets, and the corpus-sized
+    // window runs per (grade, id-bucket). ----
+    Q("q162_bucketed_pack", (s, d) => {
+      val cap = 512
+      val bucketW = 50
+      val nTok = size(TextOps.tokens(col("text"))).cast("long")
+      val base = docs(s, d).select(col("doc_id"), nTok.as("n_tokens"),
+          expr(s"doc_id DIV $bucketW").as("bucket"))
+        .withColumn("grade",
+          least(lit(cap.toLong), ((col("n_tokens") + 63L) / 64L).cast("long") * 64L))
+      val wB = Window.partitionBy(col("grade")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("grade"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("boffset", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("grade").as("o_grade"), col("bucket").as("o_bucket"),
+          col("boffset"))
+      val wIn = Window.partitionBy(col("grade"), col("bucket"))
+        .orderBy(col("doc_id"))
+      base
+        .join(broadcast(offsets), col("grade") === col("o_grade") &&
+          col("bucket") === col("o_bucket"))
+        .withColumn("rnk", col("boffset") + row_number().over(wIn).cast("long"))
+        .withColumn("seq_cap", expr(s"$cap DIV grade"))
+        .select(col("doc_id"), col("n_tokens"), col("grade"),
+          expr("(rnk - 1) DIV seq_cap").as("seq_in_grade"),
+          expr("(rnk - 1) % seq_cap").as("slot"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      g AS (SELECT doc_id, n_tokens,
+          least(512, ((n_tokens + 63) // 64) * 64) AS grade FROM t),
+      r AS (SELECT doc_id, n_tokens, grade,
+          CAST(ROW_NUMBER() OVER (PARTITION BY grade ORDER BY doc_id)
+            AS BIGINT) AS rnk,
+          512 // grade AS seq_cap
+        FROM g)
+      SELECT doc_id, n_tokens, grade,
+        (rnk - 1) // seq_cap AS seq_in_grade,
+        (rnk - 1) % seq_cap AS slot
+      FROM r ORDER BY doc_id""")),
+
     Q("q95_sequence_pack", (s, d) => {
       val cap = 512
       val bucketW = 50

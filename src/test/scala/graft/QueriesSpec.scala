@@ -1232,4 +1232,34 @@ class QueriesSpec extends AnyFunSuite {
         s"onlyTwin=${(twinBoth diff idJoin).take(5)}")
     assert(idJoin.nonEmpty, "vacuous: corpus produced no rep edges")
   }
+
+  test("q162 length-bucketed packing laws: grade covers the doc, sequences never exceed capacity, no doc straddles") {
+    val rows = SparkEntry.queries("q162_bucketed_pack")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("grade"), r.getAs[Long]("seq_in_grade"), r.getAs[Long]("slot")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, g, _, slot) =>
+      assert(g >= n || g == 512, s"doc $id: grade $g < tokens $n below the cap")
+      assert(g % 64 == 0 && g >= 64 && g <= 512, s"doc $id: grade $g off-grid")
+      assert(slot >= 0 && slot < 512 / g, s"doc $id: slot $slot >= capacity ${512 / g}")
+    }
+    // a sequence holds at most floor(512/grade) docs, and sequence token
+    // mass (at grade granularity) never exceeds 512 — no doc straddles
+    rows.groupBy(r => (r._3, r._4)).foreach { case ((g, seq), members) =>
+      assert(members.length <= 512 / g,
+        s"sequence ($g, $seq) holds ${members.length} > ${512 / g} docs")
+      assert(members.length * g <= 512)
+      // slots within a sequence are distinct and contiguous from 0
+      val slots = members.map(_._5).sorted.toSeq
+      assert(slots == slots.indices.map(_.toLong),
+        s"sequence ($g, $seq) slots not contiguous: $slots")
+    }
+    // contrast with q95: the contiguous form DOES straddle (some doc's
+    // cum window crosses a 512 boundary), which is exactly what the
+    // bucketed form trades tail-sequence slack to avoid
+    val q95 = SparkEntry.queries("q95_sequence_pack")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    assert(q95.exists { case (n, cum) => (cum - 1) / 512 != (cum - n) / 512 },
+      "fixture too small: q95 never straddles, the contrast is vacuous")
+  }
 }
