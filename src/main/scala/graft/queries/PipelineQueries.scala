@@ -1640,6 +1640,118 @@ object PipelineQueries {
       FROM documents d LEFT JOIN cont c USING (doc_id)
       WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id"""), bench = true),
 
+    // ---- per-doc contamination FRACTION (thresholded decontamination):
+    // q88/q101 emit a binary is_clean; real pipelines (GPT-3 appendix C
+    // style) grade by the fraction of a doc's 8-grams that appear in
+    // the eval suite and drop only past a threshold (here 20%),
+    // keeping lightly-touched docs with the fraction as an annotation.
+    // Same scale shape as q101: the eval inventory folds into the
+    // task-literal bloom, the corpus gram stream is pruned MAP-SIDE,
+    // and only bloom survivors reach the exact verification join — hit
+    // counts are exact (bloom has no false negatives, the join
+    // verifies). Docs with <8 tokens have no grams: 0/0 → clean. ----
+    Q("q163_contamination_frac", (s, d) => {
+      import graft.functions.BloomFunctions
+      val ws = TextOps.tokens(col("text"))
+      val grams = docs(s, d).filter(size(ws) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
+        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
+      val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,
+        col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+      val trainGrams = grams.filter(col("doc_id") % 10 =!= 7)
+      val totals = trainGrams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = trainGrams
+        .filter(BloomFunctions.mightContain(bloom, col("g")))
+        .join(evalGrams, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      docs(s, d).filter(col("doc_id") % 10 =!= 7)
+        .join(totals, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("frac",
+          when(col("n_grams") > 0, col("n_hit") / col("n_grams"))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("frac") < 0.2)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      g AS (SELECT doc_id, ${duckHash32("gr")} AS g FROM (
+              SELECT doc_id, unnest(list_distinct(
+                [array_to_string(ws[i:i+7], ' ')
+                 for i in generate_series(1, len(ws) - 7)])) gr
+              FROM t WHERE len(ws) >= 8)),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+              WHERE doc_id % 10 <> 7 GROUP BY doc_id),
+      hit AS (SELECT doc_id, count(*) AS n_hit FROM g
+              WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev)
+              GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(t2.n_grams, 0) AS n_grams,
+        coalesce(h.n_hit, 0) AS n_hit,
+        CASE WHEN coalesce(t2.n_grams, 0) > 0
+             THEN coalesce(h.n_hit, 0) / t2.n_grams ELSE 0.0 END AS frac,
+        CASE WHEN coalesce(t2.n_grams, 0) > 0
+             THEN coalesce(h.n_hit, 0) / t2.n_grams ELSE 0.0 END < 0.2 AS keep
+      FROM documents d
+      LEFT JOIN tot t2 USING (doc_id) LEFT JOIN hit h USING (doc_id)
+      WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""")),
+
+    // ---- intra-doc repetition signals (the Gopher rule 4-5 /
+    // RefinedWeb repetition filters — the standard template/boilerplate
+    // detector WITHIN a document, complementing the corpus-level span
+    // dedup of q94/q145): duplicated-trigram fraction
+    // (1 − distinct/total) and most-frequent-bigram mass. The trigram
+    // signal is a pure MAP-SIDE array expression (zero shuffle); the
+    // top-bigram mode needs per-(doc, bigram) counts — one
+    // partial-aggregated exchange keyed (doc_id, bigram), then a
+    // per-doc max fold. Keep = dup_tri ≤ 0.3 AND top_bigram ≤ 0.2
+    // (Gopher-ish thresholds). Divisions are exact-int / exact-int —
+    // IEEE-identical in both engines (the q97 ttr precedent). ----
+    Q("q164_intradoc_repetition", (s, d) => {
+      val ws = TextOps.tokens(col("text"))
+      val tri = graft.functions.TextFunctions.shinglesFromText(col("text"), 3)
+      val bi = graft.functions.TextFunctions.shinglesFromText(col("text"), 2)
+      val base = docs(s, d).filter(size(ws) >= 3)
+        .select(col("doc_id"),
+          size(tri).cast("long").as("n_tri"),
+          size(array_distinct(tri)).cast("long").as("n_tri_distinct"),
+          bi.as("bis"))
+      val topBi = base.select(col("doc_id"), explode(col("bis")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(max(col("n")).as("top_bigram_n"),
+          sum(col("n")).as("n_bi"))
+      base.join(topBi, "doc_id")
+        .select(col("doc_id"), col("n_tri"),
+          (lit(1.0) - col("n_tri_distinct") / col("n_tri")).as("dup_tri_frac"),
+          col("top_bigram_n"),
+          (col("top_bigram_n") / col("n_bi")).as("top_bigram_frac"))
+        .withColumn("keep",
+          col("dup_tri_frac") <= 0.3 && col("top_bigram_frac") <= 0.2)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
+      s AS (SELECT doc_id, $duckShingles tri,
+              [ws[i] || ' ' || ws[i+1]
+               for i in generate_series(1, len(ws)-1)] bis
+            FROM t WHERE len(ws) >= 3),
+      bc AS (SELECT doc_id, b, count(*) AS n FROM (
+               SELECT doc_id, unnest(bis) AS b FROM s) GROUP BY doc_id, b),
+      tb AS (SELECT doc_id, max(n) AS top_bigram_n,
+               CAST(sum(n) AS BIGINT) AS n_bi FROM bc GROUP BY doc_id)
+      SELECT s.doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+        1.0 - len(list_distinct(tri)) / len(tri) AS dup_tri_frac,
+        tb.top_bigram_n,
+        tb.top_bigram_n / tb.n_bi AS top_bigram_frac,
+        (1.0 - len(list_distinct(tri)) / len(tri)) <= 0.3
+          AND tb.top_bigram_n / tb.n_bi <= 0.2 AS keep
+      FROM s JOIN tb ON tb.doc_id = s.doc_id ORDER BY s.doc_id""")),
+
     // ---- model-based quality filtering: the "classifier gate" every
     // training pipeline runs (fastText/logreg-style). The model is a
     // weight vector over cheap map-side features; at scale it ships to

@@ -1262,4 +1262,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(q95.exists { case (n, cum) => (cum - 1) / 512 != (cum - n) / 512 },
       "fixture too small: q95 never straddles, the contrast is vacuous")
   }
+
+  test("q163/q164 boundaries: full contamination drops, disjoint keeps; degenerate repetition drops, prose keeps") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q163x").toString
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")      // 20 tokens
+    val cleanText = (1 to 20).map(i => s"cl$i").mkString(" ")     // disjoint grams
+    val halfText = ((1 to 10).map(i => s"ev$i") ++ (1 to 10).map(i => s"hx$i")).mkString(" ")
+    val repText = Seq.fill(30)("spam").mkString(" ")              // one bigram, all dup
+    Seq(
+      (17L, evalText), (20L, evalText), (21L, cleanText), (22L, halfText),
+      (23L, repText), (24L, cleanText))
+      .map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val c = SparkEntry.queries("q163_contamination_frac")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("frac"), r.getAs[Boolean]("keep"))).toMap
+    assert(!c.contains(17L), "eval doc must not be graded")
+    assert(c(20L)._1 == 1.0 && !c(20L)._2, s"verbatim eval copy: ${c(20L)}")
+    assert(c(21L)._1 == 0.0 && c(21L)._2, s"disjoint doc: ${c(21L)}")
+    // halfText shares the eval doc's first 3 8-gram windows of ev1..ev10
+    assert(c(22L)._1 > 0.0 && c(22L)._1 < 1.0, s"partial overlap: ${c(22L)}")
+    val r = SparkEntry.queries("q164_intradoc_repetition")(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("dup_tri_frac"), x.getAs[Double]("top_bigram_frac"),
+          x.getAs[Boolean]("keep"))).toMap
+    assert(r(23L)._1 > 0.9 && r(23L)._2 == 1.0 && !r(23L)._3,
+      s"degenerate repetition must drop: ${r(23L)}")
+    assert(r(21L)._1 == 0.0 && r(21L)._3, s"diverse prose must keep: ${r(21L)}")
+  }
 }
