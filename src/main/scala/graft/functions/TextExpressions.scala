@@ -65,6 +65,73 @@ case class MinHashSig(child: Expression, nHashes: Int)
     copy(child = newChild)
 }
 
+/** Maximal multiplicity among the 32-bit md5 hashes of the text's word
+  * k-shingles — the per-doc "most frequent k-gram mass" numerator of
+  * the intra-doc repetition filters (q164), as ONE codegen'd map-side
+  * call. The compositional twin (explode k-grams → hash32 →
+  * count per (doc, hash) → max per doc) shuffles the full k-gram
+  * stream and aggregates ~|corpus k-grams| distinct keys — measured
+  * 3.5 GB shuffle + 6.9 GB spill at the 5M-doc decade, ALL of which
+  * this expression deletes (per-doc work is O(L) with a bounded local
+  * map; no exchange at all). Hash law identical to TextOps.hash32 ∘
+  * ShinglesK (spec-locked): md5 of the space-joined shingle, first 4
+  * digest bytes unsigned big-endian. Fewer than k tokens → 0.
+  */
+case class TopShingleCount(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_shingle_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column and k > 0, got ${child.dataType} / $k")
+
+  override def nullSafeEval(t: Any): Any =
+    TopShingleCount.compute(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopShingleCount.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopShingleCount =
+    copy(child = newChild)
+}
+
+object TopShingleCount {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Static entry the generated code calls. */
+  def compute(text: UTF8String, k: Int): Long = {
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < k) return 0L
+    val md = digests.get()
+    val counts = new java.util.HashMap[Long, Int]()
+    var max = 0
+    var i = 0
+    val n = ws.length - k + 1
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val c = counts.merge(v, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toLong
+  }
+}
+
 object MinHashSig {
 
   private val digests: ThreadLocal[MessageDigest] =
@@ -423,6 +490,10 @@ object TextFunctions {
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), nHashes))
 
   /** Column API for [[ShinglesK]]: word k-shingles straight from text. */
+  /** Column API for [[TopShingleCount]]. */
+  def topShingleCount(text: Column, k: Int): Column =
+    GraftSqlBridge.column(TopShingleCount(GraftSqlBridge.expression(text), k))
+
   def shinglesFromText(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShinglesK(GraftSqlBridge.expression(text), k))
 

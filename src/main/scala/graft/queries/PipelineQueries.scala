@@ -1716,17 +1716,21 @@ object PipelineQueries {
     Q("q164_intradoc_repetition", (s, d) => {
       val ws = TextOps.tokens(col("text"))
       val tri = graft.functions.TextFunctions.shinglesFromText(col("text"), 3)
-      val bi = graft.functions.TextFunctions.shinglesFromText(col("text"), 2)
-      val base = docs(s, d).filter(size(ws) >= 3)
+      // the whole signal set is ONE map-side projection: dup-trigram
+      // fraction from the shingle array, most-frequent-bigram mass from
+      // the native codegen'd TopShingleCount (same hash32∘shingles law
+      // as the compositional explode→count→max twin, spec-locked) —
+      // the compositional form's (doc, bigram) exchange aggregated
+      // ~|corpus bigrams| distinct keys and measured 3.5 GB shuffle +
+      // 6.9 GB spill at 5M docs; this plan's only exchange is the
+      // output sort
+      docs(s, d).filter(size(ws) >= 3)
         .select(col("doc_id"),
           size(tri).cast("long").as("n_tri"),
           size(array_distinct(tri)).cast("long").as("n_tri_distinct"),
-          bi.as("bis"))
-      val topBi = base.select(col("doc_id"), explode(col("bis")).as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id")).agg(max(col("n")).as("top_bigram_n"),
-          sum(col("n")).as("n_bi"))
-      base.join(topBi, "doc_id")
+          graft.functions.TextFunctions.topShingleCount(col("text"), 2)
+            .as("top_bigram_n"),
+          (size(ws) - 1).cast("long").as("n_bi"))
         .select(col("doc_id"), col("n_tri"),
           (lit(1.0) - col("n_tri_distinct") / col("n_tri")).as("dup_tri_frac"),
           col("top_bigram_n"),
@@ -1741,7 +1745,8 @@ object PipelineQueries {
                for i in generate_series(1, len(ws)-1)] bis
             FROM t WHERE len(ws) >= 3),
       bc AS (SELECT doc_id, b, count(*) AS n FROM (
-               SELECT doc_id, unnest(bis) AS b FROM s) GROUP BY doc_id, b),
+               SELECT doc_id, ${duckHash32("unnest(bis)")} AS b FROM s)
+             GROUP BY doc_id, b),
       tb AS (SELECT doc_id, max(n) AS top_bigram_n,
                CAST(sum(n) AS BIGINT) AS n_bi FROM bc GROUP BY doc_id)
       SELECT s.doc_id, CAST(len(tri) AS BIGINT) AS n_tri,

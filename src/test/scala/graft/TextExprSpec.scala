@@ -124,4 +124,35 @@ class TextExprSpec extends AnyFunSuite {
     assert(p.linesIterator.next().trim.startsWith("*("),
       s"projection not inside a codegen stage:\n$p")
   }
+
+  test("TopShingleCount == the compositional explode-hash-count-max twin (and codegen == interpreted)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a"),              // "a b" x3, "b a" x3
+      (2L, "x x x x x x"),                // "x x" x5
+      (3L, "one two three four five"),    // all distinct
+      (4L, "t"),                          // < 2 tokens -> 0
+      (5L, "")).toDF("doc_id", "text")    // one empty token -> 0 for k=2
+    val native = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.topShingleCount(col("text"), 2).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native(1L) == 3L && native(2L) == 5L && native(3L) == 1L &&
+      native(4L) == 0L && native(5L) == 0L, s"$native")
+    // compositional twin over the same law
+    val twin = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shinglesFromText(col("text"), 2)).as("bg"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long").as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    twin.foreach { case (id, n) => assert(native(id) == n, s"doc $id: $n vs ${native(id)}") }
+    // interpreted (eval) path agrees with the codegen'd plan
+    val e = graft.functions.TopShingleCount(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b a b a b a")), 2)
+    assert(e.eval(null) == 3L)
+  }
 }
