@@ -94,8 +94,12 @@ object ClusterPerf {
         metrics.reset()
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9,
-          metrics.shuffleWrite.get(), metrics.spill.get())
+        val wall = (System.nanoTime() - t0) / 1e9
+        // the listener bus is async — drain it before reading, or the
+        // final stage's completion event (often the one carrying the
+        // spill this rig exists to measure) may still be queued
+        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark)
+        (wall, metrics.shuffleWrite.get(), metrics.spill.get())
       }
       val (warm, shW, sp) = times.last
       println(s"""CLUSTERPERF {"query":"$name","master":"$master",""" +

@@ -753,9 +753,13 @@ object Stress {
             }),
             evalPred = evalPred,
             repAnchoredNearDup = repAnchored)
+          // ONE execution of the unmaterialized tail: q160's output is
+          // one row per stage-5 survivor (stages 6-7 never filter), so
+          // out_rows is the s5 manifest count — a second count() here
+          // would re-run the tail and inflate phase 6's attribution
           val outRows = run.phase(6) {
             out.write.format("noop").mode("overwrite").save()
-            out.count()
+            stageRows.getOrElse("s5_mixture_materialize", -1L)
           }
           val wall = (System.nanoTime() - t0) / 1e9
           val handle = run.finish()

@@ -489,11 +489,11 @@ object TextFunctions {
   def minhashSigNative(text: Column, nHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), nHashes))
 
-  /** Column API for [[ShinglesK]]: word k-shingles straight from text. */
   /** Column API for [[TopShingleCount]]. */
   def topShingleCount(text: Column, k: Int): Column =
     GraftSqlBridge.column(TopShingleCount(GraftSqlBridge.expression(text), k))
 
+  /** Column API for [[ShinglesK]]: word k-shingles straight from text. */
   def shinglesFromText(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShinglesK(GraftSqlBridge.expression(text), k))
 

@@ -664,6 +664,16 @@ object PipelineQueries {
       .union(ver.select(col("doc_b").as("src"), col("doc_a").as("dst")))
   }
 
+  /** The 4×2-band key CTE over `sig` — ONE rendering shared by every
+    * oracle that bands (pairwise edges, rep edges, q157): the banding
+    * law cannot drift between them.
+    */
+  private def duckBandsCte: String = """bands AS (
+        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
+        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
+        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
+        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig)"""
+
   /** DuckDB twin of [[verifiedEdges]]: CTEs `t,s,sig,bands,cand,shset,ver,edges`. */
   private def duckEdgesCtes: String = duckEdgesCtesOf("documents")
 
@@ -672,11 +682,7 @@ object PipelineQueries {
     * the raw corpus.
     */
   private def duckEdgesCtesOf(tbl: String): String = s"""${duckSigCte(8, tbl)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -698,11 +704,7 @@ object PipelineQueries {
     * CTE names as [[duckEdgesCtesOf]] so the chain body is shared.
     */
   private def duckRepEdgesCtesOf(tbl: String): String = s"""${duckSigCte(8, tbl)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       brep AS (SELECT band, bkey, min(doc_id) AS rep_id
                FROM bands GROUP BY band, bkey),
       cand AS (SELECT DISTINCT b.doc_id AS doc_a, r.rep_id AS doc_b
@@ -812,6 +814,25 @@ object PipelineQueries {
     */
   private[graft] val Q160Budget = 6000L
 
+  /** The 8-gram decontamination kernel shared by q101/q163/q160 (and
+    * mirrored by their oracles): verification-eligible docs' DISTINCT
+    * word 8-grams as 32-bit md5 hashes — ONE definition so the gram
+    * law and its consumers cannot drift apart.
+    */
+  private def gramStream8(df: DataFrame): DataFrame =
+    df.filter(size(TextOps.tokens(col("text"))) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
+      .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+
+  /** The eval-suite bloom with its pinned dials (2^16 items / 2^20
+    * bits) — the one place the filter is sized, so q101/q163/q160
+    * cannot train mismatched filters under a shared cache key.
+    */
+  private def trainEvalBloom(key: String, evalGrams: DataFrame) =
+    graft.functions.BloomFunctions.trainBloomCached(key, evalGrams,
+      col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+
   val all: Seq[Q] = Seq(
     // ---- exact dedup: hash-groupBy on full text ----
     Q("q40_dedup_exact", (s, d) => {
@@ -842,11 +863,7 @@ object PipelineQueries {
       bandedCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig)
+      ${duckBandsCte}
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -928,11 +945,7 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }, Some(s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1610,14 +1623,9 @@ object PipelineQueries {
     // only thing the build aggregation exchanges. ----
     Q("q101_bloom_decontaminate", (s, d) => {
       import graft.functions.BloomFunctions
-      val ws = TextOps.tokens(col("text"))
-      val grams = docs(s, d).filter(size(ws) >= 8)
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
-        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      val grams = gramStream8(docs(s, d))
       val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
-      val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,
-        col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+      val bloom = trainEvalBloom(s"evalgrams:$d", evalGrams)
       val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
         .filter(BloomFunctions.mightContain(bloom, col("g"))) // map-side prune
         .join(evalGrams, "g") // exact verify on the survivors only
@@ -1652,14 +1660,9 @@ object PipelineQueries {
     // verifies). Docs with <8 tokens have no grams: 0/0 → clean. ----
     Q("q163_contamination_frac", (s, d) => {
       import graft.functions.BloomFunctions
-      val ws = TextOps.tokens(col("text"))
-      val grams = docs(s, d).filter(size(ws) >= 8)
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
-        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      val grams = gramStream8(docs(s, d))
       val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
-      val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d", evalGrams,
-        col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+      val bloom = trainEvalBloom(s"evalgrams:$d", evalGrams)
       val trainGrams = grams.filter(col("doc_id") % 10 =!= 7)
       val totals = trainGrams.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"))
@@ -1841,11 +1844,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("band"))
     }, Some(s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       reps AS (SELECT band, bkey, min(doc_id) AS dup_of FROM bands GROUP BY 1, 2)
       SELECT b.doc_id, b.band, r.dup_of
       FROM bands b JOIN reps r USING (band, bkey)
@@ -1865,11 +1864,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("band"))
     }, Some(s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       reps AS (SELECT band, bkey, min(doc_id) AS dup_of FROM bands GROUP BY 1, 2),
       cand AS (SELECT b.doc_id, b.band, r.dup_of
                FROM bands b JOIN reps r USING (band, bkey)
@@ -2609,11 +2604,7 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }, Some(s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -4174,17 +4165,17 @@ object PipelineQueries {
   private def repAnchoredEdges(docsDf: DataFrame): DataFrame = {
     import graft.functions.SetFunctions
     val nBands = 4
-    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
-    val bkeys = array((0 until nBands).map(b => concat_ws("_",
-      element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    val eligible = docsDf.filter(size(TextOps.tokens(col("text"))) >= 3)
+    // ONE banding law: both the band keys and the shingle payloads come
+    // from [[edgeBase]] (Catalyst column-prunes the unused column from
+    // each branch), so this form cannot drift from the pairwise
+    // kernel's banding
+    val base = edgeBase(docsDf)
     // literal-index explode (the InferFiltersFromGenerate discipline of
     // verifiedEdgesOf: a computed-array explode would push a synthesized
     // size()>0 filter with the minhash kernel inlined)
     val bandIdx = explode(array((0 until nBands).map(lit(_)): _*)).as("band")
-    val bands = eligible
-      .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), bkeys.as("bkeys"))
+    val bands = base
+      .select(col("doc_id"), col("bkeys"))
       .select(col("doc_id"), col("bkeys"), bandIdx)
       .select(col("doc_id"), col("band"),
         element_at(col("bkeys"), col("band") + 1).as("bkey"))
@@ -4195,8 +4186,7 @@ object PipelineQueries {
     val pairs = bands.join(reps, Seq("band", "bkey"))
       .filter(col("rep") < col("doc_id"))
       .select(col("doc_id"), col("rep")).distinct()
-    val sh = eligible.select(col("doc_id"),
-      SetFunctions.shingleHashSet(col("text"), 3).as("sh"))
+    val sh = base.select(col("doc_id"), col("shset").as("sh"))
     val ver = pairs
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
       .join(sh.select(col("doc_id").as("rep"), col("sh").as("sh_b")), "rep")
@@ -4232,9 +4222,14 @@ object PipelineQueries {
       : DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.BloomFunctions
+    // the pin key carries EVERY dial that changes a stage's content
+    // (budget, stage-2 form, eval law): q160 and q161 run the same
+    // chain with different dials, and a shared key would release the
+    // other query's still-referenced checkpoint blocks on construction
     def stage(i: Int, name: String)(mk: => DataFrame): DataFrame =
       stageRun.map(f => f(i, name, () => mk))
-        .getOrElse(pinReleasingPrior(s"q160:$name:$d:$budget", mk))
+        .getOrElse(pinReleasingPrior(
+          s"q160:$name:$d:$budget:$repAnchoredNearDup:$evalPred", mk))
     val all = docs(s, d)
     val ws = TextOps.tokens(col("text"))
 
@@ -4283,21 +4278,15 @@ object PipelineQueries {
     // set is external — it does not shrink because training docs were
     // deduped); the gram stream being CHECKED runs only over this
     // stage's survivors. Bloom prune map-side, exact verify after.
-    def gramsOf(df: DataFrame): DataFrame =
-      df.filter(size(ws) >= 8)
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
-        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
     val s3 = stage(3, "decontaminate") {
-      val evalGrams = gramsOf(all.filter(evalPred))
+      val evalGrams = gramStream8(all.filter(evalPred))
         .select(col("g")).distinct()
       // key carries the eval predicate: a stress run's DIV-based law must
       // not reuse a bloom trained under the default mod law (or vice versa)
-      val bloom = BloomFunctions.trainBloomCached(s"evalgrams:$d:$evalPred",
-        evalGrams, col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+      val bloom = trainEvalBloom(s"evalgrams:$d:$evalPred", evalGrams)
       val trainSide = all.join(s2, Seq("doc_id"), "left_semi")
         .filter(!evalPred)
-      val contaminated = gramsOf(trainSide)
+      val contaminated = gramStream8(trainSide)
         .filter(BloomFunctions.mightContain(bloom, col("g")))
         .join(evalGrams, "g").select(col("doc_id")).distinct()
       trainSide.join(contaminated, Seq("doc_id"), "left_anti")
@@ -5198,11 +5187,7 @@ object PipelineQueries {
 
   private def q157OracleSql: String = s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       rep AS (SELECT band, bkey, min(doc_id) AS rep_id FROM bands
               GROUP BY band, bkey),
       cand AS (SELECT DISTINCT r.rep_id AS doc_a, b.doc_id AS doc_b
@@ -5223,11 +5208,7 @@ object PipelineQueries {
 
   private def q158OracleSql: String = s"""
       WITH RECURSIVE ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       rep AS (SELECT band, bkey, min(doc_id) AS rep_id FROM bands
               GROUP BY band, bkey),
       cand AS (SELECT DISTINCT r.rep_id AS doc_a, b.doc_id AS doc_b
@@ -5251,11 +5232,7 @@ object PipelineQueries {
 
   private def q152OracleSql: String = s"""
       WITH ${duckSigCte(8)},
-      bands AS (
-        SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sig UNION ALL
-        SELECT doc_id, 1, concat(mh2, '_', mh3) FROM sig UNION ALL
-        SELECT doc_id, 2, concat(mh4, '_', mh5) FROM sig UNION ALL
-        SELECT doc_id, 3, concat(mh6, '_', mh7) FROM sig),
+      ${duckBandsCte},
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),

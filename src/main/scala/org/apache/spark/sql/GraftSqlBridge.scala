@@ -30,6 +30,14 @@ object GraftSqlBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Block until the async listener bus has delivered every queued
+    * event (private[spark] in core): a harness reading accumulated
+    * SparkListener metrics immediately after an action races the bus —
+    * the final stage's completion event may still be queued.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** The checkpointed InternalRow RDD behind a `Dataset.checkpoint` /
     * `localCheckpoint` result (its plan is a single `LogicalRDD`) — the
     * handle an iterative operator needs to UNPERSIST a superseded
