@@ -42,6 +42,11 @@ object ClusterPerf {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 5) {
+      System.err.println(
+        "usage: ClusterPerf <master> <sfDir> <queryCsv> <shufflePartitions> <advisoryMB>")
+      sys.exit(2)
+    }
     val Array(master, dir, queryCsv, parts, advisoryMB) = args.take(5)
     // executors are forked plain-java processes (ClusterSmoke's
     // discipline): they need this JVM's classpath (the graft classes

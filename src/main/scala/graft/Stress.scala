@@ -780,6 +780,17 @@ object Stress {
             s""""pairwise_only":$onlyA,"rep_only":$onlyB,""" +
             s""""agree":${onlyA == 0 && onlyB == 0}}""")
         }
+        // release the pinned stage-2 manifests once compared — holding
+        // their localCheckpoint blocks across later stress phases is
+        // dead weight at 1000×
+        s2Manifests.values.foreach { df =>
+          df.queryExecution.analyzed.collectLeaves().foreach {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(blocking = false)
+            case _ =>
+          }
+        }
+        s2Manifests.clear()
       }
     }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Shared per-phase attribution for iterative operators ([[PageRank]],
   * [[Dedup]]): wall plus EXACT shuffle-write/spill per phase (round 0 is
@@ -27,7 +27,7 @@ object PhaseStats {
   final case class RoundStat(round: Int, wallSec: Double,
       shuffleWriteBytes: Long, spillBytes: Long)
 
-  private final class Listener extends SparkListener {
+  private final class Listener(appId: String) extends SparkListener {
     val stagePhase = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
     val bytes = new java.util.concurrent.ConcurrentHashMap[
       (Long, Int), (java.util.concurrent.atomic.AtomicLong,
@@ -51,6 +51,12 @@ object PhaseStats {
         }
       }
     }
+    // lifecycle: SparkContext.stop posts ApplicationEnd and drains the
+    // bus before returning, so by the time stop() completes this entry
+    // is gone — without this, a JVM cycling many sessions (notebook,
+    // test harness) accumulates one dead Listener per application
+    override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+      listeners.remove(appId, this)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val key = stagePhase.get(sc.stageInfo.stageId)
       val m = sc.stageInfo.taskMetrics
@@ -110,7 +116,13 @@ object PhaseStats {
   }
 
   /** An empty handle (before any run of an operator). */
-  val emptyHandle: Handle = new Handle(new Listener, -1L, Nil)
+  val emptyHandle: Handle = new Handle(new Listener(""), -1L, Nil)
+
+  /** Number of applications with a live registered listener — the
+    * lifecycle observable ([[Listener.onApplicationEnd]] must return
+    * this to its pre-registration value when a context stops).
+    */
+  private[graft] def trackedAppCount: Int = listeners.size()
 
   /** One instrumented run: wrap each phase's actions in [[Run.phase]],
     * then [[Run.finish]] to get the readable [[Handle]]. Call
@@ -154,8 +166,8 @@ object PhaseStats {
     * epoch.
     */
   def start(sc: SparkContext, tag: String): Run = {
-    val listener = listeners.computeIfAbsent(sc.applicationId, _ => {
-      val l = new Listener; sc.addSparkListener(l); l
+    val listener = listeners.computeIfAbsent(sc.applicationId, id => {
+      val l = new Listener(id); sc.addSparkListener(l); l
     })
     val epoch = epochs.incrementAndGet()
     activeEpochs.add(epoch)

@@ -2956,7 +2956,7 @@ object PipelineQueries {
       val base = docs(s, d).select(col("doc_id"), nTok.as("n_tokens"),
           expr(s"doc_id DIV $bucketW").as("bucket"))
         .withColumn("grade",
-          least(lit(cap.toLong), ((col("n_tokens") + 63L) / 64L).cast("long") * 64L))
+          least(lit(cap.toLong), expr("(n_tokens + 63) DIV 64") * 64L))
       val wB = Window.partitionBy(col("grade")).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = base.groupBy(col("grade"), col("bucket"))

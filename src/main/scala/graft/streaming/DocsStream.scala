@@ -282,7 +282,14 @@ object DocsStream {
                   out += ((minSeen, band, r._3, repSh, j))
                   displaced.add(1L)
                   // a VERIFIED relink folds the old rep's cluster into
-                  // the new rep's — the over-connection channel
+                  // the new rep's — the over-connection channel.
+                  // NOTE: displaced/overConnect are incremented inside
+                  // task execution, so they count AT-LEAST-ONCE under
+                  // task retries / speculative duplicates; the pair
+                  // stays internally consistent (same code path), but
+                  // an exactly-once rate must be derived from the
+                  // emitted displaced rows in the sink, which are
+                  // deduplicated per output row
                   if (j >= 0.5) overConnect.add(1L)
                 }
                 minSeen = r._3; repSh = r._4
