@@ -819,7 +819,7 @@ object PipelineQueries {
     * word 8-grams as 32-bit md5 hashes — ONE definition so the gram
     * law and its consumers cannot drift apart.
     */
-  private def gramStream8(df: DataFrame): DataFrame =
+  private[graft] def gramStream8(df: DataFrame): DataFrame =
     df.filter(size(TextOps.tokens(col("text"))) >= 8)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
@@ -829,7 +829,7 @@ object PipelineQueries {
     * bits) — the one place the filter is sized, so q101/q163/q160
     * cannot train mismatched filters under a shared cache key.
     */
-  private def trainEvalBloom(key: String, evalGrams: DataFrame) =
+  private[graft] def trainEvalBloom(key: String, evalGrams: DataFrame) =
     graft.functions.BloomFunctions.trainBloomCached(key, evalGrams,
       col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
 
@@ -4303,45 +4303,72 @@ object PipelineQueries {
         (size(array_distinct(ws)) / size(ws)).as("ttr"),
         md5(concat(lit("split|"), coalesce(col("text"), lit("")))).as("ckey"),
         md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
-      sig3.withColumn("pr", percent_rank().over(
-          Window.partitionBy(col("source")).orderBy(col("ttr"))))
-        .filter(col("pr") >= 0.5)
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("ckey"), col("ord"))
+      q160GateFrom(sig3)
     }
 
     // stage 5 — temperature-mixture materialize (q124): sqrt-weight
     // token targets over the GATED population, md5-ordered running cut
     // via the two-level prefix sum (mbkt = 3-hex-char prefix of the
     // ordering key — 4096 sub-buckets per source)
-    val s5 = stage(5, "mixture_materialize") {
-      val perSource = s4.groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("nt"))
-        .select(col("source"), round(sqrt(col("nt")), 6).as("w"))
-      val tw = sum(col("w").cast(DecimalType(24, 6)))
-        .over(Window.partitionBy()).cast(DoubleType)
-      val targets = perSource.select(col("source"),
-        round(lit(budget.toDouble) * (col("w") / tw), 0).cast("long")
-          .as("target_tokens"))
-      val base5 = s4.withColumn("mbkt", substring(col("ord"), 1, 3))
-      val wB5 = Window.partitionBy(col("source")).orderBy(col("mbkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets5 = base5.groupBy(col("source"), col("mbkt"))
-        .agg(sum(col("n_tokens")).as("btotal"))
-        .withColumn("boffset", coalesce(sum(col("btotal")).over(wB5), lit(0L)))
-        .select(col("source"), col("mbkt"), col("boffset"))
-      val wIn5 = Window.partitionBy(col("source"), col("mbkt")).orderBy(col("ord"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base5.join(broadcast(offsets5), Seq("source", "mbkt"))
-        .join(broadcast(targets), "source")
-        .withColumn("cum", col("boffset") + sum(col("n_tokens")).over(wIn5))
-        .filter(col("cum") <= col("target_tokens"))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("ckey"))
-    }
+    val s5 = stage(5, "mixture_materialize") { q160MixtureFrom(s4, budget) }
 
-    // stage 6 — stratified split (q133): exact ceil quotas in content-
-    // keyed order, two-level form (bucket = leading 2 hex chars OF the
-    // sort key, so bucket order concatenates to the single-window order)
+    // stages 6-7 — stratified split + per-split packing
+    q160SplitPackFrom(s5)
+  }
+
+  /** q160 stage 4's GATE LAW over the slim per-doc signal frame
+    * `(doc_id, source, n_tokens, ttr, ckey, ord)`: per-source TTR
+    * percent_rank ≥ 0.5 within the frame's population. ONE definition
+    * shared by the batch chain and the streaming twin's finalization
+    * ([[graft.streaming.PretrainStream]]) so the gate cannot drift.
+    */
+  private[graft] def q160GateFrom(sig3: DataFrame): DataFrame =
+    sig3.withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("ttr"))))
+      .filter(col("pr") >= 0.5)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("ckey"), col("ord"))
+
+  /** q160 stage 5 (q124 semantics) over a gated signal frame
+    * `(doc_id, source, n_tokens, ckey, ord)`: sqrt-weight token targets
+    * from `budget`, md5-ordered running cut via the two-level prefix
+    * sum. Shared with the streaming twin's finalization.
+    */
+  private[graft] def q160MixtureFrom(s4: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val perSource = s4.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("nt"))
+      .select(col("source"), round(sqrt(col("nt")), 6).as("w"))
+    val tw = sum(col("w").cast(DecimalType(24, 6)))
+      .over(Window.partitionBy()).cast(DoubleType)
+    val targets = perSource.select(col("source"),
+      round(lit(budget.toDouble) * (col("w") / tw), 0).cast("long")
+        .as("target_tokens"))
+    val base5 = s4.withColumn("mbkt", substring(col("ord"), 1, 3))
+    val wB5 = Window.partitionBy(col("source")).orderBy(col("mbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets5 = base5.groupBy(col("source"), col("mbkt"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset", coalesce(sum(col("btotal")).over(wB5), lit(0L)))
+      .select(col("source"), col("mbkt"), col("boffset"))
+    val wIn5 = Window.partitionBy(col("source"), col("mbkt")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base5.join(broadcast(offsets5), Seq("source", "mbkt"))
+      .join(broadcast(targets), "source")
+      .withColumn("cum", col("boffset") + sum(col("n_tokens")).over(wIn5))
+      .filter(col("cum") <= col("target_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("ckey"))
+  }
+
+  /** q160 stages 6-7 over a materialized mixture
+    * `(doc_id, source, n_tokens, ckey)`: stratified split (q133 — exact
+    * ceil quotas in content-keyed order, two-level form: bucket =
+    * leading 2 hex chars OF the sort key, so bucket order concatenates
+    * to the single-window order) then per-split 512-token sequence
+    * packing (q95, two-level prefix sum). Shared with the streaming
+    * twin's finalization.
+    */
+  private[graft] def q160SplitPackFrom(s5: DataFrame): DataFrame = {
     val base6 = s5.withColumn("bucket",
       conv(substring(col("ckey"), 1, 2), 16, 10).cast("int"))
     val wB6 = Window.partitionBy(col("source")).orderBy(col("bucket"))

@@ -1,0 +1,310 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.TextOps
+
+/** The STREAMING twin of the composed pretrain-prep pipeline (q160/q161)
+  * — incremental ingest through the same stages the batch DAG runs:
+  *
+  *   1. canonical exact dedup   — keyed state per NFC-canonical text
+  *      class, first-arrival-wins (== the batch min-doc_id law under
+  *      id-ordered ingest, the natural order since ids are assigned at
+  *      ingest; out-of-order arrival can only OVER-keep — a later,
+  *      smaller id is also emitted because its class's earlier survivor
+  *      is already downstream)
+  *   2. near-dup verified edges — the [[DocsStream.nearDupVerified]]
+  *      rep-anchoring discipline (per-(band, bucket) state = rep id +
+  *      rep shingle set; every emitted edge individually exact-Jaccard
+  *      verified ≥ 0.5), plus a per-doc MARKER channel (band 0 emits one
+  *      slim signal row per arriving doc) so downstream stages see every
+  *      stage-1 survivor, not just candidate docs. The stage-2 KEEP
+  *      decision is retroactive by nature (a later doc can bridge two
+  *      clusters), so it lives in the incremental labeling fold
+  *      ([[DocsStream.incrementalLabelSink]]) and is applied at
+  *      finalization — exactly the q118/q130 discipline.
+  *   3. n-gram decontamination  — per-doc and population-independent
+  *      (any 8-gram in the static eval inventory), so it runs exactly in
+  *      the sink: bloom prune map-side, exact verify against the eval
+  *      gram table. Eval-suite docs are dropped from the doc channel
+  *      here (they are never training docs), matching batch stage 3.
+  *   4-7. gate / mixture / split / packing — population-global
+  *      percent_rank and prefix-sum materialization only exist over the
+  *      accumulated corpus, so finalization hands the streamed signal
+  *      store to the SAME batch stage code
+  *      ([[graft.queries.PipelineQueries.q160GateFrom]] /
+  *      `q160MixtureFrom` / `q160SplitPackFrom`) — the production shape:
+  *      continuous ingest maintains survivors + signals, a
+  *      materialization job cuts the training set.
+  *
+  * Scale shape: the ONE streaming query carries two keyed states —
+  * canonical classes (md5 key + one long each: the exact-dedup ledger;
+  * bound the horizon with `ttlMs` like any dedup-within-N-days
+  * deployment) and (band, bucket) rep entries (rep id + one shingle
+  * set per ACTIVE bucket, the [[DocsStream]] bound). Rows through the
+  * handlers are SLIM (ids, 4 band keys, shingle set, three scalar
+  * signals) — text never rides state or any exchange; the sink
+  * re-attaches it from the corpus table (the same slim-manifest
+  * discipline as the batch chain's ids-only stage boundaries).
+  *
+  * Parity contract (ST18 spec family): under id-ordered staging the
+  * finalized output is BIT-EQUAL to batch q161 (the rep-anchored stage-2
+  * form — the stream anchors each doc at its bucket rep, which under
+  * ordered arrival is the global bucket minimum, i.e. exactly
+  * `repAnchoredEdges`); against q160's pairwise stage-2 form the
+  * divergence channel is OVER-KEEP ONLY (the ST11c contract: folded
+  * edges are individually verified, so clusters can only under-merge).
+  * Exact-md5 caveat: stage 1 keys classes by md5 of the canonical text
+  * where batch groups by the string itself; a 128-bit collision would
+  * diverge (negligible, and the same trade every fingerprint-dedup row
+  * in the pack makes).
+  */
+object PretrainStream {
+
+  private val NBands = 4
+
+  private def timeoutConf(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Displacement / verified-relink counters (same at-least-once
+    * accounting as [[DocsStream.displacedReps]], kept separate so the
+    * composed pipeline's out-of-order telemetry is readable on its own).
+    */
+  private val displacedAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  def displacedReps(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    displacedAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("pretrainstream.displaced_rep"))
+  private val overConnectAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  def overConnectMerges(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    overConnectAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("pretrainstream.overconnect_merge"))
+
+  /** Stages 1-2 as ONE streaming query (two chained append-mode keyed
+    * states + a stream-static verification join). Emits two row kinds:
+    *
+    *   - `kind = 0` (doc marker): one per stage-1 survivor —
+    *     `(doc_id, source, n_tokens, ttr)`, `jaccard` null
+    *   - `kind = 1` (verified edge): `(doc_id, dup_of, jaccard ≥ 0.5)`
+    *
+    * `history` is the corpus table a deployment keeps anyway (rep
+    * shingle lookups, [[DocsStream.nearDupVerified]] discipline).
+    * Ineligible (< 3-token) docs ride a per-doc singleton bucket
+    * (`solo|id`) so they emit their marker through the same handler
+    * without ever producing an edge — the batch chain's "no bands →
+    * self-rep → kept" law. `ttlMs` bounds BOTH states' horizon.
+    */
+  def signals(stream: DataFrame, history: DataFrame, ttlMs: Long = 0L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val displaced = displacedReps(spark)
+    val overConnect = overConnectMerges(spark)
+
+    // map-side signal + banding kernels BEFORE any state: the exact
+    // kernels of the batch chain (canonical law of q155/q160 s1; the
+    // edgeBase banding law; the q160 s4 signal laws), so parity is by
+    // construction. Text is dropped here and never rides a shuffle.
+    val ws = TextOps.tokens(col("text"))
+    val canon = trim(regexp_replace(lower(
+      graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
+    val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
+    val bkeys = array((0 until NBands).map(b => concat_ws("_",
+      element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
+    val elig = size(ws) >= 3
+    val slim = stream.select(col("doc_id"), col("source"), col("text"),
+        md5(canon).as("ck"),
+        size(ws).cast("long").as("n_tokens"),
+        when(size(ws) > 0, size(array_distinct(ws)) / size(ws))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(elig, graft.functions.SetFunctions.shingleHashSet(col("text"), 3))
+          .otherwise(array().cast("array<long>")).as("shset"),
+        when(elig, sig).otherwise(lit(null)).as("sig"),
+        elig.as("elig"))
+      .select(col("ck"), col("doc_id"), col("source"), col("n_tokens"),
+        col("ttr"), col("shset"),
+        when(col("elig"), bkeys).otherwise(lit(null)).as("bkeys"),
+        col("elig"))
+
+    // stage 1 — canonical-class keyed state: emit only ids smaller than
+    // every id previously kept for the class (under ordered ingest:
+    // exactly one survivor, the batch min; out-of-order: over-keep only)
+    val s1 = slim
+      .as[(String, Long, String, Long, Double, Seq[Long], Seq[String], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long,
+        (Long, String, Long, Double, Seq[Long], Seq[String], Boolean)](
+        OutputMode.Append, timeoutConf(ttlMs)) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arr = rows.toArray.sortBy(_._2)
+            val minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out =
+              if (arr.head._2 < minSeen) {
+                state.update(arr.head._2)
+                Iterator(arr.head).map(r =>
+                  (r._2, r._3, r._4, r._5, r._6, r._7, r._8))
+              } else Iterator.empty
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
+      .toDF("doc_id", "source", "n_tokens", "ttr", "shset", "bkeys", "elig")
+
+    // band explode: eligible docs get their 4 (band, bkey) rows;
+    // ineligible docs one singleton `solo|id` bucket (band 0)
+    val bandArr = array((0 until NBands).map(b => struct(lit(b).as("band"),
+      element_at(col("bkeys"), b + 1).as("bkey"))): _*)
+    val soloArr = array(struct(lit(0).as("band"),
+      concat(lit("solo|"), col("doc_id").cast("string")).as("bkey")))
+    val rows = s1
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+        col("shset"),
+        explode(when(col("elig"), bandArr).otherwise(soloArr)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc_id"), col("shset"), col("source"), col("n_tokens"),
+        col("ttr"))
+
+    // stage 2 — (band, bucket) rep state, the nearDupVerified handler
+    // semantics plus the band-0 marker channel
+    val handled = rows
+      .as[(Int, String, Long, Seq[Long], String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Seq[Long]),
+        (Int, Long, Long, Seq[Long], Double, String, Long, Double)](
+        OutputMode.Append, timeoutConf(ttlMs)) {
+        case ((band, bkey), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arr = rows.toArray.sortBy(_._3)
+            val out = Array.newBuilder[
+              (Int, Long, Long, Seq[Long], Double, String, Long, Double)]
+            if (bkey.startsWith("solo|")) {
+              // singleton bucket: marker only, no state ever needed
+              arr.foreach(r =>
+                out += ((0, r._3, -1L, Seq.empty, -2.0, r._5, r._6, r._7)))
+            } else {
+              var (minSeen, repSh) = state.getOption
+                .getOrElse((Long.MaxValue, Seq.empty[Long]))
+              arr.foreach { r =>
+                if (band == 0)
+                  out += ((0, r._3, -1L, Seq.empty, -2.0, r._5, r._6, r._7))
+                if (minSeen < r._3)
+                  out += ((1, r._3, minSeen, r._4, -1.0, null, -1L, -2.0))
+                else if (r._3 < minSeen) {
+                  if (minSeen != Long.MaxValue) {
+                    val j = DocsStream.jaccardSortedSeq(repSh, r._4)
+                    out += ((1, minSeen, r._3, repSh, j, null, -1L, -2.0))
+                    displaced.add(1L)
+                    if (j >= 0.5) overConnect.add(1L)
+                  }
+                  minSeen = r._3; repSh = r._4
+                }
+              }
+              state.update((minSeen, repSh))
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF("kind", "doc_id", "dup_of", "shset", "pre_j", "source",
+        "n_tokens", "ttr")
+
+    // stream-static verification of candidate edges against the corpus
+    // table's rep shingles; displaced pairs carry their in-handler value
+    val hw = TextOps.tokens(col("text"))
+    val reps = history.filter(size(hw) >= 3)
+      .select(col("doc_id").as("dup_of"),
+        graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("rep_sh"))
+    handled.join(reps, Seq("dup_of"), "left")
+      .withColumn("jaccard",
+        when(col("kind") === 0, lit(null).cast("double"))
+          .when(col("pre_j") >= 0, col("pre_j"))
+          .otherwise(graft.functions.SetFunctions.jaccardSorted(
+            col("shset"), col("rep_sh"))))
+      .filter(col("kind") === 0 || col("jaccard") >= 0.5)
+      .select(col("kind"), col("doc_id"), col("dup_of"), col("jaccard"),
+        col("source"), col("n_tokens"), col("ttr"))
+  }
+
+  /** The `foreachBatch` sink for [[signals]]: folds the edge channel
+    * into the epoch-versioned incremental labeling
+    * ([[DocsStream.incrementalLabelSink]]) and lands the doc channel —
+    * decontaminated flags attached — in an epoch-versioned signal store
+    * (idempotent per epoch, like the labels). Text is re-attached from
+    * `history` only inside the batch (gram generation + the split key),
+    * so the store rows stay slim. `evalPred` selects eval-suite docs:
+    * their 8-gram inventory (bloom + exact table, built once here) is
+    * what training docs are checked against, and they are themselves
+    * dropped from the doc channel (batch stage-3 law).
+    */
+  def sink(history: DataFrame, evalPred: Column, bloomKey: String,
+      labelsRoot: String, storeRoot: String): (DataFrame, Long) => Unit = {
+    import graft.queries.PipelineQueries
+    val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
+      .select(col("g")).distinct().cache()
+    val bloom = PipelineQueries.trainEvalBloom(bloomKey, evalGrams)
+    (batch: DataFrame, epochId: Long) => {
+      // one materialization of the stateful plan per trigger: both
+      // channels' actions read the cached rows
+      val b = batch.persist()
+      try {
+        DocsStream.incrementalLabelSink(labelsRoot)(
+          b.filter(col("kind") === 1).select(col("doc_id"), col("dup_of")),
+          epochId)
+        val docsB = b.filter(col("kind") === 0).filter(!evalPred)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
+        val withText = docsB.join(
+          history.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+        val cont = PipelineQueries.gramStream8(withText)
+          .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
+          .join(evalGrams, "g").select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        withText
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+            md5(concat(lit("split|"), coalesce(col("text"), lit(""))))
+              .as("ckey"),
+            md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
+          .join(cont, Seq("doc_id"), "left")
+          .na.fill(false, Seq("contaminated"))
+          .write.mode("overwrite").parquet(s"$storeRoot/epoch=$epochId")
+      } finally b.unpersist(false)
+    }
+  }
+
+  /** The streamed signal store joined with the LATEST labeling, cut to
+    * stage-3 survivors: docs that are their own cluster rep (or appear
+    * in no edge — implicit singletons) and carry no eval contamination.
+    * This is the stream-side twin of the batch chain's `sig3` frame.
+    */
+  def storeSig3(spark: SparkSession, storeRoot: String,
+      labelsRoot: String): DataFrame = {
+    val store = spark.read.parquet(storeRoot)
+    val kept = DocsStream.latestLabels(spark, labelsRoot) match {
+      case Some(l) =>
+        store.join(l.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+          .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      case None => store
+    }
+    kept.filter(!col("contaminated"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+        col("ckey"), col("ord"))
+  }
+
+  /** Finalization: the materialization job over the accumulated store —
+    * gate, mixture, split, packing via the SAME code as the batch chain,
+    * producing the full q160-shaped output.
+    */
+  def q160Output(spark: SparkSession, storeRoot: String, labelsRoot: String,
+      budget: Long): DataFrame = {
+    import graft.queries.PipelineQueries
+    PipelineQueries.q160SplitPackFrom(
+      PipelineQueries.q160MixtureFrom(
+        PipelineQueries.q160GateFrom(storeSig3(spark, storeRoot, labelsRoot)),
+        budget))
+  }
+}

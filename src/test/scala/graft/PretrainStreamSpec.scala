@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{PipelineQueries, Tables}
+import graft.streaming.{DocsStream, PretrainStream}
+
+/** ST18 family: the STREAMING twin of the composed pretrain pipeline
+  * (q160/q161) — incremental ingest replayed as an id-ordered file
+  * stream must reproduce the batch chain stage by stage:
+  *
+  *  - ST18: full-chain parity. Three mtime-ordered files (so both keyed
+  *    states must carry across micro-batches), the composed query +
+  *    sink, then finalization — asserted BIT-EQUAL to batch q161 (the
+  *    rep-anchored stage-2 form, the stream's anchoring discipline) at
+  *    every stage boundary AND the final packed output; asserted
+  *    OVER-KEEP-ONLY against batch q160's pairwise stage-2 form (the
+  *    ST11c contract: verified folds can under-merge, never over-merge).
+  *  - ST18e: the stream's verified edge channel equals the batch
+  *    `repAnchoredEdges` kernel applied to the stage-1 survivors —
+  *    the edge-discipline lock that makes ST18's stage-2 parity
+  *    mechanical rather than coincidental.
+  */
+class PretrainStreamSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def spark = TestSpark.spark
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map {
+        case d: Double => math.round(d * 1e9) / 1e9
+        case x => x
+      })
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  /** Stage docs as n id-ordered single-parquet files under a temp dir. */
+  private def stageOrdered(docs: DataFrame, n: Int): String = {
+    val bounds = docs.stat.approxQuantile("doc_id",
+      (1 to (n - 1)).map(_.toDouble / n).toArray, 0.0).map(_.toLong)
+    val sd = java.nio.file.Files.createTempDirectory("pretrain-stream")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("pretrain-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val cuts = ((Long.MinValue +: bounds) :+ Long.MaxValue).toSeq
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      stage(docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+        s"f$i.parquet", 1000000L * (i + 1))
+    }
+    sd.toString
+  }
+
+  test("composed pretrain stream == batch q161 at every stage and the " +
+      "final output; over-keep-only vs the pairwise form (ST18)") {
+    val docs = Tables(spark, dir, "documents")
+    val evalPred = col("doc_id") % 10 === 7
+    val sd = stageOrdered(docs, 3)
+    val labelsRoot = java.nio.file.Files
+      .createTempDirectory("pretrain-labels").toString
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("pretrain-store").toString
+
+    val sinkFn = PretrainStream.sink(docs, evalPred,
+      s"st18:$storeRoot", labelsRoot, storeRoot)
+    val q = PretrainStream.signals(DocsStream.readStream(spark, sd), docs)
+      .writeStream
+      .foreachBatch((b: DataFrame, e: Long) => sinkFn(b, e))
+      .start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 3, s"expected ≥3 micro-batches, got $nBatches")
+
+    // batch q161 (rep-anchored stage 2) with every stage captured
+    val stages = scala.collection.mutable.Map[Int, DataFrame]()
+    val batchOut = PipelineQueries.q160Frame(spark, dir,
+      PipelineQueries.Q160Budget,
+      stageRun = Some((i, _, mk) => {
+        val df = mk().localCheckpoint(); stages(i) = df; df
+      }),
+      repAnchoredNearDup = true)
+
+    val store = spark.read.parquet(storeRoot)
+    val notEval = (s: Set[Long]) => s.filter(_ % 10 != 7)
+
+    // stage 1: the store holds exactly the non-eval canonical survivors
+    assert(ids(store) == notEval(ids(stages(1))), "stage-1 survivors differ")
+
+    // stage 2: label-derived keep == the batch fixpoint keep-list
+    val labels = DocsStream.latestLabels(spark, labelsRoot)
+      .getOrElse(fail("no labels epoch written"))
+    val streamKept2 = ids(store
+      .join(labels.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .filter(col("rep").isNull || col("rep") === col("doc_id")))
+    assert(streamKept2 == notEval(ids(stages(2))), "stage-2 keep-list differs")
+
+    // stage 3: decontaminated survivors
+    val sig3 = PretrainStream.storeSig3(spark, storeRoot, labelsRoot)
+    assert(ids(sig3) == ids(stages(3)), "stage-3 survivors differ")
+    // decontamination must actually drop something here, or this stage
+    // locks nothing
+    assert(ids(sig3).size < streamKept2.size,
+      "decontamination dropped nothing — stage untested")
+
+    // stage 4: the gated signal frame, full rows
+    assert(sortedRows(PipelineQueries.q160GateFrom(sig3)) ==
+      sortedRows(stages(4)), "stage-4 gate output differs")
+
+    // the full packed output, bit-for-bit
+    val streamOut = PretrainStream.q160Output(spark, storeRoot, labelsRoot,
+      PipelineQueries.Q160Budget)
+    assert(streamOut.count() > 0, "empty final output")
+    assert(sortedRows(streamOut) == sortedRows(batchOut),
+      "final packed output differs from batch q161")
+
+    // against the PAIRWISE stage-2 form (q160): over-keep only — every
+    // pairwise survivor is a stream survivor
+    val stagesP = scala.collection.mutable.Map[Int, DataFrame]()
+    // stage construction (and the stagesP captures) happen eagerly in
+    // the call; the returned tail frame itself is not needed
+    PipelineQueries.q160Frame(spark, dir, PipelineQueries.Q160Budget,
+      stageRun = Some((i, _, mk) => {
+        val df = mk().localCheckpoint(); stagesP(i) = df; df
+      }))
+    val pairwiseS2 = notEval(ids(stagesP(2)))
+    assert((pairwiseS2 -- streamKept2).isEmpty,
+      s"stream UNDER-kept vs pairwise: ${(pairwiseS2 -- streamKept2).take(5)}")
+  }
+
+  test("stream verified-edge channel == batch repAnchoredEdges over " +
+      "stage-1 survivors (ST18e)") {
+    val docs = Tables(spark, dir, "documents")
+    val sd = stageOrdered(docs, 3)
+    val q = PretrainStream.signals(DocsStream.readStream(spark, sd), docs)
+      .writeStream.format("memory").queryName("st18e_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("st18e_out")
+    val streamEdges = out.filter(col("kind") === 1)
+      .select(col("doc_id"), col("dup_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val canon = trim(regexp_replace(lower(
+      graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
+    val s1 = docs.select(col("doc_id"), canon.as("c"))
+      .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d1 = docs.join(s1, Seq("doc_id"), "left_semi")
+    val expected = PipelineQueries.repAnchoredEdgesOf(d1)
+      .filter(col("src") > col("dst"))
+      .select(col("src"), col("dst")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "no rep-anchored edges in testdata?")
+    assert(streamEdges == expected,
+      s"edge channel diverged: stream-only=${(streamEdges -- expected).take(5)} " +
+        s"batch-only=${(expected -- streamEdges).take(5)}")
+
+    // the marker channel covers every canonical survivor exactly once
+    val markers = out.filter(col("kind") === 0).select(col("doc_id"))
+    assert(markers.count() == markers.distinct().count(),
+      "duplicate doc markers")
+    assert(ids(markers) == ids(s1), "marker channel != stage-1 survivors")
+  }
+}
