@@ -201,8 +201,15 @@ object Bench {
     // recorded. With a steal figure per (query, run), contaminated
     // WINDOWS self-identify and the union-min over clean windows can
     // ride alongside the headline — one storm no longer voids a run.
-    final case class Timed(sec: Double, stealPct: Double)
+    // buildSec: model-training seconds PAID DURING THIS RUN (delta of
+    // Models.buildTimes around the run) — the first run of a
+    // model-backed query (q114's BPE, the index queries) amortizes its
+    // build here, and without this figure a first-run-heavy min looks
+    // like lineage drift (the r14 q114 flag burned an A/B on exactly
+    // this ambiguity)
+    final case class Timed(sec: Double, stealPct: Double, buildSec: Double)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Timed = {
+      val b0 = graft.operators.Models.buildTimes.values.sum
       val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       // the noop sink materializes EVERY output column. A count()
@@ -219,7 +226,8 @@ object Bench {
       val st =
         if (j0._1 < 0 || j1._1 < 0 || j1._2 <= j0._2) -1.0
         else 100.0 * (j1._1 - j0._1) / (j1._2 - j0._2).toDouble
-      Timed(if (ok) sec else Double.MaxValue, st)
+      Timed(if (ok) sec else Double.MaxValue, st,
+        math.max(0.0, graft.operators.Models.buildTimes.values.sum - b0))
     }
     // a run's window is CLEAN when its own steal stayed under the gate
     // threshold (unreadable /proc, -1, counts as clean — same permissive
@@ -232,11 +240,25 @@ object Bench {
       // query N-1's garbage — part of the heavy-tail noise story
       System.gc()
       val fn = SparkEntry.queries(name)
-      val base = (1 to runs).map(_ => timeOnce(fn))
+      // q114/q138 flagged lineage-untouched drift in r14 with no
+      // mechanical adjudication row; wrap their runs in a single
+      // PhaseStats phase so the LAST run's exact shuffle/spill rides in
+      // the artifact (the q146/q87/q128 discipline, without needing an
+      // iterative operator to host the stats)
+      val phased = Set("q138_hard_negatives", "q114_bpe_encode")
+      def timed(): Timed =
+        if (!phased.contains(name)) timeOnce(fn)
+        else {
+          val run = graft.operators.PhaseStats.start(spark.sparkContext, name)
+          val t = run.phase(0)(timeOnce(fn))
+          roundSnapshots(s"${name.split('_').head}_phase") = run.finish().json
+          t
+        }
+      val base = (1 to runs).map(_ => timed())
       def best(ts: Seq[Timed]) = ts.map(_.sec).min
       val extended =
         if (best(base) > 0.5 && best(base) != Double.MaxValue)
-          base ++ ((runs + 1) to heavyRuns).map(_ => timeOnce(fn))
+          base ++ ((runs + 1) to heavyRuns).map(_ => timed())
         else base
       // drift-triggered auto-rerun: a min >20% above the last committed
       // artifact's min for the same query gets ONE extra attempt before
@@ -247,10 +269,10 @@ object Bench {
       // the storm may have passed.
       val retried =
         if (priorMins.get(name).exists(p => p > 0 && best(extended) > p * 1.2))
-          extended :+ timeOnce(fn)
+          extended :+ timed()
         else extended
       val times =
-        if (retried.exists(clean)) retried else retried :+ timeOnce(fn)
+        if (retried.exists(clean)) retried else retried :+ timed()
       // snapshot per-phase rows IMMEDIATELY after this query's timing
       // loop — several queries share the iterative operators (q157/q130
       // also run CC), so reading the "last run" at artifact-writer time
@@ -337,6 +359,15 @@ object Bench {
     val prRounds = roundSnapshots.getOrElse("q146_rounds", "[]")
     val fixpointRounds = roundSnapshots.getOrElse("q87_rounds", "[]")
     val ccRounds = roundSnapshots.getOrElse("q128_rounds", "[]")
+    val q138Phase = roundSnapshots.getOrElse("q138_phase", "[]")
+    val q114Phase = roundSnapshots.getOrElse("q114_phase", "[]")
+    // per-run build seconds for queries that paid any model build —
+    // the q114 first-run amortization made visible per run
+    val buildsPaid = results
+      .filter { case (_, ts) => ts.exists(_.buildSec > 0.001) }
+      .map { case (k, ts) =>
+        s"\"" + k + "\":" + ts.map(t => f3(t.buildSec)).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(r => min(r._2)).sum else 0.0
     val totalMed = if (results.nonEmpty) results.map(r => median(r._2)).sum else 0.0
     // clean-window headline twin: per query the clean min when one
@@ -381,8 +412,10 @@ object Bench {
       s""""total_median":${f3(totalMed)},"total_clean":${f3(totalClean)},""" +
       s""""n_no_clean_window":$nNoClean,"queries_median":$qsMed,""" +
       s""""queries_clean":$qsClean,"queries_runs":$qsRuns,""" +
-      s""""build":$build,"q146_rounds":$prRounds,"q87_rounds":$fixpointRounds,""" +
-      s""""q128_rounds":$ccRounds,"sf":"$sfDir",$env}"""
+      s""""build":$build,"builds_paid":$buildsPaid,""" +
+      s""""q146_rounds":$prRounds,"q87_rounds":$fixpointRounds,""" +
+      s""""q128_rounds":$ccRounds,"q138_phase":$q138Phase,""" +
+      s""""q114_phase":$q114Phase,"sf":"$sfDir",$env}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

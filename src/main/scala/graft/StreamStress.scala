@@ -303,6 +303,11 @@ object StreamStress {
       s""""provider":"${spark.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")
         .map(_.split('.').last).getOrElse("hdfs-default")}",""" +
+      s""""partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+      s""""mft":${sys.env.getOrElse("STREAM_STRESS_MFT", "2")},""" +
+      s""""changelog":${spark.conf.getOption(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        .getOrElse("false")},""" +
       s""""batch_exec_sec":${math.round(sinkNanos.get / 1e8) / 10.0},""" +
       s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
   }
@@ -384,6 +389,187 @@ object StreamStress {
       s""""wall_sec":${math.round(wall * 10) / 10.0}}""")
   }
 
+  /** STREAM_STRESS_PRETRAIN=budget: the ST18 composed pipeline
+    * ([[graft.streaming.PretrainStream]]) at corpus scale — the
+    * incremental-ingest twin of STRESS_PRETRAIN_E2E. Two replays:
+    *
+    *  - `ordered`: id-ascending file order (the ingest-order contract).
+    *    Readouts: per-stateful-operator state rows/bytes peaks (the two
+    *    chained keyed states — canonical classes and (band, bucket)
+    *    reps), per-epoch sink wall (incremental CC + decontamination
+    *    cost curve), stage cardinalities, and the full-chain parity
+    *    check against batch q161 over the same corpus (except-both-ways
+    *    row diffs at stages 1-3 and the final packed output —
+    *    `parity_ok` must be true).
+    *  - `asis`: the corpus's native hash-scattered file order (ids
+    *    arrive out of order — the production crawl regime). Asserted
+    *    over-keep-only against batch q160's PAIRWISE stage-2 form
+    *    (stream edges are each verified bucket-cohabiting pairs, a
+    *    subset of the all-pairs set, so stream components can only
+    *    under-merge → survivors a superset); displacement/relink counts
+    *    reported.
+    */
+  private def pretrainMode(spark: SparkSession, corpus: String,
+      nDocs: Long, budget: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DocsStream, PretrainStream}
+    val factor = sys.env.getOrElse("STRESS_FACTOR", "10").toInt
+    // replicated ids are base*factor+r — lift the eval law to the base
+    // id (the STRESS_PRETRAIN_E2E discipline; raw mod would make every
+    // doc self-contaminated via its replicas)
+    val evalPred = expr(s"(doc_id DIV $factor) % 10 = 7")
+    val tablesDir = new java.io.File(corpus).getParent
+    val docs = spark.read.parquet(corpus)
+
+    // per-operator state accumulator (the composed query carries TWO
+    // keyed states; ProgressAccumulator only reads the head)
+    final class MultiStateAcc extends StreamingQueryListener {
+      val inputRows = new java.util.concurrent.atomic.AtomicLong
+      val rowsPeak = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.atomic.AtomicLong]()
+      val bytesPeak = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.atomic.AtomicLong]()
+      val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) inputRows.addAndGet(p.numInputRows)
+        p.stateOperators.zipWithIndex.foreach { case (s, i) =>
+          names.put(i, s.operatorName)
+          rowsPeak.computeIfAbsent(i,
+            _ => new java.util.concurrent.atomic.AtomicLong(-1))
+            .getAndUpdate(c => math.max(c, s.numRowsTotal))
+          bytesPeak.computeIfAbsent(i,
+            _ => new java.util.concurrent.atomic.AtomicLong(-1))
+            .getAndUpdate(c => math.max(c, s.memoryUsedBytes))
+        }
+      }
+      def json: String = (0 until names.size).map { i =>
+        s"""{"op":"${names.get(i)}","rows_peak":${rowsPeak.get(i).get},""" +
+          s""""bytes_peak":${bytesPeak.get(i).get}}"""
+      }.mkString("[", ",", "]")
+    }
+
+    def diff(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      a.except(b).count() + b.except(a).count()
+
+    def replay(tag: String, stagedDir: String): Unit = {
+      val acc = new MultiStateAcc
+      spark.streams.addListener(acc)
+      val labelsRoot = java.nio.file.Files
+        .createTempDirectory(s"pretrain-stress-labels-$tag").toString
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory(s"pretrain-stress-store-$tag").toString
+      val epochWalls = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val sinkFn = PretrainStream.sink(docs, evalPred,
+        s"stress-pretrain:$tag:$storeRoot", labelsRoot, storeRoot)
+      val dBefore = PretrainStream.displacedReps(spark).value
+      val oBefore = PretrainStream.overConnectMerges(spark).value
+      val t0 = System.nanoTime()
+      val q = PretrainStream
+        .signals(DocsStream.readStream(spark, stagedDir, 2), docs)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+          val e0 = System.nanoTime()
+          sinkFn(b, e)
+          epochWalls.add((System.nanoTime() - e0) / 1e9)
+          ()
+        }.start()
+      try q.processAllAvailable()
+      finally { q.stop(); spark.streams.removeListener(acc) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val displaced = PretrainStream.displacedReps(spark).value - dBefore
+      val overConnect = PretrainStream.overConnectMerges(spark).value - oBefore
+
+      val store = spark.read.parquet(storeRoot)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+          col("ckey"), col("ord"), col("contaminated"))
+        .localCheckpoint()
+      val labels = DocsStream.latestLabels(spark, labelsRoot)
+        .getOrElse(sys.error("no labels epoch"))
+      val kept2 = store
+        .join(labels.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+        .filter(col("rep").isNull || col("rep") === col("doc_id"))
+        .select(store.columns.map(col): _*)
+      val sig3 = kept2.filter(!col("contaminated"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+          col("ckey"), col("ord"))
+      val streamOut = graft.queries.PipelineQueries.q160SplitPackFrom(
+        graft.queries.PipelineQueries.q160MixtureFrom(
+          graft.queries.PipelineQueries.q160GateFrom(sig3), budget))
+        .localCheckpoint()
+
+      // batch q161 (rep form) chain over the same corpus, stages pinned
+      val stages = scala.collection.mutable.Map[Int,
+        org.apache.spark.sql.DataFrame]()
+      val batchOut = graft.queries.PipelineQueries.q160Frame(spark,
+        tablesDir, budget,
+        stageRun = Some((i, _, mk) => {
+          val df = mk().localCheckpoint(); stages(i) = df; df
+        }),
+        evalPred = evalPred, repAnchoredNearDup = true)
+      val ids = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"))
+      val notEval = (d: org.apache.spark.sql.DataFrame) => d.filter(!evalPred)
+      val d1 = diff(ids(store), ids(notEval(stages(1))))
+      val d2 = diff(ids(kept2), ids(notEval(stages(2))))
+      val d3 = diff(ids(sig3), ids(stages(3)))
+      val dOut = diff(streamOut, batchOut)
+      // over-keep-only law vs the PAIRWISE stage-2 form: pairwise
+      // survivors minus stream survivors must be empty under ANY order
+      val stagesP = scala.collection.mutable.Map[Int,
+        org.apache.spark.sql.DataFrame]()
+      graft.queries.PipelineQueries.q160Frame(spark, tablesDir, budget,
+        stageRun = Some((i, _, mk) => {
+          val df = mk().localCheckpoint(); stagesP(i) = df; df
+        }),
+        evalPred = evalPred)
+      val underKeep = ids(notEval(stagesP(2)))
+        .except(ids(kept2)).count()
+      val walls = {
+        var w = List.empty[Double]
+        val it = epochWalls.iterator(); while (it.hasNext) w ::= it.next()
+        w.reverse
+      }
+      def f2(d: Double) = math.round(d * 100) / 100.0
+      println(s"""STREAMSTRESS_PRETRAIN {"corpus":"$corpus","order":"$tag",""" +
+        s""""docs":$nDocs,"budget":$budget,""" +
+        s""""epochs":${walls.size},""" +
+        s""""store_rows":${store.count()},"label_rows":${labels.count()},""" +
+        s""""sig3_rows":${sig3.count()},"out_rows":${streamOut.count()},""" +
+        s""""state_ops":${acc.json},""" +
+        s""""displaced":$displaced,"overconnect_merges":$overConnect,""" +
+        s""""diff_s1":$d1,"diff_s2":$d2,"diff_s3":$d3,"diff_out":$dOut,""" +
+        s""""parity_ok":${d1 == 0 && d2 == 0 && d3 == 0 && dOut == 0},""" +
+        s""""underkeep_vs_pairwise":$underKeep,""" +
+        s""""overkeep_only_ok":${underKeep == 0},""" +
+        s""""epoch_wall_first_sec":${f2(walls.headOption.getOrElse(-1.0))},""" +
+        s""""epoch_wall_last_sec":${f2(walls.lastOption.getOrElse(-1.0))},""" +
+        s""""epoch_wall_max_sec":${f2(if (walls.isEmpty) -1.0 else walls.max)},""" +
+        s""""wall_sec":${f2(wall)}}""")
+    }
+
+    // ordered staging: id-ascending file order (verifiedMode's idiom,
+    // ascending mtimes)
+    val staged = java.nio.file.Files
+      .createTempDirectory("pretrain-ordered").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(1000000000L + (i + 1) * 10000L),
+        s"setLastModified rejected on $f — ordered replay broken")
+    }
+    replay("ordered", staged)
+    replay("asis", corpus)
+  }
+
   def main(args: Array[String]): Unit = {
     // STREAM_STRESS_EMBED=1: drive the EMBEDDING stream
     // (EmbedStream.semanticNearDup) over the scaled jittered corpus
@@ -397,12 +583,16 @@ object StreamStress {
         "/tmp/graft_stress/x10/events.parquet"
       else "/tmp/graft_stress/x10/documents.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // STREAM_STRESS_PARTITIONS: the state-store partition lever for the
+    // ST17 wall experiment — more partitions = more parallel store
+    // instances per batch (and more per-batch task/commit overhead)
+    val stateParts = sys.env.getOrElse("STREAM_STRESS_PARTITIONS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // state-store shuffle partitions bound per-batch task count AND
       // RocksDB instance count; 8 matches a per-executor share of a
       // real deployment better than 32 local threads would
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", stateParts)
       .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -412,6 +602,14 @@ object StreamStress {
     if (sys.env.getOrElse("STREAM_STRESS_PROVIDER", "rocksdb") == "rocksdb")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // STREAM_STRESS_ROCKSDB_CHANGELOG=1: checkpoint the RocksDB
+    // CHANGELOG instead of snapshotting full SST files per commit —
+    // the second ST17 wall lever (commit cost scales with delta, not
+    // store size)
+    if (sys.env.get("STREAM_STRESS_ROCKSDB_CHANGELOG").contains("1"))
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
     val nDocs = spark.read.parquet(corpus).count()
 
     if (sys.env.get("STREAM_STRESS_LABELS").contains("1")) {
@@ -424,6 +622,12 @@ object StreamStress {
       verifiedMode(spark, corpus, nDocs)
       spark.stop()
       return
+    }
+
+    sys.env.get("STREAM_STRESS_PRETRAIN").map(_.toLong).foreach { budget =>
+      pretrainMode(spark, corpus, nDocs, budget)
+      spark.stop()
+      sys.exit(0)
     }
 
     if (sys.env.contains("STREAM_STRESS_ANALYTICS")) {
