@@ -253,15 +253,30 @@ object Stress {
     // sizes partitions to data (AQE or conf); this dial measures that.
     val shufflePartitions =
       sys.env.getOrElse("STRESS_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // STRESS_MASTER=local-cluster[W,C,M]: run the harness on a pseudo-
+    // cluster — real forked executor JVMs with their OWN heaps — instead
+    // of local[cpus] (the ClusterPerf discipline: executors are plain
+    // java processes and need this JVM's classpath plus the JDK17
+    // --add-opens set; needs SPARK_HOME + SPARK_SCALA_VERSION for the
+    // worker launch). STRESS_EXECUTOR_MEM sizes each executor heap.
+    val master = sys.env.getOrElse("STRESS_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config(GraftConf.ObjAggFallbackKey, GraftConf.ObjAggFallbackEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      builder
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+        .config("spark.executor.memory",
+          sys.env.getOrElse("STRESS_EXECUTOR_MEM", "8g"))
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -318,6 +333,30 @@ object Stress {
       if (sys.env.get("STRESS_INVARIANTS").contains("1"))
         println(s"""STRESS_INVARIANTS {"corpus":"$tag",""" +
           s""""q87":${fixpointInvariants(spark, dir)}}""")
+      // STRESS_CONTAM=1: q163 under the REALISTIC eval regime. On the
+      // replicated corpora the raw doc_id%10 law marks every doc's own
+      // replicas as eval (every gram survives the bloom — the measured
+      // degenerate worst case); lifting the law to the base id keeps
+      // the eval suite disjoint from training replicas, so this row
+      // shows the shipped plan's bloom-pruned cost.
+      if (sys.env.get("STRESS_CONTAM").contains("1")) {
+        val evalPred = if (tag == "base") col("doc_id") % 10 === 7
+          else expr(s"(doc_id DIV $factor) % 10 = 7")
+        val times = (1 to 2).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          queries.PipelineQueries.contaminationFracFrame(spark, dir,
+            evalPred, s"evalgrams:stress:$tag:$dir")
+            .write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            metrics.shuffleWrite.get(), metrics.spill.get())
+        }
+        println(s"""STRESS_CONTAM {"corpus":"$tag","docs":${
+          if (tag == "base") nBase else nScaled},""" +
+          s""""cold_sec":${times.head._1},"warm_sec":${times.last._1},""" +
+          s""""shuffle_write_bytes":${times.last._2},""" +
+          s""""spilled_bytes":${times.last._3}}""")
+      }
       // STRESS_SEMDEDUP=1: q132's quantizer-size dial. At the scaled
       // corpus the BASE k (cells grow factor× → pairwise grows factor²)
       // is measured against k scaled with the corpus (cells stay

@@ -833,6 +833,40 @@ object PipelineQueries {
     graft.functions.BloomFunctions.trainBloomCached(key, evalGrams,
       col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
 
+  /** q163's engine with a PARAMETERIZED eval law: per-doc fraction of
+    * 8-grams appearing in the eval suite, thresholded at 20%. The
+    * stress harness passes the base-id-lifted law on replicated corpora
+    * (raw `doc_id % 10` there marks every doc's own replicas as eval —
+    * the measured degenerate worst case; the lifted law measures the
+    * realistic disjoint-eval regime where the bloom prunes the gram
+    * stream to true-overlap scale).
+    */
+  private[graft] def contaminationFracFrame(s: SparkSession, d: String,
+      evalPred: org.apache.spark.sql.Column, bloomKey: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val grams = gramStream8(docs(s, d))
+    val evalGrams = grams.filter(evalPred).select(col("g")).distinct()
+    val bloom = trainEvalBloom(bloomKey, evalGrams)
+    val trainGrams = grams.filter(!evalPred)
+    val totals = trainGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams
+      .filter(BloomFunctions.mightContain(bloom, col("g")))
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    docs(s, d).filter(!evalPred)
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("frac",
+        when(col("n_grams") > 0, col("n_hit") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("frac") < 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     // ---- exact dedup: hash-groupBy on full text ----
     Q("q40_dedup_exact", (s, d) => {
@@ -1658,30 +1692,8 @@ object PipelineQueries {
     // and only bloom survivors reach the exact verification join — hit
     // counts are exact (bloom has no false negatives, the join
     // verifies). Docs with <8 tokens have no grams: 0/0 → clean. ----
-    Q("q163_contamination_frac", (s, d) => {
-      import graft.functions.BloomFunctions
-      val grams = gramStream8(docs(s, d))
-      val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
-      val bloom = trainEvalBloom(s"evalgrams:$d", evalGrams)
-      val trainGrams = grams.filter(col("doc_id") % 10 =!= 7)
-      val totals = trainGrams.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"))
-      val hits = trainGrams
-        .filter(BloomFunctions.mightContain(bloom, col("g")))
-        .join(evalGrams, "g")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      docs(s, d).filter(col("doc_id") % 10 =!= 7)
-        .join(totals, Seq("doc_id"), "left")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .withColumn("frac",
-          when(col("n_grams") > 0, col("n_hit") / col("n_grams"))
-            .otherwise(lit(0.0)))
-        .withColumn("keep", col("frac") < 0.2)
-        .orderBy(col("doc_id"))
-    }, Some(s"""
+    Q("q163_contamination_frac", (s, d) => contaminationFracFrame(
+      s, d, col("doc_id") % 10 === 7, s"evalgrams:$d"), Some(s"""
       WITH t AS (SELECT doc_id, $duckWords ws FROM documents),
       g AS (SELECT doc_id, ${duckHash32("gr")} AS g FROM (
               SELECT doc_id, unnest(list_distinct(
