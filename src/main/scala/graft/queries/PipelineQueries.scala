@@ -848,8 +848,16 @@ object PipelineQueries {
     val evalGrams = grams.filter(evalPred).select(col("g")).distinct()
     val bloom = trainEvalBloom(bloomKey, evalGrams)
     val trainGrams = grams.filter(!evalPred)
-    val totals = trainGrams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
+    // per-doc DISTINCT-gram totals are a per-doc array property — one
+    // map-side expression, never a corpus-gram aggregation (the naive
+    // groupBy over the exploded stream moved ~100 rows/doc through an
+    // exchange and carried 725 MB of the realistic 1000× row's spill)
+    val totals = docs(s, d)
+      .filter(!evalPred)
+      .filter(size(TextOps.tokens(col("text"))) >= 8)
+      .select(col("doc_id"), size(array_distinct(
+        graft.functions.TextFunctions.shinglesFromText(col("text"), 8)))
+        .cast("long").as("n_grams"))
     val hits = trainGrams
       .filter(BloomFunctions.mightContain(bloom, col("g")))
       .join(evalGrams, "g")
