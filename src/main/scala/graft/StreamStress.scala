@@ -466,7 +466,7 @@ object StreamStress {
       val storeRoot = java.nio.file.Files
         .createTempDirectory(s"pretrain-stress-store-$tag").toString
       val epochWalls = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-      val sinkFn = PretrainStream.sink(docs, evalPred,
+      val sinkH = PretrainStream.sink(docs, evalPred,
         s"stress-pretrain:$tag:$storeRoot", labelsRoot, storeRoot)
       val dBefore = PretrainStream.displacedReps(spark).value
       val oBefore = PretrainStream.overConnectMerges(spark).value
@@ -476,12 +476,14 @@ object StreamStress {
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
           val e0 = System.nanoTime()
-          sinkFn(b, e)
+          sinkH.fn(b, e)
           epochWalls.add((System.nanoTime() - e0) / 1e9)
           ()
         }.start()
       try q.processAllAvailable()
-      finally { q.stop(); spark.streams.removeListener(acc) }
+      finally {
+        q.stop(); spark.streams.removeListener(acc); sinkH.release()
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       val displaced = PretrainStream.displacedReps(spark).value - dBefore
       val overConnect = PretrainStream.overConnectMerges(spark).value - oBefore
@@ -492,16 +494,16 @@ object StreamStress {
         .localCheckpoint()
       val labels = DocsStream.latestLabels(spark, labelsRoot)
         .getOrElse(sys.error("no labels epoch"))
+      // kept2 stays inline (the stress needs the stage-2 cut alone for
+      // diff_s2); sig3/finalization go through the SHIPPED code paths
+      // so this harness cannot drift from what PretrainStream runs
       val kept2 = store
         .join(labels.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
         .filter(col("rep").isNull || col("rep") === col("doc_id"))
         .select(store.columns.map(col): _*)
-      val sig3 = kept2.filter(!col("contaminated"))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
-          col("ckey"), col("ord"))
-      val streamOut = graft.queries.PipelineQueries.q160SplitPackFrom(
-        graft.queries.PipelineQueries.q160MixtureFrom(
-          graft.queries.PipelineQueries.q160GateFrom(sig3), budget))
+      val sig3 = PretrainStream.storeSig3(spark, storeRoot, labelsRoot)
+      val streamOut = PretrainStream
+        .q160Output(spark, storeRoot, labelsRoot, budget)
         .localCheckpoint()
 
       // batch q161 (rep form) chain over the same corpus, stages pinned
@@ -513,6 +515,7 @@ object StreamStress {
           val df = mk().localCheckpoint(); stages(i) = df; df
         }),
         evalPred = evalPred, repAnchoredNearDup = true)
+        .localCheckpoint()
       val ids = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"))
       val notEval = (d: org.apache.spark.sql.DataFrame) => d.filter(!evalPred)
       val d1 = diff(ids(store), ids(notEval(stages(1))))
@@ -520,13 +523,16 @@ object StreamStress {
       val d3 = diff(ids(sig3), ids(stages(3)))
       val dOut = diff(streamOut, batchOut)
       // over-keep-only law vs the PAIRWISE stage-2 form: pairwise
-      // survivors minus stream survivors must be empty under ANY order
+      // survivors minus stream survivors must be empty under ANY order.
+      // Only stages 1-2 are pinned — the hook returns the later stages
+      // lazily and the tail frame is dropped unexecuted, so this run
+      // never materializes the stage-3..7 work it doesn't read.
       val stagesP = scala.collection.mutable.Map[Int,
         org.apache.spark.sql.DataFrame]()
       graft.queries.PipelineQueries.q160Frame(spark, tablesDir, budget,
-        stageRun = Some((i, _, mk) => {
-          val df = mk().localCheckpoint(); stagesP(i) = df; df
-        }),
+        stageRun = Some((i, _, mk) =>
+          if (i <= 2) { val df = mk().localCheckpoint(); stagesP(i) = df; df }
+          else mk()),
         evalPred = evalPred)
       val underKeep = ids(notEval(stagesP(2)))
         .except(ids(kept2)).count()
@@ -538,7 +544,7 @@ object StreamStress {
       def f2(d: Double) = math.round(d * 100) / 100.0
       println(s"""STREAMSTRESS_PRETRAIN {"corpus":"$corpus","order":"$tag",""" +
         s""""docs":$nDocs,"budget":$budget,""" +
-        s""""epochs":${walls.size},""" +
+        s""""epochs":${walls.size},"input_rows":${acc.inputRows.get},""" +
         s""""store_rows":${store.count()},"label_rows":${labels.count()},""" +
         s""""sig3_rows":${sig3.count()},"out_rows":${streamOut.count()},""" +
         s""""state_ops":${acc.json},""" +

@@ -114,10 +114,15 @@ object PretrainStream {
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
     val bkeys = array((0 until NBands).map(b => concat_ws("_",
       element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    val elig = size(ws) >= 3
+    // null-text docs must not kill the query: the typed encoder below
+    // has primitive Long/Boolean fields, so n_tokens/elig are
+    // null-coalesced (a null text is a 0-token ineligible doc; its
+    // canonical key stays NULL-FAITHFUL — md5(null) is null, grouping
+    // all null texts into one class exactly as the batch groupBy does)
+    val elig = coalesce(size(ws) >= 3, lit(false))
     val slim = stream.select(col("doc_id"), col("source"), col("text"),
         md5(canon).as("ck"),
-        size(ws).cast("long").as("n_tokens"),
+        coalesce(size(ws).cast("long"), lit(0L)).as("n_tokens"),
         when(size(ws) > 0, size(array_distinct(ws)) / size(ws))
           .otherwise(lit(0.0)).as("ttr"),
         when(elig, graft.functions.SetFunctions.shingleHashSet(col("text"), 3))
@@ -242,13 +247,21 @@ object PretrainStream {
     * what training docs are checked against, and they are themselves
     * dropped from the doc channel (batch stage-3 law).
     */
+  /** A built sink plus the release handle for its pinned eval-gram
+    * inventory — call `release()` after the query stops (the cache
+    * would otherwise sit in storage memory until the closure is GC'd
+    * and the ContextCleaner notices).
+    */
+  final case class PretrainSink(fn: (DataFrame, Long) => Unit,
+      release: () => Unit)
+
   def sink(history: DataFrame, evalPred: Column, bloomKey: String,
-      labelsRoot: String, storeRoot: String): (DataFrame, Long) => Unit = {
+      labelsRoot: String, storeRoot: String): PretrainSink = {
     import graft.queries.PipelineQueries
     val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
       .select(col("g")).distinct().cache()
     val bloom = PipelineQueries.trainEvalBloom(bloomKey, evalGrams)
-    (batch: DataFrame, epochId: Long) => {
+    val fn = (batch: DataFrame, epochId: Long) => {
       // one materialization of the stateful plan per trigger: both
       // channels' actions read the cached rows
       val b = batch.persist()
@@ -274,6 +287,7 @@ object PretrainStream {
           .write.mode("overwrite").parquet(s"$storeRoot/epoch=$epochId")
       } finally b.unpersist(false)
     }
+    PretrainSink(fn, () => { evalGrams.unpersist(false); () })
   }
 
   /** The streamed signal store joined with the LATEST labeling, cut to

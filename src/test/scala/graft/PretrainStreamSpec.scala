@@ -53,7 +53,8 @@ class PretrainStreamSpec extends AnyFunSuite {
         .find(_.getName.endsWith(".parquet")).get
       val dest = sd.resolve(name)
       java.nio.file.Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(mtime)
+      require(dest.toFile.setLastModified(mtime),
+        s"setLastModified rejected on $dest — ordered replay broken")
     }
     val cuts = ((Long.MinValue +: bounds) :+ Long.MaxValue).toSeq
     cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
@@ -73,15 +74,16 @@ class PretrainStreamSpec extends AnyFunSuite {
     val storeRoot = java.nio.file.Files
       .createTempDirectory("pretrain-store").toString
 
-    val sinkFn = PretrainStream.sink(docs, evalPred,
+    val sinkH = PretrainStream.sink(docs, evalPred,
       s"st18:$storeRoot", labelsRoot, storeRoot)
     val q = PretrainStream.signals(DocsStream.readStream(spark, sd), docs)
       .writeStream
-      .foreachBatch((b: DataFrame, e: Long) => sinkFn(b, e))
+      .foreachBatch((b: DataFrame, e: Long) => sinkH.fn(b, e))
       .start()
     q.processAllAvailable()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    sinkH.release()
     assert(nBatches >= 3, s"expected ≥3 micro-batches, got $nBatches")
 
     // batch q161 (rep-anchored stage 2) with every stage captured
@@ -138,6 +140,44 @@ class PretrainStreamSpec extends AnyFunSuite {
     val pairwiseS2 = notEval(ids(stagesP(2)))
     assert((pairwiseS2 -- streamKept2).isEmpty,
       s"stream UNDER-kept vs pairwise: ${(pairwiseS2 -- streamKept2).take(5)}")
+  }
+
+  test("null-text docs flow as ineligible markers instead of killing " +
+      "the query (ST18n)") {
+    // docsSchema declares text nullable and the batch chain tolerates
+    // null texts (null canonical class, coalesce'd ckey); the typed
+    // encoder in signals() has primitive fields, so without the
+    // null-coalescing this crashed the whole query
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "alpha beta gamma delta", "en", "web", 22L),
+        Row(2L, null, "en", "web", 0L),
+        Row(3L, "alpha beta gamma delta", "en", "web", 22L)), 1),
+      schema)
+    val sd = java.nio.file.Files.createTempDirectory("pretrain-null")
+    docs.coalesce(1).write.mode("overwrite").parquet(sd.toString)
+    val q = PretrainStream.signals(DocsStream.readStream(spark, sd.toString),
+        docs)
+      .writeStream.format("memory").queryName("st18n_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val out = spark.table("st18n_out")
+    val markers = out.filter(col("kind") === 0)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 3 is an exact duplicate of doc 1 (dropped at stage 1); the
+    // null-text doc 2 survives as a 0-token ineligible marker
+    assert(markers.keySet == Set(1L, 2L), s"markers: $markers")
+    assert(markers(2L) == 0L, "null-text doc should carry n_tokens 0")
+    assert(out.filter(col("kind") === 1).count() == 0, "no edges expected")
   }
 
   test("stream verified-edge channel == batch repAnchoredEdges over " +
