@@ -95,7 +95,7 @@ object PlanAudit {
     "q154_retention_cohorts" -> "retention cohorts: (user, week) activity map-side-deduped before its one exchange; cohort anchor table ≤1 row/user; the (cohort, offset) rollup partial-aggregates; week offsets are exact integer day arithmetic",
     "q156_session_paths" -> "session path analysis: ONE user-keyed exchange feeds both window passes (second reuses the first's sort); per-session path collect bounded by the 30-min gap; path rollup partial-aggregates; top-20 via TakeOrdered, no global sort",
     "q162_bucketed_pack" -> "length-bucketed packing: two-level prefix-sum rank per (grade, id-bucket) — a hot grade never lands in one sort; offsets broadcast",
-    "q163_contamination_frac" -> "thresholded decontamination: task-literal bloom prunes the gram stream map-side; exact hit counts on survivors only; per-doc totals partial-aggregate",
+    "q163_contamination_frac" -> "thresholded decontamination: task-literal bloom prunes the gram stream map-side; exact hit counts on survivors only; per-doc distinct-gram totals are ONE map-side array expression (the exploded-stream aggregate they replaced carried ~725 MB of the realistic 1000x row's spill)",
     "q164_intradoc_repetition" -> "intra-doc repetition signals as ONE map-side projection: dup-trigram fraction from the shingle array + native TopShingleCount mode kernel (deleted the ~245M-key (doc,bigram) exchange: 6.9 GB spill -> 0); only the output sort exchanges",
     "q160_pretrain_e2e" -> "the composed pretrain DAG: stage boundaries pinned as ids-only/slim manifests (the audited plan is the post-pin tail — stages 6-7 over budget-bounded rows; earlier stages reuse q155/q87/q101/q97/q124/q133/q95's audited shapes); full-chain cost decomposed per stage in the round-14 STRESS_PRETRAIN_E2E ladder (5M docs, 71.7 s, spill localized to edge-gen prepare)")
 

@@ -4166,7 +4166,8 @@ object PipelineQueries {
     // rep survivors ⊇ pairwise survivors). ----
     Q("q161_pretrain_e2e_rep",
       (s, d) => q160Frame(s, d, Q160Budget, repAnchoredNearDup = true),
-      Some(q160OracleSql(Q160Budget, duckRepEdgesCtesOf("d1"))))
+      Some(q160OracleSql(Q160Budget, duckRepEdgesCtesOf("d1"))),
+      bench = true)
   )
 
   /** Rep-anchored verified near-dup edges over a (doc_id, text, ...)

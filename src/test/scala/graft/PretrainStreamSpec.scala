@@ -180,16 +180,32 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(out.filter(col("kind") === 1).count() == 0, "no edges expected")
   }
 
-  test("stream verified-edge channel == batch repAnchoredEdges over " +
-      "stage-1 survivors (ST18e)") {
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withStateStore[T](provider: Option[String])(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    provider.foreach(spark.conf.set(key, _))
+    try body finally provider.foreach(_ => spark.conf.unset(key))
+  }
+
+  /** ST18e body, parameterized on the state-store provider: the chained
+    * TWO-state query's handlers round-trip their state (a Long per
+    * canonical class; (Long, Seq[Long]) per bucket) through the store,
+    * so a provider-specific encoder defect would break edge/marker
+    * parity here.
+    */
+  private def edgeChannelCase(provider: Option[String], tag: String): Unit = {
     val docs = Tables(spark, dir, "documents")
     val sd = stageOrdered(docs, 3)
-    val q = PretrainStream.signals(DocsStream.readStream(spark, sd), docs)
-      .writeStream.format("memory").queryName("st18e_out")
-      .outputMode("append").start()
+    val q = withStateStore(provider) {
+      PretrainStream.signals(DocsStream.readStream(spark, sd), docs)
+        .writeStream.format("memory").queryName(s"st18e_out_$tag")
+        .outputMode("append").start()
+    }
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("st18e_out")
+    val out = spark.table(s"st18e_out_$tag")
     val streamEdges = out.filter(col("kind") === 1)
       .select(col("doc_id"), col("dup_of")).distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -214,5 +230,14 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(markers.count() == markers.distinct().count(),
       "duplicate doc markers")
     assert(ids(markers) == ids(s1), "marker channel != stage-1 survivors")
+  }
+
+  test("stream verified-edge channel == batch repAnchoredEdges over " +
+      "stage-1 survivors (ST18e)") {
+    edgeChannelCase(None, "hdfs")
+  }
+
+  test("ST18e parity holds under the RocksDB state store (ST18er)") {
+    edgeChannelCase(Some(RocksDb), "rocksdb")
   }
 }
