@@ -527,15 +527,22 @@ object StreamStress {
       // Only stages 1-2 are pinned — the hook returns the later stages
       // lazily and the tail frame is dropped unexecuted, so this run
       // never materializes the stage-3..7 work it doesn't read.
-      val stagesP = scala.collection.mutable.Map[Int,
-        org.apache.spark.sql.DataFrame]()
-      graft.queries.PipelineQueries.q160Frame(spark, tablesDir, budget,
-        stageRun = Some((i, _, mk) =>
-          if (i <= 2) { val df = mk().localCheckpoint(); stagesP(i) = df; df }
-          else mk()),
-        evalPred = evalPred)
-      val underKeep = ids(notEval(stagesP(2)))
-        .except(ids(kept2)).count()
+      // STREAM_STRESS_PRETRAIN_SKIP_PAIRWISE=1 skips the check (the
+      // pairwise edge set is the documented raw-clique OOM boundary at
+      // the 1000x replicated corpus — ~10^9 edges); underkeep reads -1.
+      val underKeep =
+        if (sys.env.get("STREAM_STRESS_PRETRAIN_SKIP_PAIRWISE")
+            .contains("1")) -1L
+        else {
+          val stagesP = scala.collection.mutable.Map[Int,
+            org.apache.spark.sql.DataFrame]()
+          graft.queries.PipelineQueries.q160Frame(spark, tablesDir, budget,
+            stageRun = Some((i, _, mk) =>
+              if (i <= 2) { val df = mk().localCheckpoint(); stagesP(i) = df; df }
+              else mk()),
+            evalPred = evalPred)
+          ids(notEval(stagesP(2))).except(ids(kept2)).count()
+        }
       val walls = {
         var w = List.empty[Double]
         val it = epochWalls.iterator(); while (it.hasNext) w ::= it.next()
@@ -552,28 +559,34 @@ object StreamStress {
         s""""diff_s1":$d1,"diff_s2":$d2,"diff_s3":$d3,"diff_out":$dOut,""" +
         s""""parity_ok":${d1 == 0 && d2 == 0 && d3 == 0 && dOut == 0},""" +
         s""""underkeep_vs_pairwise":$underKeep,""" +
-        s""""overkeep_only_ok":${underKeep == 0},""" +
+        s""""overkeep_only_ok":${
+          if (underKeep < 0) "null" else (underKeep == 0).toString},""" +
         s""""epoch_wall_first_sec":${f2(walls.headOption.getOrElse(-1.0))},""" +
         s""""epoch_wall_last_sec":${f2(walls.lastOption.getOrElse(-1.0))},""" +
         s""""epoch_wall_max_sec":${f2(if (walls.isEmpty) -1.0 else walls.max)},""" +
         s""""wall_sec":${f2(wall)}}""")
     }
 
-    // ordered staging: id-ascending file order (verifiedMode's idiom,
-    // ascending mtimes)
-    val staged = java.nio.file.Files
-      .createTempDirectory("pretrain-ordered").toString
-    docs.repartitionByRange(16, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(staged)
-    val parts = new java.io.File(staged).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(1000000000L + (i + 1) * 10000L),
-        s"setLastModified rejected on $f — ordered replay broken")
+    // STREAM_STRESS_PRETRAIN_ORDER: ordered | asis | both (default) —
+    // the third-decade corpus runs each replay in its own invocation
+    val which = sys.env.getOrElse("STREAM_STRESS_PRETRAIN_ORDER", "both")
+    if (which == "ordered" || which == "both") {
+      // ordered staging: id-ascending file order (verifiedMode's idiom,
+      // ascending mtimes)
+      val staged = java.nio.file.Files
+        .createTempDirectory("pretrain-ordered").toString
+      docs.repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(staged)
+      val parts = new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(1000000000L + (i + 1) * 10000L),
+          s"setLastModified rejected on $f — ordered replay broken")
+      }
+      replay("ordered", staged)
     }
-    replay("ordered", staged)
-    replay("asis", corpus)
+    if (which == "asis" || which == "both") replay("asis", corpus)
   }
 
   def main(args: Array[String]): Unit = {
