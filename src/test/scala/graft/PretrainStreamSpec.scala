@@ -232,6 +232,82 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(ids(markers) == ids(s1), "marker channel != stage-1 survivors")
   }
 
+  test("composed-stream TTL: both keyed states expire and re-admit " +
+      "(ST18t)") {
+    // dedup-within-horizon for the COMPOSED stream: after ttlMs of
+    // quiescence BOTH states (canonical-class ledger and bucket reps)
+    // expire, so a re-arriving exact copy is RE-ADMITTED as a stage-1
+    // survivor and becomes its bucket's new rep (no edge to the expired
+    // one); in-horizon behavior is unchanged (its near-dup still edges
+    // to it). Same engine discipline as ST12: ProcessingTimeTimeout
+    // needs the periodic no-data batches, so progress is polled by
+    // per-batch row counts under a throttled trigger.
+    import org.apache.spark.sql.streaming.Trigger
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Tables(spark, dir, "documents")
+    // a verified near-dup pair with DISTINCT canonical texts from the
+    // testdata (band-cohabiting and Jaccard >= 0.5 by construction)
+    val canonOf = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(lower(
+        graft.functions.TextFunctions.nfcNormalize(c)), "\\s+", " "))
+    val pick = DocsStream.nearDupVerifiedBatch(docs, docs)
+      .filter(col("jaccard") < 1.0)
+      .join(docs.select(col("doc_id"), col("text").as("text_a")), "doc_id")
+      .join(docs.select(col("doc_id").as("dup_of"),
+        col("text").as("text_b")), "dup_of")
+      .filter(canonOf(col("text_a")) =!= canonOf(col("text_b")))
+      .orderBy(col("doc_id"), col("dup_of"))
+      .select(col("text_a"), col("text_b")).head()
+    val (tVar, tRep) = (pick.getString(0), pick.getString(1))
+
+    def frame(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val history = frame(1L -> tRep, 2L -> tRep, 4L -> tVar)
+    val sd = java.nio.file.Files.createTempDirectory("pretrain-ttl")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("pretrain-ttl-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      require(dest.toFile.setLastModified(mtime), s"mtime rejected: $dest")
+    }
+    val ttlMs = 2000L
+    stage(frame(1L -> tRep), "a.parquet", 1000000L)
+    val q = PretrainStream
+      .signals(DocsStream.readStream(spark, sd.toString), history, ttlMs)
+      .writeStream.format("memory").queryName("st18t_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .outputMode("append").start()
+    def waitForBatchWithRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!q.recentProgress.exists(_.numInputRows == n)) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for a $n-row micro-batch; progress=" +
+            q.recentProgress.map(_.numInputRows).mkString(","))
+        Thread.sleep(100)
+      }
+    }
+    waitForBatchWithRows(1)
+    Thread.sleep(ttlMs + 2000) // no-data batches fire both timeouts
+    stage(frame(2L -> tRep, 4L -> tVar), "c.parquet", 3000000L)
+    waitForBatchWithRows(2)
+    q.stop()
+    val out = spark.table("st18t_out")
+    val markers = ids(out.filter(col("kind") === 0))
+    val edges = out.filter(col("kind") === 1)
+      .select(col("doc_id"), col("dup_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2 (exact copy of 1) is re-admitted by the expired canonical
+    // ledger AND becomes the bucket rep (no edge to the expired 1);
+    // doc 4 (in-horizon near-dup) edges to 2, never to 1
+    assert(markers == Set(1L, 2L, 4L), s"markers: $markers")
+    assert(edges == Set(4L -> 2L), s"edges: $edges")
+  }
+
   test("stream verified-edge channel == batch repAnchoredEdges over " +
       "stage-1 survivors (ST18e)") {
     edgeChannelCase(None, "hdfs")
