@@ -169,11 +169,9 @@ object DocsStream {
     * `anchorRewinds` discipline) so the out-of-order regime — formerly a
     * silent bounded over-keep — is observable in any run's readout.
     */
-  private val displacedAccs = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.LongAccumulator]()
+  private val displacedAccs = new AppAccRegistry("docsstream.displaced_rep")
   def displacedReps(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    displacedAccs.computeIfAbsent(spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("docsstream.displaced_rep"))
+    displacedAccs.get(spark)
 
   /** Displaced-rep emissions that PASSED in-handler verification — each
     * one folds the old rep's cluster into the new rep's, which is the
@@ -186,11 +184,15 @@ object DocsStream {
     * individually verified pair; this bounds how many merges the
     * anchoring difference can contribute).
     */
-  private val overConnectAccs = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.LongAccumulator]()
+  private val overConnectAccs = new AppAccRegistry("docsstream.overconnect_merge")
   def overConnectMerges(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    overConnectAccs.computeIfAbsent(spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("docsstream.overconnect_merge"))
+    overConnectAccs.get(spark)
+
+  /** Applications with live accumulator entries across this object's
+    * registries — the lifecycle observable [[PhaseStatsCycle]] asserts
+    * returns to zero when a cycled session stops. */
+  private[graft] def trackedAccApps: Int =
+    math.max(displacedAccs.trackedCount, overConnectAccs.trackedCount)
 
   /** [[nearDupCandidates]] extended through VERIFICATION: candidates are
     * exact-Jaccard-checked (≥ 0.5) against their bucket representative,

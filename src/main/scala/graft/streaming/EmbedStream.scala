@@ -68,11 +68,13 @@ object EmbedStream {
     * per SparkContext — micro-batches add task-side, values merge
     * driver-side across the stream's lifetime.
     */
-  private val overflowAccs = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.LongAccumulator]()
+  private val overflowAccs = new AppAccRegistry("embedstream.cap_overflow")
   def capOverflows(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    overflowAccs.computeIfAbsent(spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("embedstream.cap_overflow"))
+    overflowAccs.get(spark)
+
+  /** Applications with a live accumulator entry — see
+    * [[DocsStream.trackedAccApps]]. */
+  private[graft] def trackedAccApps: Int = overflowAccs.trackedCount
 
   /** Emits (vec_id, cid, dup_of, cosine) for each vector within `tau`
     * of a stored exemplar in its cell. Works on batch frames too (the

@@ -239,11 +239,13 @@ object EventsStream {
     * discipline: one named accumulator per SparkContext, task-side adds,
     * driver-side reads).
     */
-  private val rewindAccs = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.LongAccumulator]()
+  private val rewindAccs = new AppAccRegistry("eventsstream.anchor_rewind")
   def anchorRewinds(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    rewindAccs.computeIfAbsent(spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("eventsstream.anchor_rewind"))
+    rewindAccs.get(spark)
+
+  /** Applications with a live accumulator entry — see
+    * [[DocsStream.trackedAccApps]]. */
+  private[graft] def trackedAccApps: Int = rewindAccs.trackedCount
 
   def funnelCompletions(windowMicros: Long = 86400000000L, ttlMs: Long = 0L)(
       events: DataFrame): DataFrame = {

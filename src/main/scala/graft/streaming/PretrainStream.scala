@@ -73,16 +73,17 @@ object PretrainStream {
     * accounting as [[DocsStream.displacedReps]], kept separate so the
     * composed pipeline's out-of-order telemetry is readable on its own).
     */
-  private val displacedAccs = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.LongAccumulator]()
+  private val displacedAccs = new AppAccRegistry("pretrainstream.displaced_rep")
   def displacedReps(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    displacedAccs.computeIfAbsent(spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("pretrainstream.displaced_rep"))
-  private val overConnectAccs = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.LongAccumulator]()
+    displacedAccs.get(spark)
+  private val overConnectAccs = new AppAccRegistry("pretrainstream.overconnect_merge")
   def overConnectMerges(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    overConnectAccs.computeIfAbsent(spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("pretrainstream.overconnect_merge"))
+    overConnectAccs.get(spark)
+
+  /** Applications with live accumulator entries — see
+    * [[DocsStream.trackedAccApps]]. */
+  private[graft] def trackedAccApps: Int =
+    math.max(displacedAccs.trackedCount, overConnectAccs.trackedCount)
 
   /** Stages 1-2 as ONE streaming query (two chained append-mode keyed
     * states + a stream-static verification join). Emits two row kinds:

@@ -33,8 +33,24 @@ object PhaseStatsCycle {
       }
       require(n == 7L, s"grouped count returned $n")
       val handle = run.finish()
+      // touch every streaming telemetry registry so its per-appId entry
+      // exists — the same AppAccRegistry eviction contract as the
+      // PhaseStats listener map is then observable on stop
+      graft.streaming.DocsStream.displacedReps(spark)
+      graft.streaming.DocsStream.overConnectMerges(spark)
+      graft.streaming.PretrainStream.displacedReps(spark)
+      graft.streaming.PretrainStream.overConnectMerges(spark)
+      graft.streaming.EmbedStream.capOverflows(spark)
+      graft.streaming.EventsStream.anchorRewinds(spark)
+      def accApps: Int = Seq(
+        graft.streaming.DocsStream.trackedAccApps,
+        graft.streaming.PretrainStream.trackedAccApps,
+        graft.streaming.EmbedStream.trackedAccApps,
+        graft.streaming.EventsStream.trackedAccApps).max
       println(s"CYCLE\trunning$i\t${graft.operators.PhaseStats.trackedAppCount}")
+      println(s"CYCLE\taccs_running$i\t$accApps")
       spark.stop()
+      println(s"CYCLE\taccs_stopped$i\t$accApps")
       // the Handle outlives the map entry (it holds the listener
       // directly) — stats must still read, and with the bus fully
       // drained by stop() the shuffle attribution is complete
