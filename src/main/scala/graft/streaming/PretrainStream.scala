@@ -278,8 +278,19 @@ object PretrainStream {
           .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
           .join(evalGrams, "g").select(col("doc_id")).distinct()
           .withColumn("contaminated", lit(true))
+        // a stage-1/2 survivor NOT YET in the corpus table (continuous
+        // ingest can race the stream ahead of the table) gets null text
+        // here — without the flag it would silently BYPASS
+        // decontamination (no grams → contaminated=false) and collapse
+        // its split key to the shared md5("split|") constant, i.e. the
+        // failure would be invisible in exactly the safety stage. Such
+        // rows land QUARANTINED: excluded from [[storeSig3]] /
+        // finalization, surfaced via [[storeQuarantined]] for the
+        // operator to re-drive once the table catches up (re-land the
+        // doc after the stage-1 horizon, or re-run the sink's epoch).
         withText
           .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+            col("text").isNull.as("quarantined"),
             md5(concat(lit("split|"), coalesce(col("text"), lit(""))))
               .as("ckey"),
             md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
@@ -294,6 +305,9 @@ object PretrainStream {
   /** The streamed signal store joined with the LATEST labeling, cut to
     * stage-3 survivors: docs that are their own cluster rep (or appear
     * in no edge — implicit singletons) and carry no eval contamination.
+    * Quarantined rows (text missing from the corpus table at sink time
+    * — decontamination never actually ran on them) are EXCLUDED here,
+    * never passed as clean; [[storeQuarantined]] surfaces them.
     * This is the stream-side twin of the batch chain's `sig3` frame.
     */
   def storeSig3(spark: SparkSession, storeRoot: String,
@@ -305,10 +319,19 @@ object PretrainStream {
           .filter(col("rep").isNull || col("rep") === col("doc_id"))
       case None => store
     }
-    kept.filter(!col("contaminated"))
+    kept.filter(!col("contaminated") && !col("quarantined"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
         col("ckey"), col("ord"))
   }
+
+  /** Store rows whose decontamination was SKIPPED because the corpus
+    * table had no text for them at sink time (stream-ahead-of-table
+    * race) — excluded from [[storeSig3]]; a deployment alarms on this
+    * count and re-drives the rows once the table catches up.
+    */
+  def storeQuarantined(spark: SparkSession, storeRoot: String): DataFrame =
+    spark.read.parquet(storeRoot).filter(col("quarantined"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
 
   /** Finalization: the materialization job over the accumulated store —
     * gate, mixture, split, packing via the SAME code as the batch chain,

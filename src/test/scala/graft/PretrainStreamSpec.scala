@@ -292,7 +292,23 @@ class PretrainStreamSpec extends AnyFunSuite {
       }
     }
     waitForBatchWithRows(1)
-    Thread.sleep(ttlMs + 2000) // no-data batches fire both timeouts
+    // wait until BOTH stores actually expired (state rows drop to 0 in a
+    // committed no-data batch) before staging the second file — a fixed
+    // sleep races the 1 s trigger on a loaded box (the timeout batch can
+    // fire late, doc 2 arrives before expiry, and edges gain 2->1)
+    locally {
+      val deadline = System.currentTimeMillis + 60000
+      def drained = Option(q.lastProgress).exists(p =>
+        p.stateOperators.nonEmpty &&
+          p.stateOperators.forall(_.numRowsTotal == 0))
+      while (!drained) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for state expiry; lastProgress=" +
+            Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal)
+              .mkString(",")).getOrElse("none"))
+        Thread.sleep(100)
+      }
+    }
     stage(frame(2L -> tRep, 4L -> tVar), "c.parquet", 3000000L)
     waitForBatchWithRows(2)
     q.stop()
@@ -306,6 +322,55 @@ class PretrainStreamSpec extends AnyFunSuite {
     // doc 4 (in-horizon near-dup) edges to 2, never to 1
     assert(markers == Set(1L, 2L, 4L), s"markers: $markers")
     assert(edges == Set(4L -> 2L), s"edges: $edges")
+  }
+
+  test("a survivor missing from the corpus table is QUARANTINED, not " +
+      "passed as decontaminated (ST18q)") {
+    // continuous-ingest race: the stream can run ahead of the corpus
+    // table, so the sink's text re-attachment LEFT join finds nothing —
+    // before the quarantine flag such a doc generated no grams, landed
+    // contaminated=false (bypassing the safety stage), and collapsed
+    // its split key to md5("split|"). Now it must land quarantined,
+    // be excluded from sig3/finalization, and be surfaced.
+    val sparkS = spark
+    import sparkS.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    def frame(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val streamed = frame(1L -> tA, 2L -> tB)
+    val history = frame(1L -> tA) // doc 2 not yet in the corpus table
+    val sd = java.nio.file.Files.createTempDirectory("pretrain-quarantine")
+    streamed.coalesce(1).write.mode("overwrite").parquet(sd.toString)
+    val labelsRoot = java.nio.file.Files
+      .createTempDirectory("pretrain-q-labels").toString
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("pretrain-q-store").toString
+    val sinkH = PretrainStream.sink(history, col("doc_id") % 10 === 7,
+      s"st18q:$storeRoot", labelsRoot, storeRoot)
+    val q = PretrainStream
+      .signals(DocsStream.readStream(spark, sd.toString), history)
+      .writeStream
+      .foreachBatch((b: DataFrame, e: Long) => sinkH.fn(b, e))
+      .start()
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    sinkH.release()
+    val store = spark.read.parquet(storeRoot)
+    val byId = store.select(col("doc_id"), col("quarantined"),
+        col("contaminated")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(byId.keySet == Set(1L, 2L), s"store rows: $byId")
+    assert(byId(1L) == ((false, false)), "in-table doc wrongly flagged")
+    assert(byId(2L) == ((true, false)),
+      s"missing-text doc must be quarantined: ${byId(2L)}")
+    val sig3Ids = ids(PretrainStream.storeSig3(spark, storeRoot, labelsRoot))
+    assert(sig3Ids == Set(1L),
+      s"quarantined doc leaked into sig3: $sig3Ids")
+    val quar = ids(PretrainStream.storeQuarantined(spark, storeRoot))
+    assert(quar == Set(2L), s"quarantine surface: $quar")
   }
 
   test("stream verified-edge channel == batch repAnchoredEdges over " +
