@@ -345,20 +345,32 @@ object Stress {
       // row is the shipped regime: the bloom prunes map-side and the
       // exact join is bounded by TRUE contamination (here the jittered
       // replicas of eval base docs — planted truth at ~10% of docs).
+      // STRESS_CONTAM_LAW picks the eval regime on scaled corpora:
+      // realistic (default — fixed suite, r=0 replicas only), scaled
+      // (every replica of an eval base doc is eval — the inventory
+      // grows with the corpus, the bloom-saturation probe), degenerate
+      // (raw doc_id%10 — every doc self-contaminated by its replicas).
       if (sys.env.get("STRESS_CONTAM").contains("1")) {
+        val law = sys.env.getOrElse("STRESS_CONTAM_LAW", "realistic")
         val evalPred = if (tag == "base") col("doc_id") % 10 === 7
-          else expr(
-            s"(doc_id DIV $factor) % 10 = 7 AND doc_id % $factor = 0")
+          else law match {
+            case "degenerate" => col("doc_id") % 10 === 7
+            case "scaled" => expr(s"(doc_id DIV $factor) % 10 = 7")
+            case _ => expr(
+              s"(doc_id DIV $factor) % 10 = 7 AND doc_id % $factor = 0")
+          }
         val times = (1 to 2).map { _ =>
           metrics.reset()
           val t0 = System.nanoTime()
+          // the cache key carries the LAW: a scaled-regime filter must
+          // never be served to a realistic-regime run (or vice versa)
           queries.PipelineQueries.contaminationFracFrame(spark, dir,
-            evalPred, s"evalgrams:stress:$tag:$dir")
+            evalPred, s"evalgrams:stress:$tag:$law:$dir")
             .write.format("noop").mode("overwrite").save()
           ((System.nanoTime() - t0) / 1e9,
             metrics.shuffleWrite.get(), metrics.spill.get())
         }
-        println(s"""STRESS_CONTAM {"corpus":"$tag","docs":${
+        println(s"""STRESS_CONTAM {"corpus":"$tag","law":"$law","docs":${
           if (tag == "base") nBase else nScaled},""" +
           s""""cold_sec":${times.head._1},"warm_sec":${times.last._1},""" +
           s""""shuffle_write_bytes":${times.last._2},""" +

@@ -55,6 +55,50 @@ object BloomFunctions {
     bloomCache.computeIfAbsent(s"$tag|items=$expectedItems|bits=$numBits",
       _ => trainBloom(keys, key, expectedItems, numBits))
 
+  /** [[trainBloomCached]] with capacity derived from the KEY SET's
+    * actual cardinality instead of a fixed dial: one `count()` on the
+    * key frame (a partial-aggregated scan the build was about to read
+    * anyway), then `m = -n·ln(fpp)/ln²2` bits — the standard sizing for
+    * the target false-positive rate. A constant-capacity filter
+    * silently saturates when the key inventory outgrows it (fp-rate →
+    * 1, the map-side prune stops pruning, and every probe falls through
+    * to the exact join); sizing from the inventory makes the degraded
+    * regime degrade at the budget you chose, not at a constant you
+    * forgot. `floorItems`/`floorBits` keep small inventories on the old
+    * dials so a filter is never sized DOWN below the pinned defaults;
+    * `maxBits` caps the task-literal budget (default 2^29 bits = 64 MB
+    * — one torrent-broadcast task binary per probing stage) — past it
+    * the TRUE item count still drives the hash-function choice, so fp
+    * degrades GRACEFULLY (e.g. 100M items at 64 MB → k=4, fp ≈ 8%,
+    * still pruning 92%) instead of saturating. The count runs once per
+    * tag (inside the cache fill), like the build itself.
+    *
+    * Spark silently CLAMPS [[BloomFilterAggregate]]'s (items, bits) to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * (defaults 4M / 2^26 — guards for the optimizer's own injected
+    * runtime filters; a clamped n mis-sizes k and the filter saturates
+    * exactly like the constant it replaced), so the build temporarily
+    * raises both confs to cover the computed size and restores them.
+    */
+  def trainBloomSizedCached(tag: String, keys: => DataFrame, key: => Column,
+      fpp: Double, floorItems: Long, floorBits: Long,
+      maxBits: Long = 1L << 29): Column =
+    bloomCache.computeIfAbsent(s"$tag|sized|fpp=$fpp|floor=$floorItems",
+      _ => {
+        val n = math.max(keys.count(), floorItems)
+        val bits = math.min(maxBits, math.max(floorBits,
+          math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+        val conf = keys.sparkSession.conf
+        val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+        val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+        val saved = Seq(itemsKey, bitsKey).map(k => k -> conf.getOption(k))
+        conf.set(itemsKey, math.max(n, 4000000L))
+        conf.set(bitsKey, math.max(bits, 67108864L))
+        try trainBloom(keys, key, n, bits)
+        finally saved.foreach { case (k, v) =>
+          v.fold(conf.unset(k))(conf.set(k, _)) }
+      })
+
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Column]()
 

@@ -825,13 +825,21 @@ object PipelineQueries {
         graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
       .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
 
-  /** The eval-suite bloom with its pinned dials (2^16 items / 2^20
-    * bits) — the one place the filter is sized, so q101/q163/q160
-    * cannot train mismatched filters under a shared cache key.
+  /** The eval-suite bloom — the one place the filter is sized, so
+    * q101/q163/q160 cannot train mismatched filters under a shared
+    * cache key. Capacity derives from the eval-gram inventory's actual
+    * count at a 1% fp target (one aggregate `count()` per cache fill),
+    * floored at the old pinned dials (2^16 items / 2^20 bits) so small
+    * suites keep the historical filter. The constant-capacity form
+    * measurably saturated when the inventory outgrew it (the r15
+    * corpus-scaled STRESS_CONTAM row: ~50M eval grams vs 2^16 capacity
+    * → fp ≈ 1, nothing pruned, every train gram reached the exact
+    * join); sized from the inventory, the filter keeps pruning at any
+    * suite scale for ~1.2 bytes/gram of task-literal budget.
     */
   private[graft] def trainEvalBloom(key: String, evalGrams: DataFrame) =
-    graft.functions.BloomFunctions.trainBloomCached(key, evalGrams,
-      col("g"), expectedItems = 1L << 16, numBits = 1L << 20)
+    graft.functions.BloomFunctions.trainBloomSizedCached(key, evalGrams,
+      col("g"), fpp = 0.01, floorItems = 1L << 16, floorBits = 1L << 20)
 
   /** q163's engine with a PARAMETERIZED eval law: per-doc fraction of
     * 8-grams appearing in the eval suite, thresholded at 20%. The
