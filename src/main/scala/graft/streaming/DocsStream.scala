@@ -319,64 +319,240 @@ object DocsStream {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** `foreachBatch` sink maintaining a near-dup CLUSTER LABELING across
-    * micro-batches — the streaming form of q130's incremental
-    * composition. Each epoch folds the batch's (doc_id, dup_of) edges
-    * into the prior labeling by running
-    * [[graft.operators.Dedup.connectedComponents]] over
-    * (prior star edges ∪ batch edges): O(batch + components) per epoch,
-    * never O(everything seen). A batch that BRIDGES two existing
-    * clusters merges them — plain stateful streaming can't express that
-    * (cluster identity is a global property), which is why this is a
-    * sink-side fold, not a `flatMapGroupsWithState`.
-    *
-    * Labels persist EPOCH-VERSIONED under `labelsRoot/epoch=N`:
-    *  - the prior labeling is the largest epoch < N, so a replayed epoch
-    *    (at-least-once delivery) recomputes from the same prior and
-    *    overwrites only its own directory — idempotent by construction;
-    *  - the prior epoch's files are pruned only AFTER epoch N's write
-    *    completes (the lazy final join reads them during the write);
-    *  - the labeling covers docs that appeared in at least one edge;
-    *    absent docs are implicit singletons (`rep = doc_id`), exactly as
-    *    [[graft.operators.Dedup.connectedComponents]]'s left join treats
-    *    edgeless docs.
-    */
-  def incrementalLabelSink(labelsRoot: String)(
-      edges: DataFrame, epochId: Long): Unit = {
-    val spark = edges.sparkSession
-    val batchE = edges.select(col("doc_id").as("src"), col("dup_of").as("dst"))
-    val epochs = Option(new java.io.File(labelsRoot).listFiles())
+  private def labelPartEpochs(labelsRoot: String, sub: String): Seq[Long] =
+    Option(new java.io.File(s"$labelsRoot/$sub").listFiles())
       .getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .map(f => f.getName.stripPrefix("epoch=").toLong)
-    val priorEpoch = epochs.filter(_ < epochId).sorted.lastOption
-    val prior = priorEpoch.map(e => spark.read.parquet(s"$labelsRoot/epoch=$e"))
-    val docsSeen = (prior.map(_.select(col("doc_id"))) ++
-        Seq(batchE.select(col("src").as("doc_id")),
-          batchE.select(col("dst").as("doc_id"))))
-      .reduce(_ union _).distinct()
-    val starPrior = prior.map(_.filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("src"), col("rep").as("dst")))
-    val allEdges = starPrior.map(batchE.union).getOrElse(batchE)
-    graft.operators.Dedup.connectedComponents(docsSeen, allEdges)
-      .write.mode("overwrite").parquet(s"$labelsRoot/epoch=$epochId")
-    // prune superseded epochs now that this epoch is durable
-    (epochs.toSet - epochId).filter(_ < epochId).foreach { e =>
-      val p = new org.apache.hadoop.fs.Path(s"$labelsRoot/epoch=$e")
-      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      catch { case _: Throwable => () }
+      .map(_.getName.stripPrefix("epoch=").toLong)
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    catch { case _: Throwable => () }
+  }
+
+  /** The (doc_id, rep) parts that constitute the labeling as of (but
+    * excluding) `beforeEpoch`: the newest base snapshot plus every delta
+    * after it. `Long.MaxValue` reads the current labeling.
+    */
+  private def labelParts(labelsRoot: String, beforeEpoch: Long): Seq[String] = {
+    val baseEpoch = labelPartEpochs(labelsRoot, "base")
+      .filter(_ < beforeEpoch).sorted.lastOption
+    val deltas = labelPartEpochs(labelsRoot, "delta")
+      .filter(e => e < beforeEpoch && baseEpoch.forall(_ < e)).sorted
+    baseEpoch.map(e => s"$labelsRoot/base/epoch=$e").toSeq ++
+      deltas.map(e => s"$labelsRoot/delta/epoch=$e")
+  }
+
+  /** `foreachBatch` sink maintaining a near-dup CLUSTER LABELING across
+    * micro-batches — the streaming form of q130's incremental
+    * composition. A batch that BRIDGES two existing clusters merges them
+    * — plain stateful streaming can't express that (cluster identity is
+    * a global property), which is why this is a sink-side fold, not a
+    * `flatMapGroupsWithState`.
+    *
+    * Per-epoch cost is O(batch + members of MERGED clusters), NOT
+    * O(components): the fold is union-find CONTRACTION, never a
+    * components run over everything seen —
+    *
+    *   1. look up the current rep of each batch-edge endpoint: ONE
+    *      column-pruned scan of the label store joined against the
+    *      batch-bounded endpoint set (AQE broadcasts it while triggers
+    *      are small; giant triggers degrade to a shuffle of two slim
+    *      2-col frames);
+    *   2. contract each edge to (rep(u), rep(v)), drop intra-cluster
+    *      edges, and run [[graft.operators.Dedup.connectedComponents]]
+    *      over the CONTRACTED graph only — its nodes are this batch's
+    *      touched reps plus new docs, so the iterative work is
+    *      batch-bounded regardless of how many clusters have accumulated
+    *      (connectivity of a quotient graph equals connectivity of the
+    *      original, and each group's new rep = min over old reps ∪ new
+    *      ids = the merged cluster's true minimum);
+    *   3. write a DELTA holding only the rows that changed: members of
+    *      losing clusters remapped to the winning rep (pulled by joining
+    *      the store against the merge-bounded oldRep→newRep map) plus
+    *      rows for first-seen docs.
+    *
+    * The store is a delta log under `labelsRoot/{base,delta}/epoch=N`.
+    * Reps are MONOTONE non-increasing per doc (a merge relabels to the
+    * minimum), so the current labeling is `min(rep) GROUP BY doc_id`
+    * over any covering set of parts — order-free, duplicate-tolerant,
+    * and replay-idempotent. Two invariants carry the correctness:
+    * (a) every member of a live cluster has a row carrying the cluster's
+    * CURRENT rep (epoch 0 writes full labels; every later merge rewrites
+    * all losing members in its delta), so step 3's rep-equality pull
+    * finds exactly the members; (b) a rep present in the store that is
+    * STALE (its cluster merged away) can never appear in step 2's
+    * domain, because the domain holds only CURRENT reps — stale rows are
+    * therefore harmlessly ignored wherever they still sit.
+    *
+    * Replay (at-least-once delivery): epoch N recomputes from parts
+    * `< N` only and overwrites `delta/epoch=N` — deterministic, so a
+    * crashed attempt's leftovers are rewritten identically. Every
+    * `compactEvery` deltas, epochs `< N` fold into `base/epoch=M`
+    * (M = newest folded delta; bases and deltas `≤ M` are pruned only
+    * after the new base commits) — compaction never touches the
+    * in-flight epoch, so replay always finds its prior parts intact.
+    *
+    * The labeling covers docs that appeared in at least one edge; absent
+    * docs are implicit singletons (`rep = doc_id`), exactly as
+    * [[graft.operators.Dedup.connectedComponents]]'s left join treats
+    * edgeless docs.
+    */
+  def incrementalLabelSink(labelsRoot: String, compactEvery: Int = 16)(
+      edges: DataFrame, epochId: Long): Unit = {
+    val spark = edges.sparkSession
+    // fold strictly-prior epochs first (never the in-flight one): fewer
+    // parts for this epoch's scan, and replay of epoch N still finds
+    // base(M) + deltas (M, N) intact afterwards
+    maybeCompact(spark, labelsRoot, epochId, compactEvery)
+    // every intermediate here is PINNED (eager localCheckpoint → a
+    // LogicalRDD leaf), not persist()ed: the fold's frames reference
+    // each other multiplicatively (touchedRep twice in contracted,
+    // contracted five times through sym/deg/attach/resid, merged three
+    // times in the delta), and cache substitution on the streaming
+    // batch's derived plans proved unreliable — the delta write's plan
+    // replicated the batch subtree ~400× (1,100+ exchanges, minutes per
+    // epoch, and the N inlined broadcast copies OOMed the driver).
+    // Truncating the plan at each batch-bounded frame keeps every
+    // action a few joins over leaves; blocks are reclaimed by the
+    // ContextCleaner when the epoch's frames go out of scope.
+    val batchE = edges.select(col("doc_id").as("src"), col("dup_of").as("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    locally {
+      val parts = labelParts(labelsRoot, epochId)
+      if (parts.isEmpty) {
+        val nodes = batchE.select(col("src").as("doc_id"))
+          .union(batchE.select(col("dst").as("doc_id"))).distinct()
+        graft.operators.Dedup.connectedComponents(nodes, batchE)
+          .select(col("doc_id"), col("rep"))
+          .write.mode("overwrite").parquet(s"$labelsRoot/delta/epoch=$epochId")
+      } else {
+        val prior = spark.read.parquet(parts: _*)
+          .select(col("doc_id"), col("rep"))
+        val touched = batchE.select(col("src").as("doc_id"))
+          .union(batchE.select(col("dst").as("doc_id"))).distinct()
+        // current rep of each endpoint: min over its store rows
+        // (monotone reps → min = latest). No forced broadcast anywhere
+        // in the fold: AQE (active in foreachBatch jobs) broadcasts the
+        // endpoint set while triggers are small and degrades to a
+        // shuffle join of two slim 2-col frames for giant ones — a
+        // forced hint OOMed the driver's broadcast build at 5M docs
+        // (~700k endpoints per trigger on an 8g driver)
+        val touchedHits = prior.join(touched, Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+          .localCheckpoint()
+        val touchedRep = touched.join(touchedHits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep"), col("doc_id")).as("rep")).localCheckpoint()
+        val contracted = batchE
+          .join(touchedRep.select(col("doc_id").as("src"),
+            col("rep").as("srep")), Seq("src"))
+          .join(touchedRep.select(col("doc_id").as("dst"),
+            col("rep").as("drep")), Seq("dst"))
+          .filter(col("srep") =!= col("drep"))
+          .select(col("srep").as("src"), col("drep").as("dst")).distinct()
+          .localCheckpoint()
+        // SINGLE-ATTACH split: the dominant contracted edge under
+        // steady ingest is "first-seen doc joins one existing cluster,
+        // downward" — no cluster identity changes, so it needs a label
+        // row, not a components round. A doc qualifies when it is new
+        // (no prior row), has exactly ONE contracted neighbor, and that
+        // neighbor is a live prior rep smaller than it (upward or
+        // multi-neighbor docs can merge clusters — those stay in the
+        // CC). Its single edge leaves with it, which cannot disconnect
+        // anything else (degree 1); its target's final label is read
+        // through the merged map, so a cluster relabeled by a genuine
+        // merge still carries its attachments along.
+        val sym = contracted
+          .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = sym.groupBy(col("src").as("doc_id"))
+          .agg(count(lit(1)).as("deg"), min(col("dst")).as("nbr"))
+        val priorDocs = touchedHits.select(col("doc_id"))
+        val existingReps = touchedHits.select(col("rep")).distinct()
+        val attach = deg.filter(col("deg") === 1)
+          .join(touched.join(priorDocs, Seq("doc_id"), "left_anti"),
+            Seq("doc_id"))
+          .filter(col("nbr") < col("doc_id"))
+          .join(existingReps.select(col("rep").as("nbr")), Seq("nbr"))
+          .select(col("doc_id"), col("nbr")).localCheckpoint()
+        val resid = contracted
+          .join(attach.select(col("doc_id").as("src")), Seq("src"), "left_anti")
+          .join(attach.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+        // oldRep → newRep for clusters that actually merge (winner
+        // clusters keep their rep and need no rewrite); skip the
+        // components machinery entirely when the batch carries no
+        // residual merges (the steady ordered-ingest case)
+        val merged = (if (resid.limit(1).count() == 0)
+            spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("rep"))
+          else {
+            val cnodes = resid.select(col("src").as("doc_id"))
+              .union(resid.select(col("dst").as("doc_id"))).distinct()
+            graft.operators.Dedup.connectedComponents(cnodes, resid)
+          })
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id").as("orep"), col("rep").as("nrep"))
+          .localCheckpoint()
+        val memberRows = prior
+          .join(merged, prior("rep") === col("orep"))
+          .select(prior("doc_id"), col("nrep").as("rep")).distinct()
+        val newDocs = touchedRep
+          .join(touchedHits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .join(attach.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .join(merged, col("rep") === col("orep"), "left")
+          .select(col("doc_id"), coalesce(col("nrep"), col("rep")).as("rep"))
+        val attached = attach
+          .join(merged, col("nbr") === col("orep"), "left")
+          .select(col("doc_id"), coalesce(col("nrep"), col("nbr")).as("rep"))
+        memberRows.union(newDocs).union(attached)
+          .write.mode("overwrite").parquet(s"$labelsRoot/delta/epoch=$epochId")
+      }
+    }
+  }
+
+  /** Fold base + deltas `< beforeEpoch` into one compacted base snapshot
+    * once `compactEvery` deltas have accumulated — bounds the part count
+    * every epoch scans, at an O(components) groupBy+write paid once per
+    * `compactEvery` epochs (amortized O(changed rows)). Superseded parts
+    * are pruned only after the new base commits; a crash in between
+    * leaves covered-but-unpruned parts that the min-merge reads
+    * harmlessly and the next compaction removes.
+    */
+  private def maybeCompact(spark: SparkSession, labelsRoot: String,
+      beforeEpoch: Long, compactEvery: Int): Unit = {
+    val baseEpochs = labelPartEpochs(labelsRoot, "base").filter(_ < beforeEpoch)
+    val baseEpoch = baseEpochs.sorted.lastOption
+    // prune parts a committed base already covers (crash-leftovers)
+    baseEpoch.foreach { b =>
+      labelPartEpochs(labelsRoot, "delta").filter(_ <= b)
+        .foreach(e => deletePath(spark, s"$labelsRoot/delta/epoch=$e"))
+      baseEpochs.filter(_ < b)
+        .foreach(e => deletePath(spark, s"$labelsRoot/base/epoch=$e"))
+    }
+    val deltas = labelPartEpochs(labelsRoot, "delta")
+      .filter(e => e < beforeEpoch && baseEpoch.forall(_ < e)).sorted
+    if (compactEvery > 0 && deltas.size >= compactEvery) {
+      val m = deltas.last
+      val parts = baseEpoch.map(e => s"$labelsRoot/base/epoch=$e").toSeq ++
+        deltas.map(e => s"$labelsRoot/delta/epoch=$e")
+      spark.read.parquet(parts: _*)
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+        .write.mode("overwrite").parquet(s"$labelsRoot/base/epoch=$m")
+      deltas.foreach(e => deletePath(spark, s"$labelsRoot/delta/epoch=$e"))
+      baseEpoch.foreach(e => deletePath(spark, s"$labelsRoot/base/epoch=$e"))
     }
   }
 
   /** Latest labeling written by [[incrementalLabelSink]] (None before the
-    * first epoch commits). */
-  def latestLabels(spark: SparkSession, labelsRoot: String): Option[DataFrame] =
-    Option(new java.io.File(labelsRoot).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .map(_.getName.stripPrefix("epoch=").toLong)
-      .sorted.lastOption
-      .map(e => spark.read.parquet(s"$labelsRoot/epoch=$e"))
+    * first epoch commits): min-merge over the base snapshot plus the
+    * deltas after it — one aggregation at READ time (finalization),
+    * instead of a full rewrite inside every epoch. */
+  def latestLabels(spark: SparkSession, labelsRoot: String): Option[DataFrame] = {
+    val parts = labelParts(labelsRoot, Long.MaxValue)
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts: _*)
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("rep")))
+  }
 
   /** Batch twin of [[nearDupVerified]] — the q118 oracle surface. */
   def nearDupVerifiedBatch(docs: DataFrame, history: DataFrame): DataFrame = {

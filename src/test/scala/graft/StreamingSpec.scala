@@ -885,10 +885,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"incremental labeling != batch CC: ${(got diff want) ++ (want diff got)}")
     assert(got.nonEmpty, "testdata must produce near-dup edges")
-    // superseded epochs were pruned: only the final one remains
-    val epochDirs = new java.io.File(root).listFiles()
-      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSeq
-    assert(epochDirs.size == 1, s"expected one surviving epoch, got $epochDirs")
+    // the delta log holds one (batch-bounded) delta per epoch until
+    // compaction folds them (default horizon 16 — not reached here)
+    val deltaDirs = Option(new java.io.File(s"$root/delta").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("epoch=")).toSeq
+    assert(deltaDirs.size == 2, s"expected 2 delta epochs, got $deltaDirs")
+  }
+
+  test("label delta-log compaction folds prior epochs into one base " +
+      "and prunes them; labeling unchanged (ST13c)") {
+    // same staging as ST13 but compactEvery=1: each epoch folds all
+    // strictly-prior parts into base/epoch=M before writing its delta,
+    // pruning the covered parts — the amortized bound on how many parts
+    // an epoch's rep-lookup scan (and latestLabels) ever reads
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    val docs = Tables(spark, dir, "documents")
+    val mid = docs.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    val sd = java.nio.file.Files.createTempDirectory("docs-labelcompact")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-labelcompactstage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    stage(docs.filter(col("doc_id") <= mid), "a.parquet", 1000000L)
+    stage(docs.filter(col("doc_id") > mid), "b.parquet", 2000000L)
+    val root = java.nio.file.Files.createTempDirectory("labels-compact-root").toString
+    val q = DocsStream.nearDupCandidates(DocsStream.readStream(spark, sd.toString))
+      .writeStream
+      .foreachBatch(DocsStream.incrementalLabelSink(root, compactEvery = 1) _)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = DocsStream.latestLabels(spark, root)
+      .getOrElse(fail("no labels written"))
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = DocsStream.nearDupCandidatesBatch(docs)
+      .select(col("doc_id").as("src"), col("dup_of").as("dst"))
+    val docsInEdges = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
+    val want = graft.operators.Dedup.connectedComponents(docsInEdges, e)
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"compacted labeling != batch CC: " +
+      s"${((got diff want) ++ (want diff got)).take(20)}")
+    def dirs(sub: String) = Option(new java.io.File(s"$root/$sub").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("epoch=")).toSeq
+    assert(dirs("base").size == 1,
+      s"expected one base snapshot, got ${dirs("base")}")
+    assert(dirs("delta").size <= 1,
+      s"covered deltas not pruned: ${dirs("delta")}")
   }
 
   test("out-of-order arrival: rep-relink edges keep the labeling equal " +
