@@ -65,9 +65,10 @@ object PretrainStream {
 
   private val NBands = 4
 
-  private def timeoutConf(ttlMs: Long): GroupStateTimeout =
-    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+  private def timeoutConf(ttlMs: Long, eventTime: Boolean): GroupStateTimeout =
+    if (ttlMs <= 0) GroupStateTimeout.NoTimeout
+    else if (eventTime) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.ProcessingTimeTimeout
 
   /** Displacement / verified-relink counters (same at-least-once
     * accounting as [[DocsStream.displacedReps]], kept separate so the
@@ -98,12 +99,47 @@ object PretrainStream {
     * (`solo|id`) so they emit their marker through the same handler
     * without ever producing an edge — the batch chain's "no bands →
     * self-rep → kept" law. `ttlMs` bounds BOTH states' horizon.
+    *
+    * Horizon clock: by default `ttlMs` is PROCESSING time — right for
+    * live ingest, where wall clock IS the horizon. A historical BACKFILL
+    * replayed fast expires nothing (wall clock barely advances between
+    * files), so a dedup-within-N-days law over archived data needs
+    * EVENT time: pass `eventTimeCol` (a timestamp column on the stream,
+    * e.g. crawl time) and both states expire when the WATERMARK passes
+    * `ttlMs` past a key's last-seen event time — replay speed stops
+    * mattering (the ST15x discipline, applied to the composed stream;
+    * ST18te pins it). The column rides the handlers as a passenger and
+    * the intermediate frame re-declares it (`withWatermark`) so the
+    * second keyed state can arm event-time timeouts too;
+    * `watermarkDelay` is the usual bounded-disorder allowance. Timeout
+    * timestamps are clamped just past the current watermark, so a
+    * late-arriving straggler can never arm an already-expired timeout.
+    *
+    * Event-time mode requires the session conf
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * the engine's heuristic flags ANY stateful operator feeding another
+    * under a global watermark (a handler COULD emit rows older than the
+    * watermark, which the downstream state would drop as late). This
+    * pipeline's emission discipline cannot do that — every stage-1
+    * output row carries the event timestamp of a row that arrived in
+    * the SAME micro-batch (nothing is replayed from state), so stage 2
+    * sees exactly the lateness profile of the source, already bounded
+    * by `watermarkDelay`. The opt-out disables the heuristic, not a
+    * real safety property of this query shape (ST18te locks the
+    * behavior).
     */
-  def signals(stream: DataFrame, history: DataFrame, ttlMs: Long = 0L): DataFrame = {
+  def signals(stream: DataFrame, history: DataFrame, ttlMs: Long = 0L,
+      eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val displaced = displacedReps(spark)
     val overConnect = overConnectMerges(spark)
+    val eventTime = eventTimeCol.isDefined
+    val s0 = eventTimeCol.map(c => stream.withWatermark(c, watermarkDelay))
+      .getOrElse(stream)
+    val tsCol = eventTimeCol.map(col)
+      .getOrElse(lit(null).cast("timestamp")).as("ts")
 
     // map-side signal + banding kernels BEFORE any state: the exact
     // kernels of the batch chain (canonical law of q155/q160 s1; the
@@ -121,7 +157,7 @@ object PretrainStream {
     // canonical key stays NULL-FAITHFUL — md5(null) is null, grouping
     // all null texts into one class exactly as the batch groupBy does)
     val elig = coalesce(size(ws) >= 3, lit(false))
-    val slim = stream.select(col("doc_id"), col("source"), col("text"),
+    val slim = s0.select(col("doc_id"), col("source"), col("text"), tsCol,
         md5(canon).as("ck"),
         coalesce(size(ws).cast("long"), lit(0L)).as("n_tokens"),
         when(size(ws) > 0, size(array_distinct(ws)) / size(ws))
@@ -133,17 +169,32 @@ object PretrainStream {
       .select(col("ck"), col("doc_id"), col("source"), col("n_tokens"),
         col("ttr"), col("shset"),
         when(col("elig"), bkeys).otherwise(lit(null)).as("bkeys"),
-        col("elig"))
+        col("elig"), col("ts"))
+
+    // arm a key's horizon from the batch it just saw: event-time mode
+    // expires when the watermark passes ttlMs beyond the key's newest
+    // event (clamped past the current watermark — arming at or below it
+    // is an engine error), processing-time mode ttlMs of wall clock
+    def armTimeout(state: org.apache.spark.sql.streaming.GroupState[_],
+        maxTsMs: Long): Unit =
+      if (ttlMs > 0) {
+        if (eventTime) state.setTimeoutTimestamp(
+          math.max(maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+        else state.setTimeoutDuration(ttlMs)
+      }
+    def tsMs(t: java.sql.Timestamp): Long = if (t == null) 0L else t.getTime
 
     // stage 1 — canonical-class keyed state: emit only ids smaller than
     // every id previously kept for the class (under ordered ingest:
     // exactly one survivor, the batch min; out-of-order: over-keep only)
     val s1 = slim
-      .as[(String, Long, String, Long, Double, Seq[Long], Seq[String], Boolean)]
+      .as[(String, Long, String, Long, Double, Seq[Long], Seq[String],
+        Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long,
-        (Long, String, Long, Double, Seq[Long], Seq[String], Boolean)](
-        OutputMode.Append, timeoutConf(ttlMs)) {
+        (Long, String, Long, Double, Seq[Long], Seq[String], Boolean,
+          java.sql.Timestamp)](
+        OutputMode.Append, timeoutConf(ttlMs, eventTime)) {
         case (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -153,13 +204,14 @@ object PretrainStream {
               if (arr.head._2 < minSeen) {
                 state.update(arr.head._2)
                 Iterator(arr.head).map(r =>
-                  (r._2, r._3, r._4, r._5, r._6, r._7, r._8))
+                  (r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))
               } else Iterator.empty
-            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            armTimeout(state, arr.map(r => tsMs(r._9)).max)
             out
           }
       }
-      .toDF("doc_id", "source", "n_tokens", "ttr", "shset", "bkeys", "elig")
+      .toDF("doc_id", "source", "n_tokens", "ttr", "shset", "bkeys",
+        "elig", "ts")
 
     // band explode: eligible docs get their 4 (band, bkey) rows;
     // ineligible docs one singleton `solo|id` bucket (band 0)
@@ -167,22 +219,28 @@ object PretrainStream {
       element_at(col("bkeys"), b + 1).as("bkey"))): _*)
     val soloArr = array(struct(lit(0).as("band"),
       concat(lit("solo|"), col("doc_id").cast("string")).as("bkey")))
-    val rows = s1
+    val rows0 = s1
       .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
-        col("shset"),
+        col("shset"), col("ts"),
         explode(when(col("elig"), bandArr).otherwise(soloArr)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
         col("doc_id"), col("shset"), col("source"), col("n_tokens"),
-        col("ttr"))
+        col("ttr"), col("ts"))
+    // the second keyed state needs its own event-time declaration (the
+    // first operator's output is a fresh schema; the engine's global
+    // watermark still advances from the SOURCE timestamps)
+    val rows = if (eventTime) rows0.withWatermark("ts", watermarkDelay)
+      else rows0
 
     // stage 2 — (band, bucket) rep state, the nearDupVerified handler
     // semantics plus the band-0 marker channel
     val handled = rows
-      .as[(Int, String, Long, Seq[Long], String, Long, Double)]
+      .as[(Int, String, Long, Seq[Long], String, Long, Double,
+        java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[(Long, Seq[Long]),
         (Int, Long, Long, Seq[Long], Double, String, Long, Double)](
-        OutputMode.Append, timeoutConf(ttlMs)) {
+        OutputMode.Append, timeoutConf(ttlMs, eventTime)) {
         case ((band, bkey), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -212,7 +270,7 @@ object PretrainStream {
                 }
               }
               state.update((minSeen, repSh))
-              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+              armTimeout(state, arr.map(r => tsMs(r._8)).max)
             }
             out.result().iterator
           }

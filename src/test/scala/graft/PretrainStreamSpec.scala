@@ -373,6 +373,109 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(quar == Set(2L), s"quarantine surface: $quar")
   }
 
+  test("composed-stream EVENT-TIME TTL: both states expire on the " +
+      "watermark clock and re-admit; in-horizon dedup holds (ST18te)") {
+    // the ST18t dual-horizon law, driven by EVENT timestamps instead of
+    // wall clock: a historical backfill replayed fast must expire by
+    // the data's own clock (ProcessingTimeTimeout would expire nothing
+    // — wall time barely advances between files). No sleeps anywhere:
+    // expiry is forced by a watermark-driving filler doc and observed
+    // by polling state rows down to exactly the filler's residue.
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val canonOf = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(lower(
+        graft.functions.TextFunctions.nfcNormalize(c)), "\\s+", " "))
+    val pick = DocsStream.nearDupVerifiedBatch(docs, docs)
+      .filter(col("jaccard") < 1.0)
+      .join(docs.select(col("doc_id"), col("text").as("text_a")), "doc_id")
+      .join(docs.select(col("doc_id").as("dup_of"),
+        col("text").as("text_b")), "dup_of")
+      .filter(canonOf(col("text_a")) =!= canonOf(col("text_b")))
+      .orderBy(col("doc_id"), col("dup_of"))
+      .select(col("text_a"), col("text_b")).head()
+    val (tVar, tRep) = (pick.getString(0), pick.getString(1))
+
+    val ttlMs = 60000L // one MINUTE of event time — wall clock irrelevant
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(baseMs: Long, plusMs: Long) = new java.sql.Timestamp(baseMs + plusMs)
+    def frame(rows: (Long, String, java.sql.Timestamp)*) = rows.toSeq
+      .map { case (id, t, ts) => (id, t, "en", "src", t.length.toLong, ts) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+    // filler doc 9: <3 tokens → solo bucket (no bucket state), distinct
+    // canonical class — its only job is raising the watermark past
+    // doc 1's horizon; its own class state stays live (1 residual row)
+    val filler = "wm driver"
+    val tsB = at(t0.getTime, ttlMs + 540000L) // 10 min past t0
+    val history = frame((1L, tRep, t0), (2L, tRep, at(tsB.getTime, 1000L)),
+      (4L, tVar, at(tsB.getTime, 1000L)), (9L, filler, tsB))
+    val sd = java.nio.file.Files.createTempDirectory("pretrain-ette")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("pretrain-ette-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      require(dest.toFile.setLastModified(mtime), s"mtime rejected: $dest")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG, ts TIMESTAMP")
+    stage(frame((1L, tRep, t0)), "a.parquet", 1000000L)
+    stage(frame((9L, filler, tsB)), "b.parquet", 2000000L)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+    // chained event-time keyed states trip the engine's global-watermark
+    // heuristic; the signals() scaladoc proves the emission discipline
+    // safe (stage-1 outputs carry same-batch timestamps), so the
+    // documented opt-out applies — scoped to this query's start
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(ccKey, "false")
+    val q = try PretrainStream
+      .signals(stream, history, ttlMs, eventTimeCol = Some("ts"))
+      .writeStream.format("memory").queryName("st18te_out")
+      .outputMode("append").start()
+    finally spark.conf.unset(ccKey)
+    // wait for doc 1's class + bucket states to EXPIRE on the event
+    // clock: after file b's batch the watermark reads tsB, the engine
+    // runs the watermark-advance batch, and state collapses to exactly
+    // doc 9's one residual class row (its horizon is still open)
+    locally {
+      val deadline = System.currentTimeMillis + 60000
+      def residue = Option(q.lastProgress).map(p =>
+        p.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      while (residue != 1L) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for event-time expiry; state rows=$residue")
+        Thread.sleep(100)
+      }
+    }
+    stage(frame((2L, tRep, at(tsB.getTime, 1000L)),
+      (4L, tVar, at(tsB.getTime, 1000L))), "c.parquet", 3000000L)
+    locally {
+      val deadline = System.currentTimeMillis + 60000
+      while (!q.recentProgress.exists(_.numInputRows == 2)) {
+        assert(System.currentTimeMillis < deadline,
+          "timed out waiting for the 2-row micro-batch")
+        Thread.sleep(100)
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("st18te_out")
+    val markers = ids(out.filter(col("kind") === 0))
+    val edges = out.filter(col("kind") === 1)
+      .select(col("doc_id"), col("dup_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2 (exact copy of 1, one event-minute later) re-admitted by the
+    // expired class ledger AND the new bucket rep (no edge to 1); doc 4
+    // (in-horizon near-dup) edges to 2, never to 1
+    assert(markers == Set(1L, 2L, 4L, 9L), s"markers: $markers")
+    assert(edges == Set(4L -> 2L), s"edges: $edges")
+  }
+
   test("stream verified-edge channel == batch repAnchoredEdges over " +
       "stage-1 survivors (ST18e)") {
     edgeChannelCase(None, "hdfs")
