@@ -810,7 +810,12 @@ object Stress {
               pinned
             }),
             evalPred = evalPred,
-            repAnchoredNearDup = repAnchored)
+            repAnchoredNearDup = repAnchored,
+            // STRESS_PRETRAIN_BUCKETED=1: stage the per-doc edge payload
+            // as a bucketed-by-doc_id table before the verify joins (the
+            // PageRank pre-layout discipline) — the stage-2 prepare A/B
+            bucketedEdgeBase =
+              sys.env.get("STRESS_PRETRAIN_BUCKETED").contains("1"))
           // ONE execution of the unmaterialized tail: q160's output is
           // one row per stage-5 survivor (stages 6-7 never filter), so
           // out_rows is the s5 manifest count — a second count() here
@@ -825,6 +830,8 @@ object Stress {
             .mkString("{", ",", "}")
           println(s"""STRESS_PRETRAIN_E2E {"corpus":"$tag","form":"$form","docs":${
             if (tag == "base") nBase else nScaled},"budget":$budget,""" +
+            s""""bucketed":${sys.env.get("STRESS_PRETRAIN_BUCKETED")
+              .contains("1")},""" +
             s""""wall_sec":$wall,"shuffle_write_bytes":${metrics.shuffleWrite.get},""" +
             s""""spilled_bytes":${metrics.spill.get},"out_rows":$outRows,""" +
             s""""stage_rows":$rowsJson,"stages":${handle.json},""" +

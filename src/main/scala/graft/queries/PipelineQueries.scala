@@ -4191,14 +4191,16 @@ object PipelineQueries {
     * 1000× e2e ladder: the stage-2 prepare's shuffle AND its spill live
     * here).
     */
-  private def repAnchoredEdges(docsDf: DataFrame): DataFrame = {
-    import graft.functions.SetFunctions
-    val nBands = 4
+  private def repAnchoredEdges(docsDf: DataFrame): DataFrame =
     // ONE banding law: both the band keys and the shingle payloads come
     // from [[edgeBase]] (Catalyst column-prunes the unused column from
     // each branch), so this form cannot drift from the pairwise
     // kernel's banding
-    val base = edgeBase(docsDf)
+    repAnchoredEdgesFromBase(edgeBase(docsDf))
+
+  private def repAnchoredEdgesFromBase(base: DataFrame): DataFrame = {
+    import graft.functions.SetFunctions
+    val nBands = 4
     // literal-index explode (the InferFiltersFromGenerate discipline of
     // verifiedEdgesOf: a computed-array explode would push a synthesized
     // size()>0 filter with the minhash kernel inlined)
@@ -4247,7 +4249,8 @@ object PipelineQueries {
   private[graft] def q160Frame(s: SparkSession, d: String, budget: Long,
       stageRun: Option[(Int, String, () => DataFrame) => DataFrame] = None,
       evalPred: org.apache.spark.sql.Column = col("doc_id") % 10 === 7,
-      repAnchoredNearDup: Boolean = false)
+      repAnchoredNearDup: Boolean = false,
+      bucketedEdgeBase: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.BloomFunctions
@@ -4295,8 +4298,40 @@ object PipelineQueries {
     // base corpus, rep form over-kept 1 of 4,758 at 10× (one marginal
     // link the pairwise form closes transitively).
     val s2 = stage(2, "neardup_fixpoint") {
-      val edges = if (repAnchoredNearDup) repAnchoredEdges(d1)
-        else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
+      val edges = if (repAnchoredNearDup) {
+        if (bucketedEdgeBase) {
+          // the PageRank writeBucketedEdges discipline applied to the
+          // verify prepare: stage the per-doc edge payload ONCE as a
+          // bucketed-by-doc_id table, so BOTH shingle-attachment joins
+          // in repAnchoredEdgesFromBase read co-partitioned scans (each
+          // join keys the sh side on the STORED doc_id) and only the
+          // slim pair frames move — unbucketed, the fixpoint prepare's
+          // exchanges carry the shingle table twice, the cross-JVM
+          // traffic the e2e rig attributed at 5M docs
+          val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
+          val tbl = s"graft_q160_edgebase_${math.abs(s"$d:$evalPred".hashCode)}"
+          // a fresh metastore (new JVM) doesn't know a prior run's
+          // table, but its warehouse LOCATION survives and blocks the
+          // managed-table create — drop both before staging
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          locally {
+            val wh = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+            try wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(wh, true)
+            catch { case _: Throwable => () }
+          }
+          edgeBase(d1).write.mode("overwrite").format("parquet")
+            .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tbl)
+          // parquet erases the shingle array's containsNull=false, which
+          // the jaccard_sorted type check requires — the identity
+          // coalesce re-establishes it map-side (no nulls exist; the
+          // projection preserves the bucketed scan's partitioning)
+          repAnchoredEdgesFromBase(s.table(tbl).select(col("doc_id"),
+            col("bkeys"),
+            transform(col("shset"), x => coalesce(x, lit(0L))).as("shset")))
+        } else repAnchoredEdges(d1)
+      } else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
       graft.operators.Dedup
         .keepListToFixpoint(d1.select(col("doc_id")), edges)
         .filter(col("is_kept")).select(col("doc_id"))
