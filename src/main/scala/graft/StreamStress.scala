@@ -158,12 +158,11 @@ object StreamStress {
     val labels = DocsStream.latestLabels(spark, root)
       .getOrElse(sys.error("no epoch written"))
     val labelRows = labels.count()
-    // delta-log part census: base snapshots + deltas since (compaction
-    // bounds this at compactEvery + 1; default horizon 16)
-    def partCount(sub: String) = Option(
-        new java.io.File(s"$root/$sub").listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("epoch="))
-    val epochDirs = partCount("base") + partCount("delta")
+    // delta-log part census through the sink's OWN listing (committed
+    // parts only — two hand-rolled definitions of "label part" would
+    // drift the moment the layout changes)
+    val epochDirs = DocsStream.labelPartEpochs(root, "base").size +
+      DocsStream.labelPartEpochs(root, "delta").size
     // drained == from-scratch: the same check ST13 locks at sf0.001,
     // here over the scaled corpus (anti-join both ways == 0 diffs)
     val e = DocsStream.nearDupCandidatesBatch(spark.read.parquet(corpus))
@@ -186,7 +185,8 @@ object StreamStress {
       s""""epoch_wall_last_sec":${f2(walls.lastOption.getOrElse(-1.0))},""" +
       s""""epoch_wall_max_sec":${f2(if (walls.isEmpty) -1.0 else walls.max)},""" +
       s""""stream_wall_sec":${f2(streamWall)},""" +
-      s""""ok":${diff == 0 && epochDirs <= 17}}""")
+      s""""ok":${diff == 0 &&
+        epochDirs <= DocsStream.DefaultCompactEvery + 1}}""")
   }
 
   /** STREAM_STRESS_ANALYTICS=funnel_exact|funnel_eager|retention|paths:

@@ -828,10 +828,14 @@ object Stress {
           val handle = run.finish()
           val rowsJson = stageRows.map { case (k, v) => s""""$k":$v""" }
             .mkString("{", ",", "}")
+          // the knob only applies to the rep-anchored form (q160Frame
+          // consults bucketedEdgeBase under repAnchoredNearDup alone) —
+          // label the row by what actually ran, not by the env
+          val bucketedRan = repAnchored &&
+            sys.env.get("STRESS_PRETRAIN_BUCKETED").contains("1")
           println(s"""STRESS_PRETRAIN_E2E {"corpus":"$tag","form":"$form","docs":${
             if (tag == "base") nBase else nScaled},"budget":$budget,""" +
-            s""""bucketed":${sys.env.get("STRESS_PRETRAIN_BUCKETED")
-              .contains("1")},""" +
+            s""""bucketed":$bucketedRan,""" +
             s""""wall_sec":$wall,"shuffle_write_bytes":${metrics.shuffleWrite.get},""" +
             s""""spilled_bytes":${metrics.spill.get},"out_rows":$outRows,""" +
             s""""stage_rows":$rowsJson,"stages":${handle.json},""" +

@@ -80,10 +80,17 @@ object BloomFunctions {
     * exactly like the constant it replaced), so the build temporarily
     * raises both confs to cover the computed size and restores them.
     */
+  /** NOTE: `keys` must be the DISTINCT key frame — the sizing count is
+    * a row count, and a non-distinct frame inflates n (a 10×-duplicated
+    * gram stream would size straight to `maxBits`). Every dial is part
+    * of the cache key, so same-tag calls at different dials never serve
+    * each other's filter.
+    */
   def trainBloomSizedCached(tag: String, keys: => DataFrame, key: => Column,
       fpp: Double, floorItems: Long, floorBits: Long,
       maxBits: Long = 1L << 29): Column =
-    bloomCache.computeIfAbsent(s"$tag|sized|fpp=$fpp|floor=$floorItems",
+    bloomCache.computeIfAbsent(
+      s"$tag|sized|fpp=$fpp|floor=$floorItems/$floorBits|max=$maxBits",
       _ => {
         val n = math.max(keys.count(), floorItems)
         val bits = math.min(maxBits, math.max(floorBits,

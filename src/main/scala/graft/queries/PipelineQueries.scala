@@ -4309,7 +4309,10 @@ object PipelineQueries {
           // exchanges carry the shingle table twice, the cross-JVM
           // traffic the e2e rig attributed at 5M docs
           val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-          val tbl = s"graft_q160_edgebase_${math.abs(s"$d:$evalPred".hashCode)}"
+          // hex, not math.abs (abs(Int.MinValue) is negative — an
+          // unparseable identifier)
+          val tbl = "graft_q160_edgebase_" +
+            Integer.toHexString(s"$d:$evalPred".hashCode)
           // a fresh metastore (new JVM) doesn't know a prior run's
           // table, but its warehouse LOCATION survives and blocks the
           // managed-table create — drop both before staging

@@ -319,10 +319,21 @@ object DocsStream {
       .filter(col("jaccard") >= 0.5)
   }
 
-  private def labelPartEpochs(labelsRoot: String, sub: String): Seq[Long] =
+  /** Default compaction horizon for [[incrementalLabelSink]] — shared
+    * with the stress harness's part-census bound. */
+  private[graft] val DefaultCompactEvery = 16
+
+  /** Epochs present under `labelsRoot/sub`. Directory existence is NOT
+    * commit: a crashed overwrite leaves a partial dir, and treating it
+    * as committed would let the compaction prune delete the deltas it
+    * never actually covered (losing label rows permanently) — so only
+    * dirs carrying the committer's `_SUCCESS` marker count.
+    */
+  private[graft] def labelPartEpochs(labelsRoot: String, sub: String): Seq[Long] =
     Option(new java.io.File(s"$labelsRoot/$sub").listFiles())
       .getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
       .map(_.getName.stripPrefix("epoch=").toLong)
 
   private def deletePath(spark: SparkSession, path: String): Unit = {
@@ -399,7 +410,8 @@ object DocsStream {
     * [[graft.operators.Dedup.connectedComponents]]'s left join treats
     * edgeless docs.
     */
-  def incrementalLabelSink(labelsRoot: String, compactEvery: Int = 16)(
+  def incrementalLabelSink(labelsRoot: String,
+      compactEvery: Int = DefaultCompactEvery)(
       edges: DataFrame, epochId: Long): Unit = {
     val spark = edges.sparkSession
     // fold strictly-prior epochs first (never the in-flight one): fewer

@@ -175,14 +175,21 @@ object PretrainStream {
     // expires when the watermark passes ttlMs beyond the key's newest
     // event (clamped past the current watermark — arming at or below it
     // is an engine error), processing-time mode ttlMs of wall clock
+    // `maxTsMs < 0` marks "no event timestamp in this batch's rows"
+    // (all-null ts): arm from the WATERMARK instead — arming from epoch
+    // 0 would collapse the horizon to watermark+1 and silently
+    // under-dedup null-timestamp sources
     def armTimeout(state: org.apache.spark.sql.streaming.GroupState[_],
         maxTsMs: Long): Unit =
       if (ttlMs > 0) {
-        if (eventTime) state.setTimeoutTimestamp(
-          math.max(maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
-        else state.setTimeoutDuration(ttlMs)
+        if (eventTime) {
+          val anchor = if (maxTsMs >= 0) maxTsMs
+            else state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            math.max(anchor + ttlMs, state.getCurrentWatermarkMs() + 1))
+        } else state.setTimeoutDuration(ttlMs)
       }
-    def tsMs(t: java.sql.Timestamp): Long = if (t == null) 0L else t.getTime
+    def tsMs(t: java.sql.Timestamp): Long = if (t == null) -1L else t.getTime
 
     // stage 1 — canonical-class keyed state: emit only ids smaller than
     // every id previously kept for the class (under ordered ingest:
@@ -370,7 +377,12 @@ object PretrainStream {
     */
   def storeSig3(spark: SparkSession, storeRoot: String,
       labelsRoot: String): DataFrame = {
-    val store = spark.read.parquet(storeRoot)
+    val store0 = spark.read.parquet(storeRoot)
+    // stores written before the quarantine column existed stay readable
+    // (their rows all had text at sink time — the flag is vacuously
+    // false for them)
+    val store = if (store0.columns.contains("quarantined")) store0
+      else store0.withColumn("quarantined", lit(false))
     val kept = DocsStream.latestLabels(spark, labelsRoot) match {
       case Some(l) =>
         store.join(l.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
@@ -387,9 +399,13 @@ object PretrainStream {
     * race) — excluded from [[storeSig3]]; a deployment alarms on this
     * count and re-drives the rows once the table catches up.
     */
-  def storeQuarantined(spark: SparkSession, storeRoot: String): DataFrame =
-    spark.read.parquet(storeRoot).filter(col("quarantined"))
+  def storeQuarantined(spark: SparkSession, storeRoot: String): DataFrame = {
+    val store = spark.read.parquet(storeRoot)
+    (if (store.columns.contains("quarantined"))
+       store.filter(col("quarantined"))
+     else store.limit(0))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
+  }
 
   /** Finalization: the materialization job over the accumulated store —
     * gate, mixture, split, packing via the SAME code as the batch chain,
