@@ -161,8 +161,8 @@ object StreamStress {
     // delta-log part census through the sink's OWN listing (committed
     // parts only — two hand-rolled definitions of "label part" would
     // drift the moment the layout changes)
-    val epochDirs = DocsStream.labelPartEpochs(root, "base").size +
-      DocsStream.labelPartEpochs(root, "delta").size
+    val epochDirs = DocsStream.labelPartEpochs(spark, root, "base").size +
+      DocsStream.labelPartEpochs(spark, root, "delta").size
     // drained == from-scratch: the same check ST13 locks at sf0.001,
     // here over the scaled corpus (anti-join both ways == 0 diffs)
     val e = DocsStream.nearDupCandidatesBatch(spark.read.parquet(corpus))

@@ -328,13 +328,29 @@ object DocsStream {
     * as committed would let the compaction prune delete the deltas it
     * never actually covered (losing label rows permanently) — so only
     * dirs carrying the committer's `_SUCCESS` marker count.
+    *
+    * The listing goes through the Hadoop FileSystem resolved FROM the
+    * root's own scheme — the same API the writes, reads, and
+    * [[deletePath]] use — so an `hdfs://`/`s3a://` `labelsRoot` (the
+    * production deployment) lists exactly what was committed. A
+    * `java.io.File` listing here would silently return NOTHING on any
+    * non-local scheme: every epoch would take the empty-parts branch
+    * (cross-batch merges lost) and [[latestLabels]] would return None,
+    * finalizing an un-deduplicated corpus with no error anywhere.
     */
-  private[graft] def labelPartEpochs(labelsRoot: String, sub: String): Seq[Long] =
-    Option(new java.io.File(s"$labelsRoot/$sub").listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .map(_.getName.stripPrefix("epoch=").toLong)
+  private[graft] def labelPartEpochs(spark: SparkSession, labelsRoot: String,
+      sub: String): Seq[Long] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val dir = new Path(s"$labelsRoot/$sub")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats =
+      try { if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[FileStatus] }
+      catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+    stats.toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+  }
 
   private def deletePath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -346,10 +362,11 @@ object DocsStream {
     * excluding) `beforeEpoch`: the newest base snapshot plus every delta
     * after it. `Long.MaxValue` reads the current labeling.
     */
-  private def labelParts(labelsRoot: String, beforeEpoch: Long): Seq[String] = {
-    val baseEpoch = labelPartEpochs(labelsRoot, "base")
+  private def labelParts(spark: SparkSession, labelsRoot: String,
+      beforeEpoch: Long): Seq[String] = {
+    val baseEpoch = labelPartEpochs(spark, labelsRoot, "base")
       .filter(_ < beforeEpoch).sorted.lastOption
-    val deltas = labelPartEpochs(labelsRoot, "delta")
+    val deltas = labelPartEpochs(spark, labelsRoot, "delta")
       .filter(e => e < beforeEpoch && baseEpoch.forall(_ < e)).sorted
     baseEpoch.map(e => s"$labelsRoot/base/epoch=$e").toSeq ++
       deltas.map(e => s"$labelsRoot/delta/epoch=$e")
@@ -432,7 +449,7 @@ object DocsStream {
     val batchE = edges.select(col("doc_id").as("src"), col("dup_of").as("dst"))
       .filter(col("src") =!= col("dst")).localCheckpoint()
     locally {
-      val parts = labelParts(labelsRoot, epochId)
+      val parts = labelParts(spark, labelsRoot, epochId)
       if (parts.isEmpty) {
         val nodes = batchE.select(col("src").as("doc_id"))
           .union(batchE.select(col("dst").as("doc_id"))).distinct()
@@ -532,16 +549,17 @@ object DocsStream {
     */
   private def maybeCompact(spark: SparkSession, labelsRoot: String,
       beforeEpoch: Long, compactEvery: Int): Unit = {
-    val baseEpochs = labelPartEpochs(labelsRoot, "base").filter(_ < beforeEpoch)
+    val baseEpochs = labelPartEpochs(spark, labelsRoot, "base")
+      .filter(_ < beforeEpoch)
     val baseEpoch = baseEpochs.sorted.lastOption
     // prune parts a committed base already covers (crash-leftovers)
     baseEpoch.foreach { b =>
-      labelPartEpochs(labelsRoot, "delta").filter(_ <= b)
+      labelPartEpochs(spark, labelsRoot, "delta").filter(_ <= b)
         .foreach(e => deletePath(spark, s"$labelsRoot/delta/epoch=$e"))
       baseEpochs.filter(_ < b)
         .foreach(e => deletePath(spark, s"$labelsRoot/base/epoch=$e"))
     }
-    val deltas = labelPartEpochs(labelsRoot, "delta")
+    val deltas = labelPartEpochs(spark, labelsRoot, "delta")
       .filter(e => e < beforeEpoch && baseEpoch.forall(_ < e)).sorted
     if (compactEvery > 0 && deltas.size >= compactEvery) {
       val m = deltas.last
@@ -560,7 +578,7 @@ object DocsStream {
     * deltas after it — one aggregation at READ time (finalization),
     * instead of a full rewrite inside every epoch. */
   def latestLabels(spark: SparkSession, labelsRoot: String): Option[DataFrame] = {
-    val parts = labelParts(labelsRoot, Long.MaxValue)
+    val parts = labelParts(spark, labelsRoot, Long.MaxValue)
     if (parts.isEmpty) None
     else Some(spark.read.parquet(parts: _*)
       .groupBy(col("doc_id")).agg(min(col("rep")).as("rep")))
