@@ -377,12 +377,7 @@ object PretrainStream {
     */
   def storeSig3(spark: SparkSession, storeRoot: String,
       labelsRoot: String): DataFrame = {
-    val store0 = spark.read.parquet(storeRoot)
-    // stores written before the quarantine column existed stay readable
-    // (their rows all had text at sink time — the flag is vacuously
-    // false for them)
-    val store = if (store0.columns.contains("quarantined")) store0
-      else store0.withColumn("quarantined", lit(false))
+    val store = readStore(spark, storeRoot)
     val kept = DocsStream.latestLabels(spark, labelsRoot) match {
       case Some(l) =>
         store.join(l.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
@@ -399,12 +394,98 @@ object PretrainStream {
     * race) — excluded from [[storeSig3]]; a deployment alarms on this
     * count and re-drives the rows once the table catches up.
     */
-  def storeQuarantined(spark: SparkSession, storeRoot: String): DataFrame = {
-    val store = spark.read.parquet(storeRoot)
-    (if (store.columns.contains("quarantined"))
-       store.filter(col("quarantined"))
-     else store.limit(0))
+  def storeQuarantined(spark: SparkSession, storeRoot: String): DataFrame =
+    readStore(spark, storeRoot).filter(col("quarantined"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
+
+  /** Re-drive quarantined rows once the corpus table has caught up: for
+    * each epoch holding quarantined rows, re-run the SAME sink law over
+    * exactly those rows — text re-attached from `history`, bloom-pruned
+    * exact decontamination against the same eval-gram inventory, the
+    * same split/order keys — and rewrite the epoch in place
+    * (deterministic, so a crashed re-drive replays identically, like the
+    * sink's own epochs). Rows whose text is STILL missing stay
+    * quarantined; rows that resolve to eval-suite docs are dropped (the
+    * sink's batch stage-3 law: eval docs are never training docs). After
+    * a re-drive that finds all texts, finalization over the store equals
+    * the never-raced run bit-for-bit (spec ST18rq). Returns the number
+    * of rows re-driven clean.
+    *
+    * Scale shape: one partition-pruned scan per AFFECTED epoch (the
+    * epoch list is collected from a quarantined-only aggregate — bounded
+    * by epoch count, not rows), and the decontamination join's stream
+    * side is only the quarantined rows' gram stream.
+    */
+  def redriveQuarantined(spark: SparkSession, history: DataFrame,
+      evalPred: Column, bloomKey: String, storeRoot: String): Long = {
+    import graft.queries.PipelineQueries
+    val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
+      .select(col("g")).distinct().cache()
+    try {
+      val bloom = PipelineQueries.trainEvalBloom(bloomKey, evalGrams)
+      val epochs = readStore(spark, storeRoot).filter(col("quarantined"))
+        .select(col("epoch").cast("long")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      var redriven = 0L
+      epochs.foreach { e =>
+        val part0 = spark.read.option("mergeSchema", "true")
+          .parquet(s"$storeRoot/epoch=$e")
+        val part = if (part0.columns.contains("quarantined")) part0
+          else part0.withColumn("quarantined", lit(false))
+        val quar = part.filter(coalesce(col("quarantined"), lit(false)))
+        val clean = part.filter(!coalesce(col("quarantined"), lit(false)))
+        val withText = quar
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
+          .join(history.select(col("doc_id"), col("text")),
+            Seq("doc_id"), "left")
+        // the sink's doc-channel law, re-applied: eval docs dropped,
+        // still-missing text stays quarantined
+        val resolved = withText.filter(col("text").isNotNull)
+          .filter(!evalPred)
+        val still = withText.filter(col("text").isNull)
+        val cont = PipelineQueries.gramStream8(resolved)
+          .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
+          .join(evalGrams, "g").select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        val cols = Seq("doc_id", "source", "n_tokens", "ttr",
+          "quarantined", "ckey", "ord", "contaminated").map(col)
+        def rowsOf(df: DataFrame, quarantined: Boolean) = df
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+            lit(quarantined).as("quarantined"),
+            md5(concat(lit("split|"), coalesce(col("text"), lit(""))))
+              .as("ckey"),
+            md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
+          .join(cont, Seq("doc_id"), "left")
+          .na.fill(false, Seq("contaminated"))
+          .select(cols: _*)
+        // pin the rewritten epoch BEFORE overwriting the files it reads
+        val rewritten = clean.select(cols: _*)
+          .union(rowsOf(resolved, quarantined = false))
+          .union(rowsOf(still, quarantined = true))
+          .localCheckpoint()
+        redriven += resolved.count()
+        rewritten.write.mode("overwrite").parquet(s"$storeRoot/epoch=$e")
+      }
+      redriven
+    } finally { evalGrams.unpersist(false); () }
+  }
+
+  /** The signal store with a total `quarantined` column regardless of
+    * epoch vintage. `mergeSchema` is load-bearing, not a nicety: a store
+    * MIXING pre- and post-quarantine epochs would otherwise take one
+    * file's schema by lottery — old-schema wins and new epochs'
+    * quarantined rows leak into sig3 as clean, or new-schema wins and
+    * every pre-upgrade row reads `quarantined = null` (which `!flag`
+    * silently drops). Merged, old rows read null → coalesced to false
+    * (they all had text at sink time — vacuously clean), new rows keep
+    * their flag.
+    */
+  private def readStore(spark: SparkSession, storeRoot: String): DataFrame = {
+    val store0 = spark.read.option("mergeSchema", "true").parquet(storeRoot)
+    if (store0.columns.contains("quarantined"))
+      store0.withColumn("quarantined",
+        coalesce(col("quarantined"), lit(false)))
+    else store0.withColumn("quarantined", lit(false))
   }
 
   /** Finalization: the materialization job over the accumulated store —

@@ -481,6 +481,103 @@ class PretrainStreamSpec extends AnyFunSuite {
     edgeChannelCase(None, "hdfs")
   }
 
+  test("quarantined rows are RE-DRIVEN through the sink law once the " +
+      "table catches up; finalization == the never-raced run (ST18rq)") {
+    // the quarantine channel's missing half: surfacing stream-ahead-of-
+    // table survivors is useless if re-admitting them is manual surgery.
+    // redriveQuarantined must re-run decontamination + store upsert for
+    // exactly those rows, clear the flag, and leave the store
+    // indistinguishable from a run where the table never lagged.
+    val sparkS = spark
+    import sparkS.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    def frame(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val streamed = frame(1L -> tA, 2L -> tB)
+    val evalPred = col("doc_id") % 10 === 7
+    def run(history: DataFrame, tag: String): (String, String) = {
+      val sd = java.nio.file.Files.createTempDirectory(s"redrive-$tag")
+      streamed.coalesce(1).write.mode("overwrite").parquet(sd.toString)
+      val labelsRoot = java.nio.file.Files
+        .createTempDirectory(s"redrive-$tag-labels").toString
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory(s"redrive-$tag-store").toString
+      val sinkH = PretrainStream.sink(history, evalPred,
+        s"st18rq:$tag:$storeRoot", labelsRoot, storeRoot)
+      val q = PretrainStream
+        .signals(DocsStream.readStream(spark, sd.toString), history)
+        .writeStream
+        .foreachBatch((b: DataFrame, e: Long) => sinkH.fn(b, e))
+        .start()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      q.stop()
+      sinkH.release()
+      (storeRoot, labelsRoot)
+    }
+    // RACED: doc 2 missing from the table at sink time → quarantined
+    val (storeR, labelsR) = run(frame(1L -> tA), "raced")
+    assert(ids(PretrainStream.storeQuarantined(spark, storeR)) == Set(2L),
+      "precondition: doc 2 must start quarantined")
+    // the table catches up; re-drive through the SAME sink law
+    val caughtUp = frame(1L -> tA, 2L -> tB)
+    val n = PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+      s"st18rq:catchup:$storeR", storeR)
+    assert(n == 1L, s"expected 1 re-driven row, got $n")
+    assert(ids(PretrainStream.storeQuarantined(spark, storeR)).isEmpty,
+      "flag not cleared by re-drive")
+    assert(ids(PretrainStream.storeSig3(spark, storeR, labelsR)) ==
+      Set(1L, 2L), "re-driven doc missing from sig3")
+    // a second re-drive is a no-op (idempotent, like the sink's epochs)
+    assert(PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+      s"st18rq:catchup:$storeR", storeR) == 0L)
+    // NEVER-RACED twin: the table had both docs from the start —
+    // store contents and finalization must match bit-for-bit
+    val (storeN, labelsN) = run(caughtUp, "neverraced")
+    assert(sortedRows(spark.read.parquet(storeR).drop("epoch")) ==
+      sortedRows(spark.read.parquet(storeN).drop("epoch")),
+      "re-driven store != never-raced store")
+    assert(sortedRows(PretrainStream.q160Output(spark, storeR, labelsR,
+        PipelineQueries.Q160Budget)) ==
+      sortedRows(PretrainStream.q160Output(spark, storeN, labelsN,
+        PipelineQueries.Q160Budget)),
+      "finalization differs from the never-raced run")
+  }
+
+  test("a store MIXING pre- and post-quarantine epochs reads both " +
+      "correctly: old rows are clean, new flags are honored (ST18m)") {
+    // schema drift across epochs: without mergeSchema the reader takes
+    // one file's schema by lottery — either new epochs' quarantined rows
+    // leak into sig3 as clean, or every pre-upgrade row reads
+    // quarantined=null and is silently dropped. Both are wrong answers
+    // in the safety stage.
+    val sparkS = spark
+    import sparkS.implicits._
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("mixed-store").toString
+    val labelsRoot = java.nio.file.Files
+      .createTempDirectory("mixed-labels").toString // empty: no labeling
+    def row(id: Long) = (id, "src", 10L, 0.9, s"ck$id", s"o$id", false)
+    // epoch 0: PRE-upgrade schema (no quarantined column)
+    Seq(row(1L), row(2L))
+      .toDF("doc_id", "source", "n_tokens", "ttr", "ckey", "ord",
+        "contaminated")
+      .write.parquet(s"$storeRoot/epoch=0")
+    // epoch 1: post-upgrade schema, one quarantined row
+    Seq((3L, "src", 10L, 0.9, false, "ck3", "o3", false),
+        (4L, "src", 10L, 0.9, true, "ck4", "o4", false))
+      .toDF("doc_id", "source", "n_tokens", "ttr", "quarantined", "ckey",
+        "ord", "contaminated")
+      .write.parquet(s"$storeRoot/epoch=1")
+    val sig3 = ids(PretrainStream.storeSig3(spark, storeRoot, labelsRoot))
+    assert(sig3 == Set(1L, 2L, 3L),
+      s"mixed-schema sig3 wrong (old rows dropped or flag ignored): $sig3")
+    val quar = ids(PretrainStream.storeQuarantined(spark, storeRoot))
+    assert(quar == Set(4L), s"mixed-schema quarantine surface wrong: $quar")
+  }
+
   test("ST18e parity holds under the RocksDB state store (ST18er)") {
     edgeChannelCase(Some(RocksDb), "rocksdb")
   }
