@@ -77,8 +77,9 @@ object BloomFunctions {
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
     * (defaults 4M / 2^26 — guards for the optimizer's own injected
     * runtime filters; a clamped n mis-sizes k and the filter saturates
-    * exactly like the constant it replaced), so the build temporarily
-    * raises both confs to cover the computed size and restores them.
+    * exactly like the constant it replaced), so the build raises both
+    * confs to cover the computed size — under a CLONED session, so the
+    * raised caps never leak into concurrent planning on the shared one.
     */
   /** NOTE: `keys` must be the DISTINCT key frame — the sizing count is
     * a row count, and a non-distinct frame inflates n (a 10×-duplicated
@@ -95,15 +96,24 @@ object BloomFunctions {
         val n = math.max(keys.count(), floorItems)
         val bits = math.min(maxBits, math.max(floorBits,
           math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
-        val conf = keys.sparkSession.conf
-        val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-        val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-        val saved = Seq(itemsKey, bitsKey).map(k => k -> conf.getOption(k))
-        conf.set(itemsKey, math.max(n, 4000000L))
-        conf.set(bitsKey, math.max(bits, 67108864L))
-        try trainBloom(keys, key, n, bits)
-        finally saved.foreach { case (k, v) =>
-          v.fold(conf.unset(k))(conf.set(k, _)) }
+        // build under a CLONED session (same SparkContext, private
+        // SQLConf) so the raised clamps are SCOPED to this one build:
+        // mutating the shared session's confs let any concurrently
+        // planned query size its optimizer-injected runtime bloom
+        // filters under the raised caps, and racing cache fills could
+        // interleave the save/restore and leave the confs permanently
+        // altered. The key frame's analyzed plan is re-rooted into the
+        // clone — no recomputation, just a session rebind.
+        val owner = keys.sparkSession
+        val scoped = owner.newSession()
+        scoped.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+          math.max(n, 4000000L))
+        scoped.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+          math.max(bits, 67108864L))
+        trainBloom(GraftSqlBridge.ofRows(scoped,
+          GraftSqlBridge.analyzedPlan(keys)), key, n, bits)
       })
 
   private val bloomCache =

@@ -4298,6 +4298,15 @@ object PipelineQueries {
     // base corpus, rep form over-kept 1 of 4,758 at 10× (one marginal
     // link the pairwise form closes transitively).
     val s2 = stage(2, "neardup_fixpoint") {
+      def dropStaged(tbl: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+        try wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+        catch { case _: Throwable => () }
+      }
+      var stagedTbl: Option[String] = None
       val edges = if (repAnchoredNearDup) {
         if (bucketedEdgeBase) {
           // the PageRank writeBucketedEdges discipline applied to the
@@ -4309,21 +4318,18 @@ object PipelineQueries {
           // exchanges carry the shingle table twice, the cross-JVM
           // traffic the e2e rig attributed at 5M docs
           val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-          // hex, not math.abs (abs(Int.MinValue) is negative — an
-          // unparseable identifier)
-          val tbl = "graft_q160_edgebase_" +
-            Integer.toHexString(s"$d:$evalPred".hashCode)
+          // a FULL digest of the staging key, not String.hashCode:
+          // 32-bit hashes collide across distinct corpus/predicate
+          // pairs, and two concurrent q160Frame calls landing on one
+          // name would clobber each other's staging mid-read
+          val tbl = "graft_q160_edgebase_" + java.security.MessageDigest
+            .getInstance("MD5").digest(s"$d:$evalPred".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          stagedTbl = Some(tbl)
           // a fresh metastore (new JVM) doesn't know a prior run's
           // table, but its warehouse LOCATION survives and blocks the
           // managed-table create — drop both before staging
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          locally {
-            val wh = new org.apache.hadoop.fs.Path(
-              s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-            try wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-              .delete(wh, true)
-            catch { case _: Throwable => () }
-          }
+          dropStaged(tbl)
           edgeBase(d1).write.mode("overwrite").format("parquet")
             .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tbl)
           // parquet erases the shingle array's containsNull=false, which
@@ -4335,9 +4341,14 @@ object PipelineQueries {
             transform(col("shset"), x => coalesce(x, lit(0L))).as("shset")))
         } else repAnchoredEdges(d1)
       } else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
-      graft.operators.Dedup
+      try graft.operators.Dedup
         .keepListToFixpoint(d1.select(col("doc_id")), edges)
         .filter(col("is_kept")).select(col("doc_id"))
+      // keepListToFixpoint PINS the edge lineage eagerly in its round-0
+      // prepare, so by the time it returns the staged table has been
+      // fully consumed — drop it (and its warehouse files) instead of
+      // leaving one staging table per corpus/predicate pair behind
+      finally stagedTbl.foreach(dropStaged)
     }
 
     // stage 3 — n-gram decontamination (q101): the eval suite's 8-gram

@@ -37,14 +37,33 @@ private[graft] final class AppAccRegistry(name: String) {
       // happens inside a computeIfAbsent mapping — the map forbids it.)
       try {
         val acc = sc.longAccumulator(name)
-        sc.addSparkListener(new SparkListener {
-          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-            accs.remove(appId)
-        })
         val prev = accs.putIfAbsent(appId, acc)
-        // a racing thread won: use its accumulator (the extra listener
-        // just re-removes the same key — harmless)
-        if (prev != null) prev else acc
+        // a racing thread won: use its accumulator. The listener is
+        // registered only by the WINNER (below), so losers no longer
+        // leave an extra listener on the bus for the app's lifetime.
+        if (prev != null) prev
+        else {
+          try {
+            // register the eviction AFTER winning the put: the old
+            // register-then-put order had a window where an
+            // ApplicationEnd fired before the entry existed — the
+            // removal removed nothing and the entry leaked permanently
+            sc.addSparkListener(new SparkListener {
+              override def onApplicationEnd(
+                  e: SparkListenerApplicationEnd): Unit =
+                accs.remove(appId)
+            })
+            // ...and the symmetric window: the app ended between the
+            // put and the registration (listener lands on a drained
+            // bus and never fires) — re-check and self-evict
+            if (sc.isStopped) accs.remove(appId)
+          } catch { case _: IllegalStateException | _: AssertionError =>
+            // registration rejected ⇒ the context is stopped ⇒ the
+            // entry we just put is dead — evict it ourselves
+            accs.remove(appId)
+          }
+          acc
+        }
       } catch { case _: IllegalStateException | _: AssertionError =>
         new LongAccumulator
       }
