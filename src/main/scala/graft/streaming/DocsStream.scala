@@ -48,9 +48,12 @@ object DocsStream {
   /** q43's 4×2-hash banding plus the doc's sorted shingle-hash set (the
     * q72 verification kernel's input — see
     * [[graft.functions.ShingleHashSet]] for the 56-bit parity contract):
-    * (doc_id, band, bkey, shset). All map-side.
+    * (doc_id, band, bkey, shset, ts). All map-side. `ts` is the optional
+    * event-time passenger (null timestamp when `tsCol` is None) — the
+    * handlers arm their horizon from it in event-time mode.
     */
-  private def banded(docs: DataFrame): DataFrame = {
+  private def banded(docs: DataFrame,
+      tsCol: Option[String] = None): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     // native fused signature/shingle-set kernels (graft.functions.
     // {MinHashSig, ShingleHashSet}) — bit-identical to the HOF kernels,
@@ -60,13 +63,15 @@ object DocsStream {
     def mh(j: Int) = element_at(col("sig"), j + 1)
     val bands = (0 until 4).map(b => struct(lit(b).as("band"),
       concat_ws("_", mh(2 * b), mh(2 * b + 1)).as("bkey")))
+    val ts = tsCol.map(col).getOrElse(lit(null).cast("timestamp")).as("ts")
     docs.filter(size(ws) >= 3)
       .select(col("doc_id"),
         graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset"),
-        sig.as("sig"))
-      .select(col("doc_id"), col("shset"), explode(array(bands: _*)).as("bk"))
+        sig.as("sig"), ts)
+      .select(col("doc_id"), col("shset"), col("ts"),
+        explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"), col("shset"))
+        col("bk.bkey").as("bkey"), col("shset"), col("ts"))
   }
 
   /** q43's 4×2-hash banding, map-side: (doc_id, band, bkey). */
@@ -94,9 +99,37 @@ object DocsStream {
       .filter(col("jaccard") >= 0.5)
   }
 
-  private def timeoutConf(ttlMs: Long): GroupStateTimeout =
-    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+  private[streaming] def timeoutConf(ttlMs: Long,
+      eventTime: Boolean = false): GroupStateTimeout =
+    if (ttlMs <= 0) GroupStateTimeout.NoTimeout
+    else if (eventTime) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.ProcessingTimeTimeout
+
+  /** Arm a key's horizon from the batch it just saw — shared by every
+    * doc-stream handler (here and [[PretrainStream]]). Event-time mode
+    * expires when the watermark passes `ttlMs` beyond the key's newest
+    * event, clamped just past the current watermark (arming at or below
+    * it is an engine error — a late straggler can never arm an
+    * already-expired timeout). `maxTsMs < 0` marks "no event timestamp
+    * in this batch's rows" (all-null ts): arm from the WATERMARK instead
+    * — arming from epoch 0 would collapse the horizon to watermark+1 and
+    * silently under-dedup null-timestamp sources. Processing-time mode
+    * arms `ttlMs` of wall clock.
+    */
+  private[streaming] def armTimeout(
+      state: org.apache.spark.sql.streaming.GroupState[_], maxTsMs: Long,
+      ttlMs: Long, eventTime: Boolean): Unit =
+    if (ttlMs > 0) {
+      if (eventTime) {
+        val anchor = if (maxTsMs >= 0) maxTsMs
+          else state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          math.max(anchor + ttlMs, state.getCurrentWatermarkMs() + 1))
+      } else state.setTimeoutDuration(ttlMs)
+    }
+
+  private[streaming] def tsMs(t: java.sql.Timestamp): Long =
+    if (t == null) -1L else t.getTime
 
   /** Streaming candidate emission: each doc whose (band, bucket) has an
     * earlier doc emits (doc_id, band, dup_of = the bucket's minimum).
@@ -110,22 +143,39 @@ object DocsStream {
     * next doc is RE-ADMITTED as its new representative —
     * dedup-within-horizon, the production near-dup contract. Inside the
     * horizon, emission semantics are unchanged (batch parity holds).
+    *
+    * Horizon clock: by default `ttlMs` is PROCESSING time — right for
+    * live ingest, where wall clock IS the horizon. A historical BACKFILL
+    * replayed fast expires nothing on that clock (wall time barely
+    * advances between files), so a dedup-within-N-days law over archived
+    * data passes `eventTimeCol` (a timestamp column on the stream, e.g.
+    * crawl time): the bucket then expires when the WATERMARK passes
+    * `ttlMs` past its newest event — replay speed stops mattering (the
+    * ST18te discipline, on the standalone twin; ST11te pins it).
+    * `watermarkDelay` is the usual bounded-disorder allowance. One keyed
+    * state, so no chained-stateful opt-out is needed here.
     */
-  def nearDupCandidates(docs: DataFrame, ttlMs: Long = 0L): DataFrame = {
+  def nearDupCandidates(docs: DataFrame, ttlMs: Long = 0L,
+      eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bandKeys(docs)
-      .select(col("band"), col("bkey"), col("doc_id"))
-      .as[(Int, String, Long)]
+    val eventTime = eventTimeCol.isDefined
+    val src = eventTimeCol.map(c => docs.withWatermark(c, watermarkDelay))
+      .getOrElse(docs)
+    banded(src, eventTimeCol)
+      .select(col("band"), col("bkey"), col("doc_id"), col("ts"))
+      .as[(Int, String, Long, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, (Long, Int, Long)](
-        OutputMode.Append, timeoutConf(ttlMs)) {
+        OutputMode.Append, timeoutConf(ttlMs, eventTime)) {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // sort within the batch: emission semantics are "min of all
             // earlier ids", independent of partition iteration order
-            val ids = rows.map(_._3).toArray.sorted
+            val arr = rows.toArray
+            val ids = arr.map(_._3).sorted
             var minSeen = state.getOption.getOrElse(Long.MaxValue)
             val out = Array.newBuilder[(Long, Int, Long)]
             ids.foreach { id =>
@@ -143,7 +193,7 @@ object DocsStream {
               }
             }
             state.update(minSeen)
-            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            armTimeout(state, arr.map(r => tsMs(r._4)).max, ttlMs, eventTime)
             out.result().iterator
           }
       }
@@ -250,21 +300,26 @@ object DocsStream {
   }
 
   def nearDupVerified(stream: DataFrame, history: DataFrame,
-      ttlMs: Long = 0L): DataFrame = {
+      ttlMs: Long = 0L, eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val displaced = displacedReps(spark)
     val overConnect = overConnectMerges(spark)
+    val eventTime = eventTimeCol.isDefined
+    val src = eventTimeCol.map(c => stream.withWatermark(c, watermarkDelay))
+      .getOrElse(stream)
     // 5th field: the displaced pair's IN-HANDLER jaccard (−1 marks a
     // normal candidate, verified downstream against history). One
     // linear plan — a filter-and-union split would duplicate the
     // stateful operator and its store.
-    val cand = banded(stream)
-      .select(col("band"), col("bkey"), col("doc_id"), col("shset"))
-      .as[(Int, String, Long, Seq[Long])]
+    val cand = banded(src, eventTimeCol)
+      .select(col("band"), col("bkey"), col("doc_id"), col("shset"),
+        col("ts"))
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Int, Long, Seq[Long], Double)](
-        OutputMode.Append, timeoutConf(ttlMs)) {
+        OutputMode.Append, timeoutConf(ttlMs, eventTime)) {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -298,7 +353,7 @@ object DocsStream {
               }
             }
             state.update((minSeen, repSh))
-            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            armTimeout(state, arr.map(r => tsMs(r._5)).max, ttlMs, eventTime)
             out.result().iterator
           }
       }

@@ -66,9 +66,7 @@ object PretrainStream {
   private val NBands = 4
 
   private def timeoutConf(ttlMs: Long, eventTime: Boolean): GroupStateTimeout =
-    if (ttlMs <= 0) GroupStateTimeout.NoTimeout
-    else if (eventTime) GroupStateTimeout.EventTimeTimeout
-    else GroupStateTimeout.ProcessingTimeTimeout
+    DocsStream.timeoutConf(ttlMs, eventTime)
 
   /** Displacement / verified-relink counters (same at-least-once
     * accounting as [[DocsStream.displacedReps]], kept separate so the
@@ -171,25 +169,13 @@ object PretrainStream {
         when(col("elig"), bkeys).otherwise(lit(null)).as("bkeys"),
         col("elig"), col("ts"))
 
-    // arm a key's horizon from the batch it just saw: event-time mode
-    // expires when the watermark passes ttlMs beyond the key's newest
-    // event (clamped past the current watermark — arming at or below it
-    // is an engine error), processing-time mode ttlMs of wall clock
-    // `maxTsMs < 0` marks "no event timestamp in this batch's rows"
-    // (all-null ts): arm from the WATERMARK instead — arming from epoch
-    // 0 would collapse the horizon to watermark+1 and silently
-    // under-dedup null-timestamp sources
+    // horizon arming shared with the standalone twins — see
+    // [[DocsStream.armTimeout]] for the event-time clamp and the
+    // null-timestamp (arm-from-watermark) law
     def armTimeout(state: org.apache.spark.sql.streaming.GroupState[_],
         maxTsMs: Long): Unit =
-      if (ttlMs > 0) {
-        if (eventTime) {
-          val anchor = if (maxTsMs >= 0) maxTsMs
-            else state.getCurrentWatermarkMs()
-          state.setTimeoutTimestamp(
-            math.max(anchor + ttlMs, state.getCurrentWatermarkMs() + 1))
-        } else state.setTimeoutDuration(ttlMs)
-      }
-    def tsMs(t: java.sql.Timestamp): Long = if (t == null) -1L else t.getTime
+      DocsStream.armTimeout(state, maxTsMs, ttlMs, eventTime)
+    def tsMs(t: java.sql.Timestamp): Long = DocsStream.tsMs(t)
 
     // stage 1 — canonical-class keyed state: emit only ids smaller than
     // every id previously kept for the class (under ordered ingest:

@@ -831,6 +831,96 @@ class StreamingSpec extends AnyFunSuite {
       s"expected re-admitted rep 2 and in-horizon dup 4->2, got $out")
   }
 
+  private def nearDupEventTimeTtlCase(verified: Boolean, tag: String): Unit = {
+    // the ST18te dual-horizon law on the STANDALONE doc-stream twins
+    // (the q104/q118 surfaces): a historical backfill replayed fast must
+    // expire buckets by the DATA's clock — processing-time TTL expires
+    // nothing (wall time barely advances between files). No sleeps:
+    // expiry is forced by a watermark-driving filler doc and observed by
+    // polling state rows to zero.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocsStream
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon"
+    val ttlMs = 60000L // one MINUTE of event time — wall clock irrelevant
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusMs: Long) = new java.sql.Timestamp(t0.getTime + plusMs)
+    def frame(rows: (Long, String, java.sql.Timestamp)*) = rows.toSeq
+      .map { case (id, t, ts) => (id, t, "en", "src", t.length.toLong, ts) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+    val sd = java.nio.file.Files.createTempDirectory(s"docs-ette-$tag")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs-ette-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = sd.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // filler doc 9 advances the watermark past doc 1's horizon. It must
+    // be band-ELIGIBLE (≥3 tokens): the eligibility filter is pushed
+    // BELOW the watermark node by the optimizer (a deterministic
+    // predicate not on the event column), so an ineligible filler never
+    // reaches the event-time stats and the watermark never moves. Its
+    // text shares no buckets with t1, so it emits nothing and holds its
+    // own 4 bucket states (the post-expiry residue).
+    val tsB = at(ttlMs + 540000L) // 10 event-minutes past t0
+    stage(frame((1L, t1, t0)), "a.parquet", 1000000L)
+    stage(frame((9L, "zulu yankee xray whiskey victor", tsB)),
+      "b.parquet", 2000000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG, ts TIMESTAMP")
+    val history = frame((1L, t1, t0), (2L, t1, at(ttlMs + 541000L)),
+      (4L, t1, at(ttlMs + 541000L)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+    val out = if (verified)
+      DocsStream.nearDupVerified(stream, history, ttlMs,
+        eventTimeCol = Some("ts"))
+    else DocsStream.nearDupCandidates(stream, ttlMs,
+      eventTimeCol = Some("ts"))
+    val q = out.writeStream.format("memory").queryName(s"neardup_ette_$tag")
+      .outputMode("append").start()
+    def waitFor(cond: => Boolean, msg: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond) {
+        assert(System.currentTimeMillis < deadline, s"timed out: $msg; " +
+          s"progress=${q.recentProgress.map(_.numInputRows).mkString(",")}")
+        Thread.sleep(100)
+      }
+    }
+    // both files in (state 4 → 8), then doc 1's 4 bucket states EXPIRE
+    // on the event clock, leaving exactly the filler's 4
+    waitFor(q.recentProgress.map(_.numInputRows).sum >= 2, "files a+b")
+    def stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    waitFor(stateRows == 4L, s"event-time expiry (state rows=$stateRows)")
+    stage(frame((2L, t1, at(ttlMs + 541000L)), (4L, t1, at(ttlMs + 541000L))),
+      "c.parquet", 3000000L)
+    waitFor(q.recentProgress.exists(_.numInputRows == 2), "file c")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(s"neardup_ette_$tag")
+      .select(col("doc_id"), col("dup_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expired horizon: doc 2 re-admitted as the bucket rep (no edge to
+    // the long-gone 1); in-horizon dedup unchanged: 4 → 2, never 4 → 1
+    assert(got == Set(4L -> 2L),
+      s"expected re-admitted rep 2 and in-horizon dup 4->2, got $got")
+  }
+
+  test("near-dup candidates EVENT-TIME TTL: buckets expire on the " +
+      "watermark clock and re-admit; in-horizon dedup holds (ST11te)") {
+    nearDupEventTimeTtlCase(verified = false, "cand")
+  }
+
+  test("near-dup verified EVENT-TIME TTL: the rep-shingle cache expires " +
+      "on the watermark clock too (ST11tev)") {
+    nearDupEventTimeTtlCase(verified = true, "ver")
+  }
+
   test("near-dup state TTL: an expired bucket re-admits; dedup still holds inside the horizon (ST12)") {
     nearDupTtlCase(None, "hdfs")
   }
