@@ -231,6 +231,15 @@ object PipelineQueries {
     * (see [[ivfPqIndex]]). Best-effort: any IO failure (a dir another
     * sweep already removed, permissions) is ignored — a leftover dir
     * costs disk, not correctness.
+    *
+    * Deliberately `java.io.File`, NOT the Hadoop FS API (the one
+    * justified local-FS use on the product path — see the PLANS.md
+    * filesystem inventory): the pid-liveness probe is meaningful only
+    * for processes on THIS host, so on a shared `hdfs://`-like index
+    * root — where other hosts' pids are unknowable — sweeping would be
+    * WRONG (it would reap a live remote JVM's index). There the local
+    * listing correctly degrades to a no-op and retention belongs to the
+    * deployment.
     */
   private def sweepDeadIndexDirs(root: String): Unit =
     try {
