@@ -482,11 +482,21 @@ object StreamStress {
         s"stress-pretrain:$tag:$storeRoot", labelsRoot, storeRoot)
       val dBefore = PretrainStream.displacedReps(spark).value
       val oBefore = PretrainStream.overConnectMerges(spark).value
+      // STREAM_STRESS_FOLD_PARTITIONS: scope the shuffle-partition conf
+      // AWAY from the fold's jobs. The session conf at query START sizes
+      // the state stores (that's STREAM_STRESS_PARTITIONS); the sink's
+      // batch jobs read the MICRO-BATCH session's conf at action time
+      // (b.sparkSession — the cloned streaming session), so setting it
+      // per batch changes fold-job parallelism without touching store
+      // partitioning — the r16 negative's mechanism (b), isolated.
+      val foldParts = sys.env.get("STREAM_STRESS_FOLD_PARTITIONS")
       val t0 = System.nanoTime()
       val q = PretrainStream
         .signals(DocsStream.readStream(spark, stagedDir, 2), docs)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+          foldParts.foreach(p =>
+            b.sparkSession.conf.set("spark.sql.shuffle.partitions", p))
           val m0 = System.nanoTime()
           b.persist()
           b.count()

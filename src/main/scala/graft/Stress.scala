@@ -811,11 +811,17 @@ object Stress {
             }),
             evalPred = evalPred,
             repAnchoredNearDup = repAnchored,
-            // STRESS_PRETRAIN_BUCKETED=1: stage the per-doc edge payload
-            // as a bucketed-by-doc_id table before the verify joins (the
-            // PageRank pre-layout discipline) — the stage-2 prepare A/B
-            bucketedEdgeBase =
-              sys.env.get("STRESS_PRETRAIN_BUCKETED").contains("1"))
+            // STRESS_PRETRAIN_BUCKETED=1|0: stage the per-doc edge
+            // payload as a bucketed-by-doc_id table before the verify
+            // joins (the PageRank pre-layout discipline) — the stage-2
+            // prepare A/B. "auto" (or any future default probe) defers
+            // to the library's survivor-count gate; the harness pins an
+            // EXPLICIT side by default so A/B rows stay labeled by what
+            // actually ran
+            bucketedEdgeBase = sys.env.get("STRESS_PRETRAIN_BUCKETED") match {
+              case Some("auto") => None
+              case v => Some(v.contains("1"))
+            })
           // ONE execution of the unmaterialized tail: q160's output is
           // one row per stage-5 survivor (stages 6-7 never filter), so
           // out_rows is the s5 manifest count — a second count() here

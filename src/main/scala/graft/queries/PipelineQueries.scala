@@ -4254,12 +4254,26 @@ object PipelineQueries {
     * corpora pass `(doc_id DIV factor) % 10 == 7` instead, because their
     * ids are base*factor+r and the raw mod would select "replica r≡7 of
     * EVERY doc" — making every kept doc contaminated by its own replica.
+    *
+    * `bucketedEdgeBase` — SHIP RULE (r17, measured): `None` (the
+    * default) auto-gates on the stage-1 survivor count ≥
+    * [[BucketedEdgeBaseAutoMinDocs]]. The staging write is a fixed toll
+    * (one bucket shuffle of the edge payload) that the co-partitioned
+    * verify joins must repay: measured same-day A/Bs put the
+    * single-JVM crossover between 5×10⁵ survivors (LOSES: e2e 24.6 →
+    * 31.3 s at x100; 11.1 → 14.2 s at x10) and 3.3M survivors (WINS:
+    * 72.1 → 69.7 s at x1000, prepare 45.6 → 9.8 s, spill 94.9 MB → 0),
+    * and the win widens when exchanges cross process/network boundaries
+    * (two-executor rig at the same 3.3M: e2e −25%, prepare −82%) — the
+    * 100 TB regime. Explicit `Some(_)` overrides for harness A/Bs.
     */
+  private[graft] val BucketedEdgeBaseAutoMinDocs = 2000000L
+
   private[graft] def q160Frame(s: SparkSession, d: String, budget: Long,
       stageRun: Option[(Int, String, () => DataFrame) => DataFrame] = None,
       evalPred: org.apache.spark.sql.Column = col("doc_id") % 10 === 7,
       repAnchoredNearDup: Boolean = false,
-      bucketedEdgeBase: Boolean = false)
+      bucketedEdgeBase: Option[Boolean] = None)
       : DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.BloomFunctions
@@ -4316,8 +4330,13 @@ object PipelineQueries {
         catch { case _: Throwable => () }
       }
       var stagedTbl: Option[String] = None
+      // auto mode: the s1 manifest is pinned, so counting it is one
+      // cheap pass over checkpointed ids — the threshold is the
+      // measured staging-toll crossover (see the knob's scaladoc)
+      val useBucketed = bucketedEdgeBase.getOrElse(
+        repAnchoredNearDup && s1.count() >= BucketedEdgeBaseAutoMinDocs)
       val edges = if (repAnchoredNearDup) {
-        if (bucketedEdgeBase) {
+        if (useBucketed) {
           // the PageRank writeBucketedEdges discipline applied to the
           // verify prepare: stage the per-doc edge payload ONCE as a
           // bucketed-by-doc_id table, so BOTH shingle-attachment joins
