@@ -60,6 +60,19 @@ import graft.operators.TextOps
   * where batch groups by the string itself; a 128-bit collision would
   * diverge (negligible, and the same trade every fingerprint-dedup row
   * in the pack makes).
+  *
+  * State-store dials (r17, isolated on the 1000×/5M-doc ordered
+  * ladder, parity exact in every cell): ship RocksDB **changelog
+  * checkpointing ON** and the DEFAULT per-executor state-partition
+  * share — changelog alone cut the ladder 549 → 473 s (−14%), with the
+  * state-commit channel (`epoch_materialize_walls`) carrying the win
+  * (359 → 300 s); raising state partitions 8 → 32 on one host was −6%
+  * alone (fold jobs scoped back to 8) and ERODED the changelog's win
+  * when combined (526 s) — 4× the RocksDB instances compact against
+  * the same cores. The r16 "revert to default dials" negative is
+  * thereby attributed: it measured the changelog only UNDER the
+  * 32-partition fold tax. Re-validate on a real multi-executor
+  * topology before hard-coding either dial.
   */
 object PretrainStream {
 
