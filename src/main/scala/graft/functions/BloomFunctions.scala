@@ -106,6 +106,15 @@ object BloomFunctions {
         // clone — no recomputation, just a session rebind.
         val owner = keys.sparkSession
         val scoped = owner.newSession()
+        // newSession() starts from the BUILDER-time confs, not the
+        // owner's runtime ones — copy them across so a conf-sensitive
+        // key expression (timezone, ANSI mode) evaluates identically at
+        // build time and probe time (a divergence would manufacture
+        // bloom false NEGATIVES, breaking the filter's one contract).
+        // Static/immutable confs reject the set — skip them (they are
+        // identical across sessions of one SparkContext anyway).
+        owner.conf.getAll.foreach { case (k, v) =>
+          try scoped.conf.set(k, v) catch { case _: Exception => () } }
         scoped.conf.set(
           "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
           math.max(n, 4000000L))

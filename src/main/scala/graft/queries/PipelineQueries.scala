@@ -4269,6 +4269,40 @@ object PipelineQueries {
     */
   private[graft] val BucketedEdgeBaseAutoMinDocs = 2000000L
 
+  /** Per-invocation token for the ephemeral edge-base staging table —
+    * see the naming comment at the staging site. */
+  private val edgeBaseSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Delete `graft_q160_edgebase_<md5>_p<pid>_<seq>` warehouse dirs
+    * whose owning pid is dead — crash leftovers (the owner's finally
+    * never ran). Deliberately local-FS-only, same argument as
+    * [[sweepDeadIndexDirs]]: pid liveness is only meaningful for THIS
+    * host's processes, so on a shared warehouse the sweep degrades to a
+    * no-op and retention belongs to the deployment. Best-effort.
+    */
+  private def sweepDeadEdgeBaseDirs(s: SparkSession): Unit =
+    try {
+      val dirs = new java.io.File(s.conf.get("spark.sql.warehouse.dir"))
+        .listFiles()
+      if (dirs != null) dirs.foreach { f =>
+        val m = "^graft_q160_edgebase_[0-9a-f]{32}_p(\\d+)_\\d+$".r
+          .findFirstMatchIn(f.getName)
+        val dead = m.exists { mm =>
+          val pid = mm.group(1).toLong
+          val h = ProcessHandle.of(pid)
+          pid != ProcessHandle.current().pid() &&
+            !(h.isPresent && h.get.isAlive)
+        }
+        if (dead) try {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(f.toPath)) { st =>
+            st.iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        } catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: Throwable => () }
+
   private[graft] def q160Frame(s: SparkSession, d: String, budget: Long,
       stageRun: Option[(Int, String, () => DataFrame) => DataFrame] = None,
       evalPred: org.apache.spark.sql.Column = col("doc_id") % 10 === 7,
@@ -4321,8 +4355,13 @@ object PipelineQueries {
     // base corpus, rep form over-kept 1 of 4,758 at 10× (one marginal
     // link the pairwise form closes transitively).
     val s2 = stage(2, "neardup_fixpoint") {
+      // best-effort on BOTH halves: this runs inside a finally, where a
+      // transient metastore error must neither mask the primary
+      // exception nor fail a stage whose returned frame no longer
+      // needs the table
       def dropStaged(tbl: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        try s.sql(s"DROP TABLE IF EXISTS $tbl")
+        catch { case _: Throwable => () }
         val wh = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
         try wh.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -4330,9 +4369,13 @@ object PipelineQueries {
         catch { case _: Throwable => () }
       }
       var stagedTbl: Option[String] = None
-      // auto mode: the s1 manifest is pinned, so counting it is one
-      // cheap pass over checkpointed ids — the threshold is the
-      // measured staging-toll crossover (see the knob's scaladoc)
+      // auto mode: under the default pinReleasingPrior path (and every
+      // harness stageRun in this repo) the s1 manifest is checkpointed,
+      // so counting it is one cheap pass over pinned ids — the
+      // threshold is the measured staging-toll crossover (see the
+      // knob's scaladoc). A caller-supplied stageRun that does NOT
+      // materialize pays a second stage-1 aggregation here; such a
+      // caller should pass an explicit Some(_) instead of auto.
       val useBucketed = bucketedEdgeBase.getOrElse(
         repAnchoredNearDup && s1.count() >= BucketedEdgeBaseAutoMinDocs)
       val edges = if (repAnchoredNearDup) {
@@ -4346,18 +4389,26 @@ object PipelineQueries {
           // exchanges carry the shingle table twice, the cross-JVM
           // traffic the e2e rig attributed at 5M docs
           val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-          // a FULL digest of the staging key, not String.hashCode:
-          // 32-bit hashes collide across distinct corpus/predicate
-          // pairs, and two concurrent q160Frame calls landing on one
-          // name would clobber each other's staging mid-read
+          // a FULL digest of the staging key plus a PER-INVOCATION
+          // (pid, seq) token: the digest keeps distinct corpus/
+          // predicate pairs apart, and the token keeps two concurrent
+          // calls on the SAME pair apart — the table is ephemeral
+          // (dropped in the finally below), so one caller's drop must
+          // never delete files another caller's round-0 prepare is
+          // still scanning
           val tbl = "graft_q160_edgebase_" + java.security.MessageDigest
             .getInstance("MD5").digest(s"$d:$evalPred".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
+            .map("%02x".format(_)).mkString +
+            s"_p${ProcessHandle.current().pid()}_${edgeBaseSeq.incrementAndGet()}"
           stagedTbl = Some(tbl)
-          // a fresh metastore (new JVM) doesn't know a prior run's
-          // table, but its warehouse LOCATION survives and blocks the
-          // managed-table create — drop both before staging
-          dropStaged(tbl)
+          // the per-invocation token makes the name fresh, so the only
+          // possible blocker is a DEAD process's orphaned warehouse dir
+          // (its crash skipped the finally; a fresh metastore doesn't
+          // know the table, but the LOCATION blocks a managed-table
+          // create) — sweep those, local-FS-only like
+          // [[sweepDeadIndexDirs]] (pid liveness means nothing for
+          // other hosts' dirs on a shared warehouse)
+          sweepDeadEdgeBaseDirs(s)
           edgeBase(d1).write.mode("overwrite").format("parquet")
             .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tbl)
           // parquet erases the shingle array's containsNull=false, which

@@ -396,15 +396,18 @@ object DocsStream {
   private[graft] def labelPartEpochs(spark: SparkSession, labelsRoot: String,
       sub: String): Seq[Long] = {
     import org.apache.hadoop.fs.{FileStatus, Path}
-    val dir = new Path(s"$labelsRoot/$sub")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE globStatus round-trip, not listStatus + one exists(_SUCCESS)
+    // RPC per epoch dir: this listing runs up to ~5× per committed
+    // epoch (labelParts + maybeCompact), and on an object store the
+    // N+1 form would pay hundreds of sequential per-object latencies
+    // per micro-batch once epochs accumulate
+    val pat = new Path(s"$labelsRoot/$sub/epoch=*/_SUCCESS")
+    val fs = pat.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats =
-      try { if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[FileStatus] }
+      try Option(fs.globStatus(pat)).getOrElse(Array.empty[FileStatus])
       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
     stats.toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .map(_.getPath.getParent.getName.stripPrefix("epoch=").toLong)
   }
 
   private def deletePath(spark: SparkSession, path: String): Unit = {

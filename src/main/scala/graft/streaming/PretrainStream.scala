@@ -350,16 +350,10 @@ object PretrainStream {
         // failure would be invisible in exactly the safety stage. Such
         // rows land QUARANTINED: excluded from [[storeSig3]] /
         // finalization, surfaced via [[storeQuarantined]] for the
-        // operator to re-drive once the table catches up (re-land the
-        // doc after the stage-1 horizon, or re-run the sink's epoch).
-        withText
-          .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
-            col("text").isNull.as("quarantined"),
-            md5(concat(lit("split|"), coalesce(col("text"), lit(""))))
-              .as("ckey"),
-            md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
-          .join(cont, Seq("doc_id"), "left")
-          .na.fill(false, Seq("contaminated"))
+        // operator to re-drive once the table catches up
+        // ([[redriveQuarantined]], or re-land the doc after the
+        // stage-1 horizon).
+        storeRows(withText, cont)
           .write.mode("overwrite").parquet(s"$storeRoot/epoch=$epochId")
       } finally b.unpersist(false)
     }
@@ -397,27 +391,67 @@ object PretrainStream {
     readStore(spark, storeRoot).filter(col("quarantined"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
 
+  /** The doc-channel row-shaping law — ONE definition shared by the
+    * sink and [[redriveQuarantined]], so the re-drive's bit-for-bit
+    * guarantee (ST18rq) is structural rather than a copy that must be
+    * kept in sync by hand. Input: rows with (doc_id, source, n_tokens,
+    * ttr, text — null when the corpus table had none); `cont` is the
+    * (doc_id, contaminated=true) table. Null text ⇒ quarantined.
+    */
+  private def storeRows(withText: DataFrame, cont: DataFrame): DataFrame =
+    withText
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+        col("text").isNull.as("quarantined"),
+        md5(concat(lit("split|"), coalesce(col("text"), lit(""))))
+          .as("ckey"),
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
+      .join(cont, Seq("doc_id"), "left")
+      .na.fill(false, Seq("contaminated"))
+
   /** Re-drive quarantined rows once the corpus table has caught up: for
     * each epoch holding quarantined rows, re-run the SAME sink law over
     * exactly those rows — text re-attached from `history`, bloom-pruned
     * exact decontamination against the same eval-gram inventory, the
-    * same split/order keys — and rewrite the epoch in place
-    * (deterministic, so a crashed re-drive replays identically, like the
-    * sink's own epochs). Rows whose text is STILL missing stay
-    * quarantined; rows that resolve to eval-suite docs are dropped (the
-    * sink's batch stage-3 law: eval docs are never training docs). After
-    * a re-drive that finds all texts, finalization over the store equals
-    * the never-raced run bit-for-bit (spec ST18rq). Returns the number
-    * of rows re-driven clean.
+    * same [[storeRows]] projection — and REPLACE the epoch via
+    * write-to-temp + move-aside + rename: unlike the sink's epochs
+    * (replay re-derives them from upstream state), these files are the
+    * ONLY source of the epoch's clean rows, so an in-place overwrite
+    * that crashed mid-write would lose them permanently. At every crash
+    * point either the target or the `.redrive_old_epoch=N` move-aside
+    * holds the complete original; the next call's recovery sweep
+    * restores it and the deterministic law replays identically. Rows
+    * whose text is STILL missing stay quarantined; rows that resolve to
+    * eval-suite docs are dropped (the sink's batch stage-3 law). After
+    * a re-drive that finds all texts, finalization over the store
+    * equals the never-raced run bit-for-bit (spec ST18rq). Returns the
+    * number of rows re-driven clean.
     *
     * Scale shape: one partition-pruned scan per AFFECTED epoch (the
-    * epoch list is collected from a quarantined-only aggregate — bounded
-    * by epoch count, not rows), and the decontamination join's stream
-    * side is only the quarantined rows' gram stream.
+    * epoch list is collected from a quarantined-only aggregate —
+    * bounded by epoch count, not rows); the quarantined rows are pinned
+    * once (they are few by nature) so the text re-attachment join runs
+    * a single time per epoch.
     */
   def redriveQuarantined(spark: SparkSession, history: DataFrame,
       evalPred: Column, bloomKey: String, storeRoot: String): Long = {
     import graft.queries.PipelineQueries
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a crashed prior re-drive: a move-aside without its target
+    // means the crash hit between the two renames — restore the
+    // original; with the target present it is covered garbage — drop it
+    val asides =
+      try Option(fs.globStatus(new Path(s"$storeRoot/.redrive_old_epoch=*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    asides.foreach { st =>
+      val e = st.getPath.getName.stripPrefix(".redrive_old_epoch=")
+      val target = new Path(s"$storeRoot/epoch=$e")
+      if (!fs.exists(target)) fs.rename(st.getPath, target)
+      else fs.delete(st.getPath, true)
+    }
     val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
       .select(col("g")).distinct().cache()
     try {
@@ -433,12 +467,15 @@ object PretrainStream {
           else part0.withColumn("quarantined", lit(false))
         val quar = part.filter(coalesce(col("quarantined"), lit(false)))
         val clean = part.filter(!coalesce(col("quarantined"), lit(false)))
+        // pin the (few) quarantined rows so the epoch scan + text
+        // re-attachment run once across resolved/still/count
         val withText = quar
           .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
           .join(history.select(col("doc_id"), col("text")),
             Seq("doc_id"), "left")
+          .localCheckpoint()
         // the sink's doc-channel law, re-applied: eval docs dropped,
-        // still-missing text stays quarantined
+        // still-missing text stays quarantined (storeRows' null-text law)
         val resolved = withText.filter(col("text").isNotNull)
           .filter(!evalPred)
         val still = withText.filter(col("text").isNull)
@@ -448,22 +485,23 @@ object PretrainStream {
           .withColumn("contaminated", lit(true))
         val cols = Seq("doc_id", "source", "n_tokens", "ttr",
           "quarantined", "ckey", "ord", "contaminated").map(col)
-        def rowsOf(df: DataFrame, quarantined: Boolean) = df
-          .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
-            lit(quarantined).as("quarantined"),
-            md5(concat(lit("split|"), coalesce(col("text"), lit(""))))
-              .as("ckey"),
-            md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("ord"))
-          .join(cont, Seq("doc_id"), "left")
-          .na.fill(false, Seq("contaminated"))
-          .select(cols: _*)
-        // pin the rewritten epoch BEFORE overwriting the files it reads
         val rewritten = clean.select(cols: _*)
-          .union(rowsOf(resolved, quarantined = false))
-          .union(rowsOf(still, quarantined = true))
-          .localCheckpoint()
+          .union(storeRows(resolved.union(still), cont).select(cols: _*))
+        // crash-safe swap (see scaladoc): tmp + move-aside + rename;
+        // dot-prefixed siblings are invisible to the store's readers
+        val tmp = new Path(s"$storeRoot/.redrive_tmp_epoch=$e")
+        val old = new Path(s"$storeRoot/.redrive_old_epoch=$e")
+        val target = new Path(s"$storeRoot/epoch=$e")
+        fs.delete(tmp, true)
+        rewritten.write.mode("overwrite").parquet(tmp.toString)
         redriven += resolved.count()
-        rewritten.write.mode("overwrite").parquet(s"$storeRoot/epoch=$e")
+        fs.delete(old, true)
+        if (!fs.rename(target, old))
+          sys.error(s"re-drive: move-aside rename failed for epoch $e")
+        if (!fs.rename(tmp, target))
+          sys.error(s"re-drive: rename into place failed for epoch $e " +
+            s"(original preserved at $old)")
+        fs.delete(old, true)
       }
       redriven
     } finally { evalGrams.unpersist(false); () }

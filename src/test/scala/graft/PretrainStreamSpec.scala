@@ -544,6 +544,23 @@ class PretrainStreamSpec extends AnyFunSuite {
       sortedRows(PretrainStream.q160Output(spark, storeN, labelsN,
         PipelineQueries.Q160Budget)),
       "finalization differs from the never-raced run")
+    // crash-recovery law: the swap's move-aside is the only copy of an
+    // epoch if the crash hit between the two renames — the next call's
+    // recovery sweep must restore it before doing anything else
+    val fs = new org.apache.hadoop.fs.Path(storeR)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = sortedRows(spark.read.parquet(storeR).drop("epoch"))
+    val anEpoch = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storeR/epoch=*")).head.getPath
+    val aside = new org.apache.hadoop.fs.Path(storeR,
+      ".redrive_old_" + anEpoch.getName)
+    assert(fs.rename(anEpoch, aside), "crash simulation rename failed")
+    assert(PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+      s"st18rq:catchup:$storeR", storeR) == 0L)
+    assert(fs.exists(anEpoch) && !fs.exists(aside),
+      "recovery sweep did not restore the moved-aside epoch")
+    assert(sortedRows(spark.read.parquet(storeR).drop("epoch")) == before,
+      "store content changed across crash recovery")
   }
 
   test("a store MIXING pre- and post-quarantine epochs reads both " +
