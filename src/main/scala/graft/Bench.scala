@@ -256,8 +256,17 @@ object Bench {
         }
       val base = (1 to runs).map(_ => timed())
       def best(ts: Seq[Timed]) = ts.map(_.sec).min
+      // the ≥5-run tier is UNIFORM (r17 verdict task 4): it used to
+      // cover only mins >0.5 s, and five sub-second queries then
+      // flagged >15% "regressions" in untouched code purely from
+      // min-of-3 jitter (q62's first run measured 6.7× its min; q110's
+      // cold run 40×) — run variance on the small queries exceeds the
+      // min itself, so a 3-run tier makes the ±15% drift band
+      // meaningless exactly where it fires most. Extending every query
+      // costs ~2 extra sub-second runs each; SPARK_GRAFT_BENCH_RUNS<3
+      // remains the local quick-iteration escape (no extension at all).
       val extended =
-        if (best(base) > 0.5 && best(base) != Double.MaxValue)
+        if (runs >= 3 && best(base) != Double.MaxValue)
           base ++ ((runs + 1) to heavyRuns).map(_ => timed())
         else base
       // drift-triggered auto-rerun: a min >20% above the last committed

@@ -4273,20 +4273,37 @@ object PipelineQueries {
     * see the naming comment at the staging site. */
   private val edgeBaseSeq = new java.util.concurrent.atomic.AtomicLong
 
-  /** Delete `graft_q160_edgebase_<md5>_p<pid>_<seq>` warehouse dirs
-    * whose owning pid is dead — crash leftovers (the owner's finally
-    * never ran). Deliberately local-FS-only, same argument as
-    * [[sweepDeadIndexDirs]]: pid liveness is only meaningful for THIS
-    * host's processes, so on a shared warehouse the sweep degrades to a
-    * no-op and retention belongs to the deployment. Best-effort.
+  /** This host's token in staging-table names — lowercase alnum only
+    * (table identifiers), bounded. Pid liveness is only meaningful for
+    * processes of THIS host, so the sweep below matches on it: on an
+    * NFS-class warehouse that java.io.File can list but other HOSTS
+    * also write, a dead-here pid can belong to another host's LIVE run
+    * (r17 ADVICE) — host-scoping makes the sweep safe there instead of
+    * merely no-op on remote schemes.
+    */
+  private lazy val edgeBaseHostToken: String =
+    (try java.net.InetAddress.getLocalHost.getHostName
+     catch { case _: Throwable => "unknown" })
+      .toLowerCase.replaceAll("[^a-z0-9]", "").take(32) match {
+      case "" => "unknown"
+      case h => h
+    }
+
+  /** Delete `graft_q160_edgebase_<md5>_h<host>_p<pid>_<seq>` warehouse
+    * dirs whose owning pid is dead AND whose host token is THIS host —
+    * crash leftovers (the owner's finally never ran). Deliberately
+    * local-FS-only, same argument as [[sweepDeadIndexDirs]]: on a
+    * remote-scheme warehouse the listing degrades to a no-op and
+    * retention belongs to the deployment. Best-effort.
     */
   private def sweepDeadEdgeBaseDirs(s: SparkSession): Unit =
     try {
       val dirs = new java.io.File(s.conf.get("spark.sql.warehouse.dir"))
         .listFiles()
       if (dirs != null) dirs.foreach { f =>
-        val m = "^graft_q160_edgebase_[0-9a-f]{32}_p(\\d+)_\\d+$".r
-          .findFirstMatchIn(f.getName)
+        val m = ("^graft_q160_edgebase_[0-9a-f]{32}_h" +
+          java.util.regex.Pattern.quote(edgeBaseHostToken) +
+          "_p(\\d+)_\\d+$").r.findFirstMatchIn(f.getName)
         val dead = m.exists { mm =>
           val pid = mm.group(1).toLong
           val h = ProcessHandle.of(pid)
@@ -4399,16 +4416,20 @@ object PipelineQueries {
           val tbl = "graft_q160_edgebase_" + java.security.MessageDigest
             .getInstance("MD5").digest(s"$d:$evalPred".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString +
-            s"_p${ProcessHandle.current().pid()}_${edgeBaseSeq.incrementAndGet()}"
+            s"_h${edgeBaseHostToken}_p${ProcessHandle.current().pid()}" +
+            s"_${edgeBaseSeq.incrementAndGet()}"
           stagedTbl = Some(tbl)
-          // the per-invocation token makes the name fresh, so the only
-          // possible blocker is a DEAD process's orphaned warehouse dir
-          // (its crash skipped the finally; a fresh metastore doesn't
-          // know the table, but the LOCATION blocks a managed-table
-          // create) — sweep those, local-FS-only like
-          // [[sweepDeadIndexDirs]] (pid liveness means nothing for
-          // other hosts' dirs on a shared warehouse)
+          // the per-invocation (host, pid, seq) token makes the name
+          // fresh among LIVE writers, so the only possible blocker is a
+          // crashed process's orphaned warehouse dir (its crash skipped
+          // the finally; a fresh metastore doesn't know the table, but
+          // the LOCATION blocks a managed-table create) — sweep this
+          // host's dead-pid dirs, then drop THIS name unconditionally:
+          // the sweep alone cannot cover an OS-recycled pid whose new
+          // JVM restarts the seq at 1 and collides exactly with the
+          // orphan (r17 ADVICE); dropStaged is idempotent and cheap
           sweepDeadEdgeBaseDirs(s)
+          dropStaged(tbl)
           edgeBase(d1).write.mode("overwrite").format("parquet")
             .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tbl)
           // parquet erases the shingle array's containsNull=false, which

@@ -378,6 +378,18 @@ object DocsStream {
     * with the stress harness's part-census bound. */
   private[graft] val DefaultCompactEvery = 16
 
+  /** Backslash-escape Hadoop glob metacharacters (`* ? [ ] { }` and
+    * the escape character itself) so a literal PATH PREFIX can be
+    * spliced into a `globStatus` pattern. A root directory containing
+    * any of these (legal in every filesystem, and accepted by the old
+    * `java.io.File` listing) would otherwise be interpreted as a
+    * pattern and silently match nothing — for the label store that is
+    * the exact silent-under-dedup failure [[labelPartEpochs]] exists
+    * to prevent.
+    */
+  private[graft] def globEscape(s: String): String =
+    s.replaceAll("([\\\\*?\\[\\]{}])", "\\\\$1")
+
   /** Epochs present under `labelsRoot/sub`. Directory existence is NOT
     * commit: a crashed overwrite leaves a partial dir, and treating it
     * as committed would let the compaction prune delete the deltas it
@@ -400,8 +412,10 @@ object DocsStream {
     // RPC per epoch dir: this listing runs up to ~5× per committed
     // epoch (labelParts + maybeCompact), and on an object store the
     // N+1 form would pay hundreds of sequential per-object latencies
-    // per micro-batch once epochs accumulate
-    val pat = new Path(s"$labelsRoot/$sub/epoch=*/_SUCCESS")
+    // per micro-batch once epochs accumulate. The root/sub prefix is a
+    // LITERAL path, so its glob metacharacters are escaped — only the
+    // trailing `epoch=*` is a pattern.
+    val pat = new Path(globEscape(s"$labelsRoot/$sub") + "/epoch=*/_SUCCESS")
     val fs = pat.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats =
       try Option(fs.globStatus(pat)).getOrElse(Array.empty[FileStatus])
@@ -418,7 +432,11 @@ object DocsStream {
 
   /** The (doc_id, rep) parts that constitute the labeling as of (but
     * excluding) `beforeEpoch`: the newest base snapshot plus every delta
-    * after it. `Long.MaxValue` reads the current labeling.
+    * after it. `Long.MaxValue` reads the current labeling. The returned
+    * paths are READ paths and come pre-escaped: Spark's DataSource
+    * glob-interprets every read path, so a root containing `[]{}`
+    * would otherwise resolve to nothing (or the wrong directory) at
+    * `spark.read` time even after the listing itself was fixed.
     */
   private def labelParts(spark: SparkSession, labelsRoot: String,
       beforeEpoch: Long): Seq[String] = {
@@ -426,8 +444,8 @@ object DocsStream {
       .filter(_ < beforeEpoch).sorted.lastOption
     val deltas = labelPartEpochs(spark, labelsRoot, "delta")
       .filter(e => e < beforeEpoch && baseEpoch.forall(_ < e)).sorted
-    baseEpoch.map(e => s"$labelsRoot/base/epoch=$e").toSeq ++
-      deltas.map(e => s"$labelsRoot/delta/epoch=$e")
+    baseEpoch.map(e => globEscape(s"$labelsRoot/base/epoch=$e")).toSeq ++
+      deltas.map(e => globEscape(s"$labelsRoot/delta/epoch=$e"))
   }
 
   /** `foreachBatch` sink maintaining a near-dup CLUSTER LABELING across
@@ -621,8 +639,11 @@ object DocsStream {
       .filter(e => e < beforeEpoch && baseEpoch.forall(_ < e)).sorted
     if (compactEvery > 0 && deltas.size >= compactEvery) {
       val m = deltas.last
-      val parts = baseEpoch.map(e => s"$labelsRoot/base/epoch=$e").toSeq ++
-        deltas.map(e => s"$labelsRoot/delta/epoch=$e")
+      // read paths are glob-interpreted by Spark — escape the literal
+      // prefix (see labelParts)
+      val parts =
+        baseEpoch.map(e => globEscape(s"$labelsRoot/base/epoch=$e")).toSeq ++
+        deltas.map(e => globEscape(s"$labelsRoot/delta/epoch=$e"))
       spark.read.parquet(parts: _*)
         .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
         .write.mode("overwrite").parquet(s"$labelsRoot/base/epoch=$m")

@@ -412,18 +412,45 @@ object PretrainStream {
     * each epoch holding quarantined rows, re-run the SAME sink law over
     * exactly those rows — text re-attached from `history`, bloom-pruned
     * exact decontamination against the same eval-gram inventory, the
-    * same [[storeRows]] projection — and REPLACE the epoch via
-    * write-to-temp + move-aside + rename: unlike the sink's epochs
-    * (replay re-derives them from upstream state), these files are the
-    * ONLY source of the epoch's clean rows, so an in-place overwrite
-    * that crashed mid-write would lose them permanently. At every crash
-    * point either the target or the `.redrive_old_epoch=N` move-aside
-    * holds the complete original; the next call's recovery sweep
-    * restores it and the deterministic law replays identically. Rows
-    * whose text is STILL missing stay quarantined; rows that resolve to
-    * eval-suite docs are dropped (the sink's batch stage-3 law). After
-    * a re-drive that finds all texts, finalization over the store
-    * equals the never-raced run bit-for-bit (spec ST18rq). Returns the
+    * same [[storeRows]] projection — and SUPERSEDE the epoch with a
+    * marker-committed VERSIONED SIBLING (`.redrive_v<k>_epoch=N`,
+    * dot-prefixed so partition discovery never sees it). Unlike the
+    * sink's epochs (replay re-derives them from upstream state), these
+    * files are the ONLY source of the epoch's clean rows, so the
+    * protocol must never have a window where the last complete copy is
+    * deletable:
+    *
+    *  - the rewrite is a fresh directory, committed by the Hadoop
+    *    committer's `_SUCCESS` marker landing LAST (the
+    *    [[DocsStream.labelPartEpochs]] discipline) — a crash mid-write
+    *    leaves an UNCOMMITTED dir that [[readStore]] simply ignores;
+    *  - superseded versions are deleted only AFTER the new marker is
+    *    observed on the filesystem;
+    *  - the base `epoch=N` dir is RETAINED (shadowed by the committed
+    *    version) — it is the streaming sink's replay target, which a
+    *    restarted query may lawfully rewrite at any time, so the
+    *    version layer must out-rank it permanently rather than delete
+    *    it once.
+    *
+    * No step relies on `FileSystem.rename` atomicity, so the guarantee
+    * holds on object stores (`s3a://`) exactly as on HDFS/local — the
+    * defect class the r17 two-rename swap had (a crash mid-rename left
+    * a partial target, and its recovery sweep then deleted the complete
+    * move-aside). The only filesystem contract assumed is the one the
+    * whole store already depends on: the committer writes data files
+    * before the `_SUCCESS` marker (`marksuccessfuljobs` must stay on).
+    * Single concurrent re-driver per store (a maintenance op, not a
+    * serving path); an uncommitted crash leftover NUMBERED ABOVE the
+    * latest committed version is left in place (indistinguishable from
+    * an in-flight writer) — it is invisible garbage, and the next
+    * re-drive of that epoch numbers strictly past it.
+    *
+    * Rows whose text is STILL missing stay quarantined; rows that
+    * resolve to eval-suite docs are dropped (the sink's batch stage-3
+    * law). After a re-drive that finds all texts, finalization over the
+    * store equals the never-raced run bit-for-bit (spec ST18rq, which
+    * also walks the crash matrix: uncommitted version ignored, committed
+    * version shadows, prune only after a newer marker). Returns the
     * number of rows re-driven clean.
     *
     * Scale shape: one partition-pruned scan per AFFECTED epoch (the
@@ -438,11 +465,15 @@ object PretrainStream {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover a crashed prior re-drive: a move-aside without its target
-    // means the crash hit between the two renames — restore the
-    // original; with the target present it is covered garbage — drop it
+    // legacy (pre-marker, r17 rename-swap) leftovers: an aside without
+    // its target means that protocol crashed between its two renames —
+    // restore the original. An aside ALONGSIDE a target is that
+    // protocol's post-commit garbage on the atomic-rename filesystems
+    // it was safe on — covered, dropped. (The marker protocol never
+    // creates these names.)
     val asides =
-      try Option(fs.globStatus(new Path(s"$storeRoot/.redrive_old_epoch=*")))
+      try Option(fs.globStatus(new Path(
+          DocsStream.globEscape(storeRoot) + "/.redrive_old_epoch=*")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       catch { case _: java.io.FileNotFoundException =>
         Array.empty[org.apache.hadoop.fs.FileStatus] }
@@ -452,17 +483,37 @@ object PretrainStream {
       if (!fs.exists(target)) fs.rename(st.getPath, target)
       else fs.delete(st.getPath, true)
     }
+    // prune versions a COMMITTED newer version already covers (crash
+    // leftovers from a prior call that died between commit and prune) —
+    // the only deletes in the protocol, both gated on an observed marker
+    locally {
+      val all = redriveVersionDirs(spark, storeRoot)
+      all.groupBy(_._1).foreach { case (_, vs) =>
+        val committed = vs.filter(_._4)
+        if (committed.nonEmpty) {
+          val hi = committed.map(_._2).max
+          vs.filter(_._2 < hi).foreach(v => fs.delete(v._3, true))
+        }
+      }
+    }
     val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
       .select(col("g")).distinct().cache()
     try {
       val bloom = PipelineQueries.trainEvalBloom(bloomKey, evalGrams)
       val epochs = readStore(spark, storeRoot).filter(col("quarantined"))
-        .select(col("epoch").cast("long")).distinct().collect()
+        .select(col("epoch")).distinct().collect()
         .map(_.getLong(0)).sorted
       var redriven = 0L
       epochs.foreach { e =>
+        // current content of the epoch: its latest committed version,
+        // else the base dir — the same choice readStore makes
+        val versions = redriveVersionDirs(spark, storeRoot, Some(e))
+        val currDir = versions.filter(_._4).sortBy(_._2).lastOption
+          .map(_._3.toString).getOrElse(s"$storeRoot/epoch=$e")
+        // read paths are glob-interpreted by Spark's DataSource —
+        // escape the literal path (identity on metachar-free roots)
         val part0 = spark.read.option("mergeSchema", "true")
-          .parquet(s"$storeRoot/epoch=$e")
+          .parquet(DocsStream.globEscape(currDir))
         val part = if (part0.columns.contains("quarantined")) part0
           else part0.withColumn("quarantined", lit(false))
         val quar = part.filter(coalesce(col("quarantined"), lit(false)))
@@ -487,42 +538,115 @@ object PretrainStream {
           "quarantined", "ckey", "ord", "contaminated").map(col)
         val rewritten = clean.select(cols: _*)
           .union(storeRows(resolved.union(still), cont).select(cols: _*))
-        // crash-safe swap (see scaladoc): tmp + move-aside + rename;
-        // dot-prefixed siblings are invisible to the store's readers
-        val tmp = new Path(s"$storeRoot/.redrive_tmp_epoch=$e")
-        val old = new Path(s"$storeRoot/.redrive_old_epoch=$e")
-        val target = new Path(s"$storeRoot/epoch=$e")
-        fs.delete(tmp, true)
-        rewritten.write.mode("overwrite").parquet(tmp.toString)
+        // commit the rewrite as the next version — numbered strictly
+        // past EVERY existing dir (committed or not, so a crash
+        // leftover can never be resurrected by name collision)
+        val k = (0L +: versions.map(_._2)).max + 1
+        val vdir = new Path(s"$storeRoot/.redrive_v${k}_epoch=$e")
+        rewritten.write.mode("overwrite").parquet(vdir.toString)
+        val marker = new Path(vdir, "_SUCCESS")
+        if (!fs.exists(marker))
+          sys.error(s"re-drive: $vdir committed without a _SUCCESS marker " +
+            "— the store's commit protocol requires " +
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
         redriven += resolved.count()
-        fs.delete(old, true)
-        if (!fs.rename(target, old))
-          sys.error(s"re-drive: move-aside rename failed for epoch $e")
-        if (!fs.rename(tmp, target))
-          sys.error(s"re-drive: rename into place failed for epoch $e " +
-            s"(original preserved at $old)")
-        fs.delete(old, true)
+        // prune superseded versions only now, AFTER the marker landed;
+        // the base epoch dir stays (see scaladoc: it is the sink's
+        // replay target, permanently shadowed by the committed version)
+        versions.filter(_._2 < k).foreach(v => fs.delete(v._3, true))
       }
       redriven
     } finally { evalGrams.unpersist(false); () }
   }
 
-  /** The signal store with a total `quarantined` column regardless of
-    * epoch vintage. `mergeSchema` is load-bearing, not a nicety: a store
-    * MIXING pre- and post-quarantine epochs would otherwise take one
-    * file's schema by lottery — old-schema wins and new epochs'
-    * quarantined rows leak into sig3 as clean, or new-schema wins and
-    * every pre-upgrade row reads `quarantined = null` (which `!flag`
-    * silently drops). Merged, old rows read null → coalesced to false
-    * (they all had text at sink time — vacuously clean), new rows keep
-    * their flag.
+  /** Re-drive version dirs under `storeRoot`, optionally for one epoch:
+    * (epoch, version, path, committed) — committed = the dir carries
+    * the committer's `_SUCCESS` marker. One `globStatus` round-trip for
+    * the dirs plus one for the markers (not one `exists` RPC per dir).
     */
-  private def readStore(spark: SparkSession, storeRoot: String): DataFrame = {
-    val store0 = spark.read.option("mergeSchema", "true").parquet(storeRoot)
-    if (store0.columns.contains("quarantined"))
-      store0.withColumn("quarantined",
-        coalesce(col("quarantined"), lit(false)))
-    else store0.withColumn("quarantined", lit(false))
+  private def redriveVersionDirs(spark: SparkSession, storeRoot: String,
+      epoch: Option[Long] = None)
+      : Seq[(Long, Long, org.apache.hadoop.fs.Path, Boolean)] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val epochPat = epoch.map(_.toString).getOrElse("*")
+    val pat = new Path(DocsStream.globEscape(storeRoot) +
+      s"/.redrive_v*_epoch=$epochPat")
+    val fs = pat.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def glob(p: Path): Seq[FileStatus] =
+      try Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus]).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val name = "^\\.redrive_v(\\d+)_epoch=(\\d+)$".r
+    val committed = glob(new Path(pat, "_SUCCESS"))
+      .map(_.getPath.getParent.toUri.getPath).toSet
+    glob(pat).flatMap { st =>
+      name.findFirstMatchIn(st.getPath.getName).map { m =>
+        (m.group(2).toLong, m.group(1).toLong, st.getPath,
+          committed.contains(st.getPath.toUri.getPath))
+      }
+    }
+  }
+
+  /** The signal store — every epoch's CURRENT content with a total
+    * `quarantined` column regardless of epoch vintage. This reader is
+    * version-aware: an epoch superseded by a committed re-drive version
+    * ([[redriveQuarantined]]) is read from that version, never from the
+    * (retained, stale) base `epoch=N` dir — a plain
+    * `spark.read.parquet(storeRoot)` of a re-driven store would read
+    * rows the re-drive already resolved, so tooling should come through
+    * here (or [[storeSig3]]/[[storeQuarantined]], which do).
+    *
+    * `mergeSchema` is load-bearing, not a nicety: a store MIXING pre-
+    * and post-quarantine epochs would otherwise take one file's schema
+    * by lottery — old-schema wins and new epochs' quarantined rows leak
+    * into sig3 as clean, or new-schema wins and every pre-upgrade row
+    * reads `quarantined = null` (which `!flag` silently drops). Merged,
+    * old rows read null → coalesced to false (they all had text at sink
+    * time — vacuously clean), new rows keep their flag.
+    *
+    * Plan shape: ONE multi-path parquet relation over all un-superseded
+    * base epochs (partition column preserved via `basePath`) plus one
+    * small scan per re-driven epoch — re-drives are rare maintenance
+    * events, so planning stays O(1 + re-driven epochs), not O(epochs).
+    */
+  private[graft] def readStore(spark: SparkSession,
+      storeRoot: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    def normalize(df: DataFrame): DataFrame = {
+      val q = if (df.columns.contains("quarantined"))
+        coalesce(col("quarantined"), lit(false))
+      else lit(false)
+      df.select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"),
+        col("ckey"), col("ord"), col("contaminated"), q.as("quarantined"),
+        col("epoch").cast("long").as("epoch"))
+    }
+    val latest = redriveVersionDirs(spark, storeRoot).filter(_._4)
+      .groupBy(_._1).map { case (e, vs) => e -> vs.maxBy(_._2)._3 }
+    val basePat = new Path(DocsStream.globEscape(storeRoot) + "/epoch=*")
+    val fs = basePat.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseDirs =
+      (try Option(fs.globStatus(basePat)).getOrElse(Array.empty[FileStatus])
+       catch { case _: java.io.FileNotFoundException =>
+         Array.empty[FileStatus] })
+        .filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName.stripPrefix("epoch=").toLongOption
+          .map(_ -> st.getPath)).toMap
+    // read paths are glob-interpreted by Spark's DataSource — escape
+    // the literal paths (identity on metachar-free roots); basePath is
+    // taken literally and stays raw
+    val plain = (baseDirs.keySet -- latest.keySet).toSeq.sorted
+      .map(e => DocsStream.globEscape(baseDirs(e).toString))
+    val frames =
+      (if (plain.isEmpty) Seq.empty
+       else Seq(normalize(spark.read.option("mergeSchema", "true")
+         .option("basePath", storeRoot).parquet(plain: _*)))) ++
+      latest.toSeq.sortBy(_._1).map { case (e, p) =>
+        normalize(spark.read.option("mergeSchema", "true")
+          .parquet(DocsStream.globEscape(p.toString))
+          .withColumn("epoch", lit(e)))
+      }
+    if (frames.isEmpty)
+      sys.error(s"readStore: no committed epochs under $storeRoot")
+    frames.reduce(_.union(_))
   }
 
   /** Finalization: the materialization job over the accumulated store —

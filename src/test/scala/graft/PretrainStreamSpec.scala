@@ -534,22 +534,122 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
       s"st18rq:catchup:$storeR", storeR) == 0L)
     // NEVER-RACED twin: the table had both docs from the start —
-    // store contents and finalization must match bit-for-bit
+    // store contents and finalization must match bit-for-bit (through
+    // the version-aware reader: the re-driven epoch's base dir is
+    // retained stale BY DESIGN, shadowed by the committed version)
     val (storeN, labelsN) = run(caughtUp, "neverraced")
-    assert(sortedRows(spark.read.parquet(storeR).drop("epoch")) ==
-      sortedRows(spark.read.parquet(storeN).drop("epoch")),
+    assert(sortedRows(PretrainStream.readStore(spark, storeR).drop("epoch")) ==
+      sortedRows(PretrainStream.readStore(spark, storeN).drop("epoch")),
       "re-driven store != never-raced store")
     assert(sortedRows(PretrainStream.q160Output(spark, storeR, labelsR,
         PipelineQueries.Q160Budget)) ==
       sortedRows(PretrainStream.q160Output(spark, storeN, labelsN,
         PipelineQueries.Q160Budget)),
       "finalization differs from the never-raced run")
-    // crash-recovery law: the swap's move-aside is the only copy of an
-    // epoch if the crash hit between the two renames — the next call's
-    // recovery sweep must restore it before doing anything else
+    // the marker-commit layout (r17 verdict task 1): the re-drive's
+    // rewrite lives in a `_SUCCESS`-committed versioned sibling that
+    // SHADOWS the base epoch dir; the base is RETAINED (it is the
+    // sink's replay target) and still carries the stale quarantined
+    // row when read directly — the version-aware reader must never
+    // show it
     val fs = new org.apache.hadoop.fs.Path(storeR)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = sortedRows(spark.read.parquet(storeR).drop("epoch"))
+    val vdirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storeR/.redrive_v*_epoch=*"))
+    assert(vdirs.length == 1, s"expected one committed re-drive version, " +
+      s"got ${vdirs.map(_.getPath.getName).mkString(",")}")
+    val vEpoch = vdirs.head.getPath.getName.split("epoch=")(1).toLong
+    assert(fs.exists(new org.apache.hadoop.fs.Path(vdirs.head.getPath,
+      "_SUCCESS")), "re-drive version not marker-committed")
+    val baseDir = s"$storeR/epoch=$vEpoch"
+    assert(fs.exists(new org.apache.hadoop.fs.Path(baseDir)),
+      "base epoch dir must be retained (it is the sink's replay target)")
+    assert(spark.read.option("mergeSchema", "true").parquet(baseDir)
+      .filter(col("quarantined")).count() == 1,
+      "retained base should still hold the stale quarantined row " +
+        "(shadowed, never rewritten in place)")
+
+    // crash matrix — no crash point leaves the last complete copy
+    // deletable, and no recovery path deletes it:
+    // (a) a crash MID-WRITE (what a non-atomic object-store commit
+    // leaves) = a version dir WITHOUT its marker: invisible to the
+    // reader, redrive is still a no-op, nothing is deleted
+    val before = sortedRows(PretrainStream.readStore(spark, storeR)
+      .drop("epoch"))
+    val uncommitted = new org.apache.hadoop.fs.Path(
+      s"$storeR/.redrive_v9_epoch=$vEpoch")
+    spark.read.parquet(vdirs.head.getPath.toString)
+      .limit(0).write.parquet(uncommitted.toString)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(uncommitted, "_SUCCESS"),
+      false), "crash simulation: could not remove the marker")
+    assert(sortedRows(PretrainStream.readStore(spark, storeR)
+      .drop("epoch")) == before,
+      "uncommitted version leaked into the reader")
+    assert(PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+      s"st18rq:catchup:$storeR", storeR) == 0L)
+    assert(fs.exists(vdirs.head.getPath),
+      "recovery deleted the committed version — the last complete copy")
+    assert(fs.exists(uncommitted), "an uncommitted leftover ABOVE the " +
+      "committed version must be left alone (indistinguishable from an " +
+      "in-flight writer); numbering skips past it instead")
+    // (b) a later re-drive numbers strictly PAST every existing dir and
+    // prunes superseded versions only after its own marker lands: force
+    // one by re-quarantining the store's current content via a fresh
+    // raced epoch... cheaper: re-mark doc 2 quarantined in a new
+    // version-committed rewrite is exactly what a redrive against a
+    // STILL-lagging table produces — so regress the table and re-drive
+    val nStill = PretrainStream.redriveQuarantined(spark, frame(1L -> tA),
+      evalPred, s"st18rq:lagging:$storeR", storeR)
+    // current content has no quarantined rows → no epoch selected, so
+    // force the two-generation path from the quarantined state instead:
+    // rebuild a raced store and walk redrive → crash-leftover → redrive
+    assert(nStill == 0L, "no epoch should re-drive when none quarantined")
+    val (storeG, _) = run(frame(1L -> tA), "gen2")
+    assert(ids(PretrainStream.storeQuarantined(spark, storeG)) == Set(2L))
+    val fsG = new org.apache.hadoop.fs.Path(storeG)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // first re-drive against the STILL-lagging table: writes a
+    // committed v1 whose doc 2 stays quarantined (storeRows' null-text
+    // law re-applied), 0 rows re-driven clean
+    assert(PretrainStream.redriveQuarantined(spark, frame(1L -> tA),
+      evalPred, s"st18rq:gen2a:$storeG", storeG) == 0L)
+    val v1 = fsG.globStatus(new org.apache.hadoop.fs.Path(
+      s"$storeG/.redrive_v*_epoch=*"))
+    assert(v1.length == 1 && v1.head.getPath.getName.startsWith(".redrive_v1_"),
+      s"expected a committed v1, got ${v1.map(_.getPath.getName).mkString(",")}")
+    assert(ids(PretrainStream.storeQuarantined(spark, storeG)) == Set(2L),
+      "still-lagging re-drive must keep doc 2 quarantined")
+    // second re-drive, table caught up: numbers past v1, commits v2,
+    // and only THEN prunes v1 — the epoch is never uncovered
+    assert(PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+      s"st18rq:gen2b:$storeG", storeG) == 1L)
+    val v2 = fsG.globStatus(new org.apache.hadoop.fs.Path(
+      s"$storeG/.redrive_v*_epoch=*"))
+    assert(v2.length == 1 && v2.head.getPath.getName.startsWith(".redrive_v2_"),
+      s"expected v1 pruned + committed v2, got " +
+        v2.map(_.getPath.getName).mkString(","))
+    assert(ids(PretrainStream.storeQuarantined(spark, storeG)).isEmpty)
+    // (c) a crash AFTER commit, BEFORE prune = two committed versions:
+    // the reader picks the higher; the next call's sweep prunes the
+    // superseded one (both deletes in the protocol are marker-gated)
+    val resurrect = new org.apache.hadoop.fs.Path(
+      s"$storeG/.redrive_v1_epoch=" + v2.head.getPath.getName
+        .split("epoch=")(1))
+    spark.read.parquet(v2.head.getPath.toString)
+      .withColumn("quarantined", lit(true))
+      .write.parquet(resurrect.toString)
+    assert(ids(PretrainStream.storeQuarantined(spark, storeG)).isEmpty,
+      "reader must prefer the higher committed version")
+    assert(PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+      s"st18rq:gen2c:$storeG", storeG) == 0L)
+    assert(!fsG.exists(resurrect),
+      "start-of-call sweep should prune a committed-superseded version")
+    assert(fsG.exists(v2.head.getPath),
+      "sweep deleted the highest committed version")
+
+    // legacy (r17 rename-swap) leftover: an aside without its target is
+    // restored — the one crash point that protocol could leave on the
+    // atomic-rename filesystems it was safe on
     val anEpoch = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$storeR/epoch=*")).head.getPath
     val aside = new org.apache.hadoop.fs.Path(storeR,
@@ -559,7 +659,8 @@ class PretrainStreamSpec extends AnyFunSuite {
       s"st18rq:catchup:$storeR", storeR) == 0L)
     assert(fs.exists(anEpoch) && !fs.exists(aside),
       "recovery sweep did not restore the moved-aside epoch")
-    assert(sortedRows(spark.read.parquet(storeR).drop("epoch")) == before,
+    assert(sortedRows(PretrainStream.readStore(spark, storeR)
+      .drop("epoch")) == before,
       "store content changed across crash recovery")
   }
 
@@ -597,5 +698,111 @@ class PretrainStreamSpec extends AnyFunSuite {
 
   test("ST18e parity holds under the RocksDB state store (ST18er)") {
     edgeChannelCase(Some(RocksDb), "rocksdb")
+  }
+
+  test("pretrain SIGNAL store on a non-default-scheme root: sink, " +
+      "quarantine, re-drive, version reads and finalization all resolve " +
+      "through the Hadoop FS API; bit-parity with the local run (ST18f)") {
+    // the label store's ST13f portability law, driven through the
+    // PRETRAIN store's direct FS seams (r17 verdict task 5): the
+    // re-drive's version listing/commit-probe/prune, readStore's
+    // base-vs-version resolution, and the epoch writes themselves run
+    // against a root that only the Hadoop FileSystem API can see — a
+    // java.io.File probe (or an unescaped local-only listing) would
+    // silently see nothing, exactly the r16 label-store defect class.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val sparkS = spark
+    import sparkS.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    def frame(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val streamed = frame(1L -> tA, 2L -> tB)
+    val lagging = frame(1L -> tA)
+    val caughtUp = frame(1L -> tA, 2L -> tB)
+    val evalPred = col("doc_id") % 10 === 7
+    def drive(rootify: String => String, tag: String): (String, String) = {
+      val sd = java.nio.file.Files.createTempDirectory(s"st18f-$tag")
+      streamed.coalesce(1).write.mode("overwrite").parquet(sd.toString)
+      val labelsRoot = rootify(java.nio.file.Files
+        .createTempDirectory(s"st18f-$tag-labels").toString)
+      val storeRoot = rootify(java.nio.file.Files
+        .createTempDirectory(s"st18f-$tag-store").toString)
+      val sinkH = PretrainStream.sink(lagging, evalPred,
+        s"st18f:$tag:$storeRoot", labelsRoot, storeRoot)
+      val q = PretrainStream
+        .signals(DocsStream.readStream(spark, sd.toString), lagging)
+        .writeStream
+        .foreachBatch((b: DataFrame, e: Long) => sinkH.fn(b, e))
+        .start()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      q.stop()
+      sinkH.release()
+      (storeRoot, labelsRoot)
+    }
+    def redriven(storeRoot: String, tag: String): Long =
+      PretrainStream.redriveQuarantined(spark, caughtUp, evalPred,
+        s"st18f:redrive:$tag:$storeRoot", storeRoot)
+    val (storeS, labelsS) = drive(p => s"graftfs://$p", "scheme")
+    // the raced quarantine must be VISIBLE through the scheme root
+    assert(ids(PretrainStream.storeQuarantined(spark, storeS)) == Set(2L),
+      "quarantine surface empty on the scheme root — an FS seam fell " +
+        "back to local semantics")
+    assert(redriven(storeS, "scheme") == 1L)
+    assert(ids(PretrainStream.storeQuarantined(spark, storeS)).isEmpty)
+    // the committed version must live under the SCHEME filesystem
+    val fsS = new org.apache.hadoop.fs.Path(storeS)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsS.getUri.getScheme == "graftfs")
+    val vs = fsS.globStatus(new org.apache.hadoop.fs.Path(
+      s"$storeS/.redrive_v*_epoch=*"))
+    assert(vs.length == 1 && fsS.exists(new org.apache.hadoop.fs.Path(
+      vs.head.getPath, "_SUCCESS")),
+      s"no marker-committed version on the scheme root: " +
+        vs.map(_.getPath.getName).mkString(","))
+    // local twin through the identical flow — store rows and the full
+    // finalization must match bit-for-bit
+    val (storeL, labelsL) = drive(identity, "local")
+    assert(redriven(storeL, "local") == 1L)
+    assert(sortedRows(PretrainStream.readStore(spark, storeS)
+        .drop("epoch")) ==
+      sortedRows(PretrainStream.readStore(spark, storeL).drop("epoch")),
+      "scheme-rooted store != local store after re-drive")
+    assert(sortedRows(PretrainStream.q160Output(spark, storeS, labelsS,
+        PipelineQueries.Q160Budget)) ==
+      sortedRows(PretrainStream.q160Output(spark, storeL, labelsL,
+        PipelineQueries.Q160Budget)),
+      "scheme-rooted finalization != local finalization")
+  }
+
+  test("labelPartEpochs and the store listings survive glob " +
+      "metacharacters in the root path (ST18g)") {
+    // fs.globStatus interprets `{}[]*?` in the ROOT prefix as pattern
+    // syntax — a root containing them (legal on every filesystem, and
+    // accepted by the old java.io.File listing) would silently list
+    // ZERO committed parts: every epoch takes the empty-parts branch
+    // and latestLabels returns None, the exact silent-under-dedup
+    // failure the Hadoop-FS listing was built to prevent (r17 ADVICE).
+    val root = java.nio.file.Files
+      .createTempDirectory("st18g-[v1]{a,b}").toString
+    val epoch = java.nio.file.Paths.get(root, "delta", "epoch=0")
+    java.nio.file.Files.createDirectories(epoch)
+    java.nio.file.Files.createFile(epoch.resolve("_SUCCESS"))
+    assert(DocsStream.labelPartEpochs(spark, root, "delta") == Seq(0L),
+      "metacharacter root listed no committed epochs")
+    // the store side: base epochs + versions resolve under the same root
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("st18g-store-[x]").toString
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq((1L, "src", 10L, 0.9, false, "ck1", "o1", false))
+      .toDF("doc_id", "source", "n_tokens", "ttr", "quarantined", "ckey",
+        "ord", "contaminated")
+      .write.parquet(s"$storeRoot/epoch=0")
+    assert(ids(PretrainStream.readStore(spark, storeRoot)) == Set(1L),
+      "metacharacter store root read no epochs")
   }
 }
