@@ -4255,19 +4255,37 @@ object PipelineQueries {
     * ids are base*factor+r and the raw mod would select "replica r≡7 of
     * EVERY doc" — making every kept doc contaminated by its own replica.
     *
-    * `bucketedEdgeBase` — SHIP RULE (r17, measured): `None` (the
-    * default) auto-gates on the stage-1 survivor count ≥
-    * [[BucketedEdgeBaseAutoMinDocs]]. The staging write is a fixed toll
-    * (one bucket shuffle of the edge payload) that the co-partitioned
-    * verify joins must repay: measured same-day A/Bs put the
-    * single-JVM crossover between 5×10⁵ survivors (LOSES: e2e 24.6 →
-    * 31.3 s at x100; 11.1 → 14.2 s at x10) and 3.3M survivors (WINS:
-    * 72.1 → 69.7 s at x1000, prepare 45.6 → 9.8 s, spill 94.9 MB → 0),
-    * and the win widens when exchanges cross process/network boundaries
-    * (two-executor rig at the same 3.3M: e2e −25%, prepare −82%) — the
-    * 100 TB regime. Explicit `Some(_)` overrides for harness A/Bs.
+    * `bucketedEdgeBase` — SHIP RULE (r17 single-JVM, r18 cross-JVM,
+    * both measured): `None` (the default) auto-gates on the stage-1
+    * survivor count, with a TOPOLOGY-AWARE threshold — ≥
+    * [[BucketedEdgeBaseAutoMinDocs]] when the session runs in ONE JVM
+    * (`local[*]`), ≥ [[BucketedEdgeBaseAutoMinDocsMultiExec]] when real
+    * executors exist. The staging write is a fixed toll (one bucket
+    * shuffle of the edge payload) that the co-partitioned verify joins
+    * must repay, and where the exchanges run decides how fast the
+    * repayment accrues:
+    *
+    *  - single JVM (exchanges are memory-speed): crossover between
+    *    334k survivors (LOSES: e2e 24.6 → 31.3 s at x100) and 3.3M
+    *    (WINS: 72.1 → 69.7 s, prepare 45.6 → 9.8 s, spill → 0) — r17.
+    *  - two-executor rig (exchanges cross process sockets): staging
+    *    WINS already at 334k survivors (e2e 63.7 → 34.3 s, −46%;
+    *    prepare 30.8 → 8.1 s) and still LOSES at 35k (e2e 13.9 →
+    *    17.7 s — the toll has nothing to repay); at 3.3M the knob's
+    *    own term keeps winning (stage-2 staging+prepare 56–64 →
+    *    32.5 s clean; prepare 50.4 → 8.4 s) while e2e is dominated by
+    *    unrelated-stage IO noise on the shared-disk rig — r18,
+    *    consistent with r16's independent −25% e2e at the same size.
+    *    The multi-exec threshold 100k is the log-midpoint of the
+    *    (35k LOSES, 334k WINS) bracket.
+    *
+    * The 100 TB regime is the multi-executor row. Explicit `Some(_)`
+    * overrides for harness A/Bs.
     */
   private[graft] val BucketedEdgeBaseAutoMinDocs = 2000000L
+
+  /** Cross-JVM auto-gate threshold — see [[BucketedEdgeBaseAutoMinDocs]]. */
+  private[graft] val BucketedEdgeBaseAutoMinDocsMultiExec = 100000L
 
   /** Per-invocation token for the ephemeral edge-base staging table —
     * see the naming comment at the staging site. */
@@ -4389,12 +4407,20 @@ object PipelineQueries {
       // auto mode: under the default pinReleasingPrior path (and every
       // harness stageRun in this repo) the s1 manifest is checkpointed,
       // so counting it is one cheap pass over pinned ids — the
-      // threshold is the measured staging-toll crossover (see the
-      // knob's scaladoc). A caller-supplied stageRun that does NOT
-      // materialize pays a second stage-1 aggregation here; such a
-      // caller should pass an explicit Some(_) instead of auto.
+      // threshold is the measured staging-toll crossover for the
+      // session's TOPOLOGY (see the knob's scaladoc: cross-JVM
+      // exchanges repay the staging toll ~20× earlier than in-process
+      // ones). More than one entry in the executor list means real
+      // executor JVMs exist (local[*] reports only the driver). A
+      // caller-supplied stageRun that does NOT materialize pays a
+      // second stage-1 aggregation here; such a caller should pass an
+      // explicit Some(_) instead of auto.
+      val multiExec =
+        s.sparkContext.statusTracker.getExecutorInfos.length > 1
       val useBucketed = bucketedEdgeBase.getOrElse(
-        repAnchoredNearDup && s1.count() >= BucketedEdgeBaseAutoMinDocs)
+        repAnchoredNearDup && s1.count() >= (if (multiExec)
+          BucketedEdgeBaseAutoMinDocsMultiExec
+        else BucketedEdgeBaseAutoMinDocs))
       val edges = if (repAnchoredNearDup) {
         if (useBucketed) {
           // the PageRank writeBucketedEdges discipline applied to the
