@@ -137,26 +137,71 @@ object MinHashSig {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  // reusable 16-byte digest output per thread: MessageDigest.digest()
+  // allocates a fresh array per call, and this kernel calls it
+  // nHashes × shingles times per document
+  private val digestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  // seed prefixes `j + "|"` as pre-encoded ASCII bytes — the digest input
+  // (j + "|" + shingle) is the concatenation of this prefix with the
+  // shingle's UTF-8 byte run, so the per-(shingle, seed) String build +
+  // re-encode of the old form is pure overhead with an identical digest
+  private val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(j => (j.toString + "|").getBytes(StandardCharsets.UTF_8))
+  private def seedPrefix(j: Int): Array[Byte] =
+    if (j < 64) seedPrefixes(j)
+    else (j.toString + "|").getBytes(StandardCharsets.UTF_8)
+
   /** Static entry the generated code calls (Scala emits a static
     * forwarder on the companion class). Returns null for < 3 tokens.
+    *
+    * Operates on the UTF8String's UTF-8 BYTES directly (the
+    * [[ShingleHashSet]] discipline): token boundaries from byte-level
+    * 0x20 scanning equal `String.split(" ", -1)`'s (0x20 can only BE the
+    * space character in UTF-8 — every byte of a multi-byte sequence has
+    * the high bit set), and the byte run from the start of token i to
+    * the end of token i+2 IS the UTF-8 encoding of the space-joined
+    * 3-shingle. The digest therefore equals
+    * `md5(utf8(j + "|" + w_i + " " + w_{i+1} + " " + w_{i+2}))` bit for
+    * bit — the spec-locked oracle contract — while the former
+    * per-(shingle, seed) String concat + getBytes (8 allocations and
+    * UTF-8 encodes of the same shingle per position at nHashes = 8) and
+    * the per-call digest allocation are gone. This projection runs
+    * inside the SCAN stage (one task per parquet row group), so its
+    * constant factor is the edge pipeline's map-side floor.
     */
   def compute(text: UTF8String, nHashes: Int): ArrayData = {
-    // split with limit -1: trailing empty tokens KEPT — the exact
-    // semantics of Spark's split(text, " ")
-    val ws = text.toString.split(" ", -1)
-    if (ws.length < 3) return null
-    val md = digests.get()
-    val mins = Array.fill(nHashes)(Long.MaxValue)
+    val b = text.getBytes
+    val len = b.length
+    var nTok = 1
     var i = 0
-    while (i + 2 < ws.length) {
-      val sh = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+    while (i < len) { if (b(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < 3) return null
+    // starts(j) = byte offset of token j; sentinel starts(nTok) = len + 1
+    // so `starts(i + 3) - 1` uniformly names the end of token i+2
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (b(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTok) = len + 1
+    val md = digests.get()
+    val out = digestBuf.get()
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    val n = nTok - 2
+    i = 0
+    while (i < n) {
+      val from = starts(i)
+      val slen = starts(i + 3) - 1 - from
       var j = 0
       while (j < nHashes) {
         md.reset()
-        val h = md.digest((j.toString + "|" + sh).getBytes(StandardCharsets.UTF_8))
+        md.update(seedPrefix(j))
+        md.update(b, from, slen)
+        md.digest(out, 0, 16)
         // first 8 hex digits == first 4 bytes, read unsigned big-endian
-        val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        val v = ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
+          ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
         if (v < mins(j)) mins(j) = v
         j += 1
       }

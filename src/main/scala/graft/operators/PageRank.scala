@@ -182,12 +182,20 @@ object PageRank {
     // Partitioned by nid = the contribution table's dst hash layout, so
     // the per-round left join back onto the node list is co-partitioned
     // (no exchange on either side).
-    val (nodes, releaseNodes) = pin(
+    // the node-list pin and the graph-order scalar share ONE action: the
+    // count IS the materializing pass on the armed checkpoint (the
+    // Pin.arm discipline the per-round convergence digests already use)
+    // — the former pin-then-count shape ran two jobs over the same rows
+    val (nodes, nodesRdd, releaseNodes) = Pin.arm(
       shares.select(col("src").as("nid")).distinct()
         .repartition(col("nid")), checkpointDir)
-    val n = nodes.count() // driver scalar: graph order, not graph size
-    val (pr, releasePr) = pin(
-      nodes.select(col("nid"), lit(1.0 / n).as("pr")), checkpointDir)
+    val n = nodesRdd.count() // driver scalar: graph order, not graph size
+    // pr₀ is a 2-column LITERAL projection of the pinned node list — a
+    // third checkpoint of it bought nothing (the first round's broadcast
+    // collect re-runs the projection over the pinned blocks for the same
+    // cost as reading a pinned copy); release is the no-op accordingly
+    val pr = nodes.select(col("nid"), lit(1.0 / n).as("pr"))
+    val releasePr = () => ()
     // rank-side join strategy: the rank table is 2 columns × |V| rows —
     // up to ~4M nodes (≈64 MB) broadcasting it makes the share⋈rank
     // join map-side over the PINNED edge blocks (no edge exchange, no

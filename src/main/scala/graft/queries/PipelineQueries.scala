@@ -20,6 +20,46 @@ import graft.operators.{Bpe, Ivf, Models, Pq, TextOps}
 object PipelineQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** Local-parallelism fix for kernel-heavy map stages — the q127
+    * shingle-stream discipline generalized (guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read").
+    *
+    * The driver testdata ships ONE row group per file, so a scan stage —
+    * and every per-row kernel fused into it (MinHash signatures, shingle
+    * hash sets, gram streams, canonicalization) — runs as a SINGLE task
+    * no matter how many cores the session has. When the frame's file
+    * scan cannot split (fewer than 8 input files, the same probe
+    * q127Frame uses), spread the slim input rows across the session's
+    * cores with one explicit hash exchange BEFORE the expensive
+    * projection. numPartitions is passed explicitly so AQE's
+    * small-partition coalescing cannot fold the tiny local exchange back
+    * into one partition; the hash key keeps the exchange deterministic
+    * (no round-robin, no sort-before-repartition pass).
+    *
+    * This is a local-parallelism workaround, NOT the scale plan: any
+    * real corpus layout (multi-file, or row groups written at ~128 MB)
+    * splits naturally, the probe sees a multi-split scan, and the
+    * exchange never enters the plan. `spark.graft.kernelSpread`
+    * (auto|on|off, default auto) forces either side — PlanShapeSpec
+    * pins the scale plan with `off`, and the dial documents the knob for
+    * cluster deployments.
+    */
+  private[graft] def spreadForKernels(df: DataFrame,
+      key: String = "doc_id"): DataFrame = {
+    val s = df.sparkSession
+    val mode =
+      try s.conf.get("spark.graft.kernelSpread", "auto")
+      catch { case _: Throwable => "auto" }
+    val spread = mode match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        (try df.inputFiles.length catch { case _: Throwable => 8 }) < 8
+    }
+    if (spread) df.repartition(s.sparkContext.defaultParallelism, col(key))
+    else df
+  }
   private def embs(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
 
   /** q132's pipeline with the quantizer size as a parameter — `k` IS the
@@ -40,14 +80,20 @@ object PipelineQueries {
     */
   private[graft] def q132Assigned(s: SparkSession, d: String, k: Int): DataFrame = {
     val cents = ivfCentsK(s, d, k)
+    // spread BEFORE the assignment projection: the per-vector k-cosine
+    // argmax and the within-cell pairwise stage downstream both inherit
+    // the scan's partitioning under a broadcast join — one task on the
+    // single-row-group local layout (the q138 cand re-split, applied at
+    // the shared assignment seam)
+    val e = spreadForKernels(embs(s, d), "vec_id")
     val assigned =
-      if (k <= Ivf.InlineFormMaxK) Ivf.assign(embs(s, d), cents)
+      if (k <= Ivf.InlineFormMaxK) Ivf.assign(e, cents)
       else {
         val k1 = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
         val (coarse, coarseOf) =
           Models.cached(s"ivfcoarse:$d:k=$k,k1=$k1,rounds=2")(
             Ivf.coarsen(s, cents, k1, 2))
-        Ivf.assignTwoLevel(embs(s, d), cents, coarse, coarseOf, nprobe = 2)
+        Ivf.assignTwoLevel(e, cents, coarse, coarseOf, nprobe = 2)
       }
     // `cos` is the winning rounded cosine to the ASSIGNED centroid under
     // either path — the priority key the q136 keep-hard policy ranks on
@@ -319,7 +365,7 @@ object PipelineQueries {
     */
   private def minhashSig(s: SparkSession, d: String, nHashes: Int): DataFrame = {
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), nHashes)
-    docs(s, d)
+    spreadForKernels(docs(s, d))
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id") +: (0 until nHashes).map(j =>
@@ -584,7 +630,8 @@ object PipelineQueries {
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
     val bkeys = array((0 until nBands).map(b => concat_ws("_",
       element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    docsDf.filter(size(TextOps.tokens(col("text"))) >= 3)
+    spreadForKernels(docsDf)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(Seq(col("doc_id"), sig.as("sig"),
         graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset")) ++
         extra.map { case (n, c) => c.as(n) }: _*)
@@ -829,7 +876,8 @@ object PipelineQueries {
     * law and its consumers cannot drift apart.
     */
   private[graft] def gramStream8(df: DataFrame): DataFrame =
-    df.filter(size(TextOps.tokens(col("text"))) >= 8)
+    spreadForKernels(df)
+      .filter(size(TextOps.tokens(col("text"))) >= 8)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
       .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
@@ -1089,7 +1137,7 @@ object PipelineQueries {
     // ---- text statistics / quality scoring ----
     Q("q49_text_stats", (s, d) => {
       val ws = TextOps.tokens(col("text"))
-      docs(s, d).select(
+      spreadForKernels(docs(s, d)).select(
         col("doc_id"),
         col("n_chars"),
         length(col("text")).cast("long").as("text_len"),
@@ -4126,7 +4174,7 @@ object PipelineQueries {
       val canon = trim(regexp_replace(lower(
         graft.functions.TextFunctions.nfcNormalize(col("text"))),
         "\\s+", " "))
-      docs(s, d).select(col("doc_id"), canon.as("c"))
+      spreadForKernels(docs(s, d)).select(col("doc_id"), canon.as("c"))
         .groupBy(col("c"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
         .select(col("doc_id"), md5(col("c")).as("fp"), col("n_variants"))
@@ -4362,7 +4410,7 @@ object PipelineQueries {
     val s1 = stage(1, "canonical_dedup") {
       val canon = trim(regexp_replace(lower(
         graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
-      all.select(col("doc_id"), canon.as("c"))
+      spreadForKernels(all).select(col("doc_id"), canon.as("c"))
         .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
     }
@@ -4501,7 +4549,7 @@ object PipelineQueries {
     // survivors; the output is the SLIM per-doc signal frame every later
     // stage consumes (text never moves past this projection)
     val s4 = stage(4, "quality_gate") {
-      val d3 = all.join(s3, Seq("doc_id"), "left_semi")
+      val d3 = spreadForKernels(all.join(s3, Seq("doc_id"), "left_semi"))
       val sig3 = d3.select(col("doc_id"), col("source"),
         size(ws).cast("long").as("n_tokens"),
         (size(array_distinct(ws)) / size(ws)).as("ttr"),
@@ -4978,7 +5026,8 @@ object PipelineQueries {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.types.DoubleType
     val terms = Bm25Queries.flatMap(_._2).distinct
-    val t = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val t = spreadForKernels(docs(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
     // one corpus pass for the whole model: N, total token count, and
     // per-term document frequency, all map-side partial-aggregated
     val statsRow = t.agg(count(lit(1)).as("nd"),
@@ -5249,7 +5298,7 @@ object PipelineQueries {
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
     val bkeysC = array((0 until nBands).map(b => concat_ws("_",
       element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    val base = docs(s, d)
+    val base = spreadForKernels(docs(s, d))
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"), sig.as("sig"), col("text"))
       .select(col("doc_id"), bkeysC.as("bkeys"), col("text"))
@@ -5340,7 +5389,7 @@ object PipelineQueries {
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
     val bkeysC = array((0 until nBands).map(b => concat_ws("_",
       element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    val base = docs(s, d)
+    val base = spreadForKernels(docs(s, d))
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"), sig.as("sig"), col("text"))
       .select(col("doc_id"), bkeysC.as("bkeys"), col("text"))

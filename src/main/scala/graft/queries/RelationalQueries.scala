@@ -35,7 +35,14 @@ object RelationalQueries {
     // ---- q01: TPC-H Q1-style pricing summary (filter → groupBy → agg) ----
     Q("q01_pricing_summary", (s, d) => {
       val li = T(s, d, "lineitem")
-      li.filter(col("l_shipdate") <= lit("2000-09-02"))
+      // kernel spread (PipelineQueries.spreadForKernels): the exact-
+      // decimal partial aggregation is the query's whole cost and fuses
+      // into the scan stage — ONE task on the single-row-group local
+      // layout. The probe no-ops on any multi-split corpus, where the
+      // scan parallelizes naturally and partial agg before the single
+      // exchange remains the 100 TB shape (plan-locked with the dial off).
+      PipelineQueries.spreadForKernels(
+          li.filter(col("l_shipdate") <= lit("2000-09-02")), "l_orderkey")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity"), 2).as("sum_qty"),
@@ -83,7 +90,12 @@ object RelationalQueries {
       // equivalent): shrinks the join input by the lineitem fan-out —
       // the shuffle-minimizing plan at any scale. customer scales with sf
       // (150 M rows at sf100) so it gets NO broadcast hint — AQE decides.
-      val liAgg = li.groupBy(col("l_orderkey"))
+      // kernel spread keyed on the GROUP key: on the single-row-group
+      // local layout the one exchange moves from partial-agg output to
+      // raw rows (groups are ~4 rows, partial combine saves little) and
+      // the whole join tree parallelizes; no-op on multi-split corpora
+      val liAgg = PipelineQueries.spreadForKernels(li, "l_orderkey")
+        .groupBy(col("l_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       liAgg.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -124,7 +136,11 @@ object RelationalQueries {
       // supplier/nation are fixed-ratio dims → hinted broadcast; customer
       // grows with sf (would exceed the 8 GiB broadcast limit at sf100) →
       // no hint, AQE/CBO chooses shuffled vs broadcast at runtime.
-      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // kernel spread: under broadcast dims the whole join + partial-agg
+      // chain inherits the lineitem scan's one-task partitioning on the
+      // local single-row-group layout; no-op on multi-split corpora
+      PipelineQueries.spreadForKernels(li, "l_orderkey")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))

@@ -15,6 +15,16 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Run `body` with the kernel-spread workaround pinned to `mode` —
+    * scale-shape locks pin "off" (any multi-split corpus layout), so the
+    * local single-row-group testdata's documented spread exchange cannot
+    * read as a broken 100 TB shape.
+    */
+  private def withKernelSpread[A](mode: String)(body: => A): A = {
+    spark.conf.set("spark.graft.kernelSpread", mode)
+    try body finally spark.conf.unset("spark.graft.kernelSpread")
+  }
+
   test("q06: all filters pushed to the parquet scan") {
     val p = planOf("q06_forecast_revenue")
     assert(p.contains("PushedFilters:"))
@@ -32,7 +42,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q05: all dimension joins are broadcast (lineitem never shuffled pre-agg)") {
-    val p = planOf("q05_local_volume")
+    val p = withKernelSpread("off")(planOf("q05_local_volume"))
     assert(p.contains("BroadcastHashJoin"))
     // exchanges: only the aggregation + final sort (plus broadcast
     // exchanges, which are not data shuffles of the fact table)
@@ -60,7 +70,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
-      val p5 = planOf("q05_local_volume")
+      val p5 = withKernelSpread("off")(planOf("q05_local_volume"))
       assert(p5.contains("BroadcastHashJoin"), s"hinted dims lost broadcast:\n$p5")
       assert(p5.linesIterator.exists(l =>
         (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
@@ -139,11 +149,31 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q42: minhash signatures are map-side (no shuffle at all)") {
+    // pin the SCALE plan: on multi-split layouts (any real corpus) the
+    // kernel-spread workaround is a no-op and the signature projection
+    // fuses into the scan with zero exchanges. The local single-row-group
+    // testdata adds exactly one documented spread exchange — asserted in
+    // the companion test below.
+    spark.conf.set("spark.graft.kernelSpread", "off")
+    try {
+      val p = planOf("q42_minhash_sig")
+      // sort for output ordering is the only exchange
+      val shuffles = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(shuffles <= 1, s"signature computation should not shuffle:\n$p")
+    } finally spark.conf.unset("spark.graft.kernelSpread")
+  }
+
+  test("q42 local mode: kernel spread adds exactly the one documented exchange") {
+    // single-row-group input → the spread exchange (REPARTITION_BY_NUM,
+    // explicit count so AQE cannot coalesce it away) sits BELOW the
+    // signature projection; the filter still pushes past it to the scan
     val p = planOf("q42_minhash_sig")
-    // sort for output ordering is the only exchange
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"kernel spread missing on a single-split local layout:\n$p")
     val shuffles = p.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles <= 1, s"signature computation should not shuffle:\n$p")
+    assert(shuffles <= 2, s"spread must add exactly one exchange:\n$p")
   }
 
   test("q72 verify pipeline (un-checkpointed): fused generator present, cartesian-free") {
