@@ -165,7 +165,8 @@ object PipelineQueries {
     // three (the projections sit on opposite sides of the join, which
     // CollapseProject does not cross). Bit-identical to the fused
     // cosine: the same sqrt results feed the same multiply/divide.
-    val anchors = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+    val anchors = spreadForKernels(e, "vec_id")
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qv"),
         sqrt(TextOps.norm2(col("embedding"))).as("qn"),
         explode(slice(array_sort(Ivf.rankedCells(cents, col("embedding"))),
@@ -624,13 +625,23 @@ object PipelineQueries {
     * verification-eligible (>= 3 tokens) doc - both kernels map-side in
     * one pass over the text.
     */
+  /** `spread = false` keeps the scan-fused single-pass shape even on
+    * single-split local inputs: callers whose plans REPLICATE the
+    * payload lineage into several differently-pruned subplans (q87's
+    * exact-collapse + fixpoint, the q160/q161 composed stages) pay the
+    * spread exchange once per copy — ReuseExchange cannot dedupe
+    * exchanges with different pruned children — and measured slower
+    * with it (q87 2.96→3.62 s, q161 5.20→6.10 s); the single-copy
+    * verify pipelines (q72/q128) measured faster (q72 2.35→2.07 s).
+    */
   private def edgeBase(docsDf: DataFrame,
-      extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+      extra: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      spread: Boolean = true): DataFrame = {
     val nBands = 4
     val sig = graft.functions.TextFunctions.minhashSigNative(col("text"), 8)
     val bkeys = array((0 until nBands).map(b => concat_ws("_",
       element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*)
-    spreadForKernels(docsDf)
+    (if (spread) spreadForKernels(docsDf) else docsDf)
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(Seq(col("doc_id"), sig.as("sig"),
         graft.functions.SetFunctions.shingleHashSet(col("text"), 3).as("shset")) ++
@@ -814,21 +825,17 @@ object PipelineQueries {
       // InferFiltersFromGenerate would synthesize size(shingles_k(text,
       // 3)) > 0 with the kernel INLINED into the pushed filter — the
       // shingle kernel running 2x per doc in the very branch that exists
-      // for scan-stage performance (the repo's documented gotcha)
-      val shRows = if (multiSplit)
-        docs(s, d).select(col("doc_id"),
-          graft.functions.TextFunctions.shingleRows(col("text"), 3))
-      else {
-        val wRows = docs(s, d)
-          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-        val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        wRows
-          .select(col("doc_id"), col("col").as("w0"),
-            lead(col("col"), 1).over(wnd).as("w1"),
-            lead(col("col"), 2).over(wnd).as("w2"))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
-      }
+      // for scan-stage performance (the repo's documented gotcha).
+      // Single-split inputs take the SAME generator behind one kernel-
+      // spread exchange of the doc rows — this replaced the windowed-
+      // lead form, which paid a one-row-PER-TOKEN exchange plus two
+      // window sorts for the same parallelism (measured 1.50 → 1.05 s
+      // at sf0.1; the forms are result-identical, spec-locked)
+      val shDocs = if (multiSplit) docs(s, d)
+        else docs(s, d).repartition(
+          s.sparkContext.defaultParallelism, col("doc_id"))
+      val shRows = shDocs.select(col("doc_id"),
+        graft.functions.TextFunctions.shingleRows(col("text"), 3))
       val sampled = shRows
         .filter(conv(substring(md5(concat(lit("cset|"), col("sh"))), 1, 8), 16, 10)
           .cast("long") % 4 === 0)
@@ -875,8 +882,9 @@ object PipelineQueries {
     * word 8-grams as 32-bit md5 hashes — ONE definition so the gram
     * law and its consumers cannot drift apart.
     */
-  private[graft] def gramStream8(df: DataFrame): DataFrame =
-    spreadForKernels(df)
+  private[graft] def gramStream8(df: DataFrame,
+      spread: Boolean = true): DataFrame =
+    (if (spread) spreadForKernels(df) else df)
       .filter(size(TextOps.tokens(col("text"))) >= 8)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
@@ -1135,9 +1143,11 @@ object PipelineQueries {
     })),
 
     // ---- text statistics / quality scoring ----
+    // (kernel spread measured and NOT taken: 0.39→0.47 s quiet-box A/B
+    // r18 — the per-row metrics are too cheap to repay the exchange)
     Q("q49_text_stats", (s, d) => {
       val ws = TextOps.tokens(col("text"))
-      spreadForKernels(docs(s, d)).select(
+      docs(s, d).select(
         col("doc_id"),
         col("n_chars"),
         length(col("text")).cast("long").as("text_len"),
@@ -1476,15 +1486,24 @@ object PipelineQueries {
     Q("q87_neardup_fixpoint", (s, d) => {
       val all = docs(s, d)
       val isEligible = size(TextOps.tokens(col("text"))) >= 3
-      // payload + exact-group key in ONE map-side pass; column pruning
-      // keeps the fp-only branches free of the expensive kernels
-      val payload = edgeBase(all, Seq("fp" -> md5(col("text"))))
-      val nodes = payload.groupBy(col("fp")).agg(
+      // exact-group key map-side, then the expensive payload kernels run
+      // AFTER the fp collapse — post-exchange, so they parallelize even
+      // on a single-split local scan — and the collapsed payload is
+      // PINNED once per construction: the banding probes, the verify
+      // payload branches and the doc↔node mapping all read the pinned
+      // blocks instead of re-running the collapse + kernel lineage (the
+      // plan replicated it ~4× across differently-pruned subplans, which
+      // is also why the kernel-spread exchange measured SLOWER here)
+      val withFp = all.filter(isEligible)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+      val collapsed = withFp.groupBy(col("fp")).agg(
         min(col("doc_id")).as("doc_id"),
         // deterministic despite first(): every member of an fp group
-        // carries the identical text-derived payload
-        first(col("bkeys")).as("bkeys"), first(col("shset")).as("shset"))
-      val docNode = payload.select(col("doc_id"), col("fp"))
+        // carries the identical text
+        first(col("text")).as("text"))
+      val nodes = pinReleasingPrior(s"q87nodes:$d",
+        edgeBase(collapsed, Seq("fp" -> col("fp")), spread = false))
+      val docNode = withFp.select(col("doc_id"), col("fp"))
         .join(nodes.select(col("fp"), col("doc_id").as("node_id")), "fp")
         .select(col("doc_id"), col("node_id"))
       val nodeEdges = verifiedEdgesOf(
@@ -2319,7 +2338,7 @@ object PipelineQueries {
     // scan of the 100 TB corpus. ----
     Q("q114_bpe_encode", (s, d) => {
       val merges = bpeMerges(s, d)
-      docs(s, d)
+      spreadForKernels(docs(s, d))
         .select(col("doc_id"),
           graft.functions.BpeTokenStats.of(col("text"), merges).as("st"))
         .select(col("doc_id"),
@@ -4248,12 +4267,13 @@ object PipelineQueries {
     * 1000× e2e ladder: the stage-2 prepare's shuffle AND its spill live
     * here).
     */
-  private def repAnchoredEdges(docsDf: DataFrame): DataFrame =
+  private def repAnchoredEdges(docsDf: DataFrame,
+      spread: Boolean = true): DataFrame =
     // ONE banding law: both the band keys and the shingle payloads come
     // from [[edgeBase]] (Catalyst column-prunes the unused column from
     // each branch), so this form cannot drift from the pairwise
     // kernel's banding
-    repAnchoredEdgesFromBase(edgeBase(docsDf))
+    repAnchoredEdgesFromBase(edgeBase(docsDf, spread = spread))
 
   private def repAnchoredEdgesFromBase(base: DataFrame): DataFrame = {
     import graft.functions.SetFunctions
@@ -4407,10 +4427,17 @@ object PipelineQueries {
 
     // stage 1 — canonical exact dedup (q155): min doc_id per NFC-
     // canonical text class; survivors as an ids-only manifest
+    // NOTE on kernel spread inside this chain: measured OFF everywhere
+    // (stages 1/3/4 and the stage-2 edge prepare). The composed DAG
+    // re-reads `all` through several differently-pruned subplans per
+    // stage, so each spread copy pays its own exchange + AQE stage —
+    // q160 5.62→6.10 s / q161 5.20→6.10 s with spreads on (quiet-box
+    // subset A/B, r18). The per-stage pins already bound each stage's
+    // single-task kernel pass to one copy.
     val s1 = stage(1, "canonical_dedup") {
       val canon = trim(regexp_replace(lower(
         graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
-      spreadForKernels(all).select(col("doc_id"), canon.as("c"))
+      all.select(col("doc_id"), canon.as("c"))
         .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
     }
@@ -4504,7 +4531,7 @@ object PipelineQueries {
           // orphan (r17 ADVICE); dropStaged is idempotent and cheap
           sweepDeadEdgeBaseDirs(s)
           dropStaged(tbl)
-          edgeBase(d1).write.mode("overwrite").format("parquet")
+          edgeBase(d1, spread = false).write.mode("overwrite").format("parquet")
             .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tbl)
           // parquet erases the shingle array's containsNull=false, which
           // the jaccard_sorted type check requires — the identity
@@ -4513,8 +4540,9 @@ object PipelineQueries {
           repAnchoredEdgesFromBase(s.table(tbl).select(col("doc_id"),
             col("bkeys"),
             transform(col("shset"), x => coalesce(x, lit(0L))).as("shset")))
-        } else repAnchoredEdges(d1)
-      } else verifiedEdgesOf(edgeBase(d1), s"q160:$d", 256, 1000000L)
+        } else repAnchoredEdges(d1, spread = false)
+      } else verifiedEdgesOf(edgeBase(d1, spread = false),
+        s"q160:$d", 256, 1000000L)
       try graft.operators.Dedup
         .keepListToFixpoint(d1.select(col("doc_id")), edges)
         .filter(col("is_kept")).select(col("doc_id"))
@@ -4531,14 +4559,14 @@ object PipelineQueries {
     // deduped); the gram stream being CHECKED runs only over this
     // stage's survivors. Bloom prune map-side, exact verify after.
     val s3 = stage(3, "decontaminate") {
-      val evalGrams = gramStream8(all.filter(evalPred))
+      val evalGrams = gramStream8(all.filter(evalPred), spread = false)
         .select(col("g")).distinct()
       // key carries the eval predicate: a stress run's DIV-based law must
       // not reuse a bloom trained under the default mod law (or vice versa)
       val bloom = trainEvalBloom(s"evalgrams:$d:$evalPred", evalGrams)
       val trainSide = all.join(s2, Seq("doc_id"), "left_semi")
         .filter(!evalPred)
-      val contaminated = gramStream8(trainSide)
+      val contaminated = gramStream8(trainSide, spread = false)
         .filter(BloomFunctions.mightContain(bloom, col("g")))
         .join(evalGrams, "g").select(col("doc_id")).distinct()
       trainSide.join(contaminated, Seq("doc_id"), "left_anti")
@@ -4549,7 +4577,7 @@ object PipelineQueries {
     // survivors; the output is the SLIM per-doc signal frame every later
     // stage consumes (text never moves past this projection)
     val s4 = stage(4, "quality_gate") {
-      val d3 = spreadForKernels(all.join(s3, Seq("doc_id"), "left_semi"))
+      val d3 = all.join(s3, Seq("doc_id"), "left_semi")
       val sig3 = d3.select(col("doc_id"), col("source"),
         size(ws).cast("long").as("n_tokens"),
         (size(array_distinct(ws)) / size(ws)).as("ttr"),

@@ -136,11 +136,10 @@ object RelationalQueries {
       // supplier/nation are fixed-ratio dims → hinted broadcast; customer
       // grows with sf (would exceed the 8 GiB broadcast limit at sf100) →
       // no hint, AQE/CBO chooses shuffled vs broadcast at runtime.
-      // kernel spread: under broadcast dims the whole join + partial-agg
-      // chain inherits the lineitem scan's one-task partitioning on the
-      // local single-row-group layout; no-op on multi-split corpora
-      PipelineQueries.spreadForKernels(li, "l_orderkey")
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // kernel spread measured and NOT taken here (0.80→0.89 s, quiet-box
+      // A/B r18): the ord/cust joins re-exchange on their own keys right
+      // after, so the spread exchange buys only the supp broadcast probe
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))

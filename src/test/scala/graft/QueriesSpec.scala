@@ -59,11 +59,13 @@ class QueriesSpec extends AnyFunSuite {
         "recall-difference this test locks no longer exists")
   }
 
-  /** q127's shingle stream has two split-aware physical forms: map-side
-    * native ShinglesK+explode (multi-split corpora — no token-stream
-    * exchange) and the windowed-lead form (single-row-group local
-    * testdata — pays one exchange to parallelize). Both must produce
-    * the bit-identical query result.
+  /** q127's shingle stream has two split-aware physical forms: the pure
+    * map-side ShingleRows generator (multi-split corpora — no doc
+    * exchange at all) and the same generator behind one kernel-spread
+    * doc exchange (single-row-group local testdata — pays one slim
+    * exchange to parallelize; replaced the windowed-lead form, which
+    * moved one row per TOKEN). Both must produce the bit-identical
+    * query result.
     */
   test("q127 map-side and windowed shingle streams produce identical results") {
     def rows(forceMapSide: Boolean) =
