@@ -112,11 +112,19 @@ object PlanAudit {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the audit documents the SCALE shape: pin the kernel-spread
+    // workaround off so the local single-row-group testdata's extra
+    // exchange (a no-op on any multi-split corpus — see
+    // PipelineQueries.spreadForKernels) does not read as the 100 TB plan
+    spark.conf.set("spark.graft.kernelSpread", "off")
 
     val sb = new StringBuilder
     sb ++= "# PLANS — physical-plan audit of the scale-critical queries\n\n"
     sb ++= s"Generated by `graft.PlanAudit` over `$sfDir` (plan shapes are\n"
     sb ++= "data-size-independent; regenerate with `sbt \"runMain graft.PlanAudit\"`).\n"
+    sb ++= "Audited with `spark.graft.kernelSpread=off` — the SCALE plan; the\n"
+    sb ++= "local single-split layout adds one documented spread exchange on the\n"
+    sb ++= "kernel-heavy paths (PlanShapeSpec pins both modes).\n"
     sb ++= "`shuffles` counts non-broadcast `Exchange`s — the only places data\n"
     sb ++= "moves between executors; `codegen` counts whole-stage-codegen spans.\n"
     sb ++= "Each property below is regression-locked in `PlanShapeSpec`.\n\n"

@@ -116,17 +116,21 @@ object PageRank {
     * pins chain as plan depth; the intermediate round's rank vector is
     * computed exactly once (it feeds only the NEXT round's broadcast
     * build, which materializes it), so total pass count over the pinned
-    * share table is unchanged while checkpoint writes (and their jobs)
-    * drop k-fold — q146's 5 damped rounds measured 2.59 s (k = 1) vs
-    * 2.35 s (k = 2) wall in the like-for-like subset A/B (r18), and at
-    * scale the |V|-row checkpoint write per round is the only
-    * term the interval removes. k bounds lineage depth, so the driver-
-    * death-by-lineage guarantee the per-round pin existed for is kept.
-    * Results are bit-identical (the same IEEE/decimal chain, pinned or
-    * not); per-phase attribution reports one row per PIN.
+    * share table is unchanged while checkpoint writes drop k-fold. The
+    * DEFAULT stays 1: measured at sf0.1 (r18), k = 2 won the isolated
+    * subset A/B slightly (5-round wall 2.59 → 2.35 s) but was tail-
+    * UNSTABLE in full bench context — individual batch phases spiked to
+    * 8+ s (an unpinned intermediate re-materializing under storage
+    * churn), and min-of-5 regressed 3.30 → 4.31 s. The knob exists for
+    * cluster runs where the per-round |V|-row RELIABLE checkpoint write
+    * is a real IO term and storage churn is per-executor; measure there
+    * before raising it. k bounds lineage depth either way, so the
+    * driver-death-by-lineage guarantee the per-round pin existed for is
+    * kept. Results are bit-identical (the same IEEE/decimal chain,
+    * pinned or not); per-phase attribution reports one row per PIN.
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      checkpointDir: Option[String] = None, pinEvery: Int = 2): DataFrame = {
+      checkpointDir: Option[String] = None, pinEvery: Int = 1): DataFrame = {
     require(pinEvery >= 1, s"pinEvery must be >= 1, got $pinEvery")
     val sc = edges.sparkSession.sparkContext
     val runStats = PhaseStats.start(sc, "pagerank")

@@ -829,8 +829,9 @@ object PipelineQueries {
       // Single-split inputs take the SAME generator behind one kernel-
       // spread exchange of the doc rows — this replaced the windowed-
       // lead form, which paid a one-row-PER-TOKEN exchange plus two
-      // window sorts for the same parallelism (measured 1.50 → 1.05 s
-      // at sf0.1; the forms are result-identical, spec-locked)
+      // window sorts for the same parallelism (clean full-bench min
+      // 1.168 → 1.092 s at sf0.1, and strictly fewer exchanged bytes;
+      // the forms are result-identical, spec-locked)
       val shDocs = if (multiSplit) docs(s, d)
         else docs(s, d).repartition(
           s.sparkContext.defaultParallelism, col("doc_id"))
@@ -2336,9 +2337,12 @@ object PipelineQueries {
     // interpreted transform+aggregate dispatch per WORD), so ENCODING
     // is pure map-side — the training cost amortizes over every later
     // scan of the 100 TB corpus. ----
+    // (kernel spread measured and NOT taken: full-bench min 0.332 →
+    // 0.415 s with it — the native BPE kernel is too cheap at this
+    // corpus to repay the exchange)
     Q("q114_bpe_encode", (s, d) => {
       val merges = bpeMerges(s, d)
-      spreadForKernels(docs(s, d))
+      docs(s, d)
         .select(col("doc_id"),
           graft.functions.BpeTokenStats.of(col("text"), merges).as("st"))
         .select(col("doc_id"),

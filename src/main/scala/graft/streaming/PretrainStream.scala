@@ -323,7 +323,7 @@ object PretrainStream {
   def sink(history: DataFrame, evalPred: Column, bloomKey: String,
       labelsRoot: String, storeRoot: String): PretrainSink = {
     import graft.queries.PipelineQueries
-    val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
+    val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred), spread = false)
       .select(col("g")).distinct().cache()
     val bloom = PipelineQueries.trainEvalBloom(bloomKey, evalGrams)
     val fn = (batch: DataFrame, epochId: Long) => {
@@ -338,7 +338,7 @@ object PretrainStream {
           .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr"))
         val withText = docsB.join(
           history.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
-        val cont = PipelineQueries.gramStream8(withText)
+        val cont = PipelineQueries.gramStream8(withText, spread = false)
           .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
           .join(evalGrams, "g").select(col("doc_id")).distinct()
           .withColumn("contaminated", lit(true))
@@ -496,7 +496,7 @@ object PretrainStream {
         }
       }
     }
-    val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred))
+    val evalGrams = PipelineQueries.gramStream8(history.filter(evalPred), spread = false)
       .select(col("g")).distinct().cache()
     try {
       val bloom = PipelineQueries.trainEvalBloom(bloomKey, evalGrams)
@@ -530,7 +530,7 @@ object PretrainStream {
         val resolved = withText.filter(col("text").isNotNull)
           .filter(!evalPred)
         val still = withText.filter(col("text").isNull)
-        val cont = PipelineQueries.gramStream8(resolved)
+        val cont = PipelineQueries.gramStream8(resolved, spread = false)
           .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
           .join(evalGrams, "g").select(col("doc_id")).distinct()
           .withColumn("contaminated", lit(true))
