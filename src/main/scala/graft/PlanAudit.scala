@@ -40,7 +40,7 @@ object PlanAudit {
     "q92_interval_join" -> "equi-join on user_id; time range as residual",
     "q93_scrub" -> "map-side regex mask, zero corpus shuffles",
     "q94_span_dedup" -> "span hashes shuffle; span text never leaves the map side",
-    "q95_sequence_pack" -> "two-level prefix sum; bucket offsets broadcast",
+    "q95_sequence_pack" -> "three-level prefix sum; bucket offsets broadcast",
     "q96_cell_diverse" -> "map-side IVF assignment + one window per cell",
     "q97_quality_gate" -> "map-side quality signal; one shuffle on source",
     "q98_grouping_sets" -> "single expand + one partial-agg shuffle",

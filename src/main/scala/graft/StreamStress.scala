@@ -546,7 +546,12 @@ object StreamStress {
       val notEval = (d: org.apache.spark.sql.DataFrame) => d.filter(!evalPred)
       val d1 = diff(ids(store), ids(notEval(stages(1))))
       val d2 = diff(ids(kept2), ids(notEval(stages(2))))
-      val d3 = diff(ids(sig3), ids(stages(3)))
+      // batch stage 3 is the fused decontaminate+gate (r19): push the
+      // stream's decontaminated slim frame through the shared gate law
+      // before diffing so both sides sit at the same stage boundary
+      val d3 = diff(
+        ids(graft.queries.PipelineQueries.q160GateFrom(sig3)),
+        ids(stages(3)))
       val dOut = diff(streamOut, batchOut)
       // over-keep-only law vs the PAIRWISE stage-2 form: pairwise
       // survivors minus stream survivors must be empty under ANY order.

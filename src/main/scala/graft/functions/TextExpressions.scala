@@ -309,6 +309,142 @@ case class ShingleRows(child: Expression, k: Int)
     copy(child = newChildren(0))
 }
 
+/** DISTINCT word-k-gram 32-bit hashes as ONE codegen'd array — the fused
+  * twin of `array_distinct(shingles_k(text, k))` mapped through
+  * `TextOps.hash32(gram)`, to be exploded into one `g` row per distinct
+  * k-gram (null text yields null, fewer than k tokens an empty array —
+  * explode emits nothing for either, exactly as the old form's
+  * `size(tokens) >= k` pre-filter arranged).
+  *
+  * Why (r19, guide §1.2 per-task work): the compositional form
+  * materializes one UTF8String per k-gram POSITION (ShinglesK), walks
+  * them again for `array_distinct` (quadratic element-compares in
+  * Spark's implementation), and then pays the builtin `md5` chain per
+  * surviving gram — digest → 32-char hex string → substring → conv
+  * parse — TWICE per gram when a downstream join's inferred
+  * `isnotnull(g)` filter inlines the chain (visible in the r18 q88/q101
+  * plans). This kernel walks the text's UTF-8 bytes once (the
+  * [[MinHashSig]] byte-boundary discipline: a k-gram IS the byte run
+  * from token i's start to token i+k-1's end), dedupes EXACTLY on the
+  * gram byte runs via an open-addressing probe (two distinct grams that
+  * collide in 32-bit hash space still emit two values — identical
+  * multiset to `array_distinct` over the materialized strings), and
+  * reads each hash straight off the first 4 digest bytes. An ARRAY
+  * expression behind the builtin explode, not a custom Generator: the
+  * builtin explode keeps GenerateExec inside whole-stage codegen (a
+  * CodegenFallback Generator forces an interpreted boundary and one
+  * boxed InternalRow per gram — measured +12% on q101), and Spark 4.1's
+  * InferFiltersFromGenerate does not inline non-trivial generate inputs
+  * into a synthesized filter (checked in the before/after plans), so
+  * the ShingleRows double-eval concern does not apply here. After the
+  * explode, `g` is a non-null attribute, so the old inferred
+  * `isnotnull(md5-chain)` re-computation disappears structurally.
+  *
+  * BIT-PARITY CONTRACT (spec-locked, oracle-critical): each element
+  * equals `conv(substring(md5(gram), 1, 8), 16, 10)` — the first 4 md5
+  * bytes of the gram's UTF-8 read as an unsigned 32-bit big-endian
+  * value — over exactly the distinct space-joined k-grams of
+  * `split(text, " ")` in first-occurrence order.
+  */
+case class GramHashArray(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_array"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column and k > 0, got ${child.dataType} / $k")
+
+  override def nullSafeEval(t: Any): Any =
+    ArrayData.toArrayData(GramHashArray.compute(t.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.GramHashArray.compute($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashArray =
+    copy(child = newChild)
+}
+
+object GramHashArray {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val digestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  /** Distinct k-gram hashes in first-occurrence order. Token boundaries
+    * from byte-level 0x20 scanning equal `split(" ", -1)`'s (0x20 cannot
+    * occur inside a UTF-8 multi-byte sequence); dedup probes compare the
+    * gram BYTE RUNS themselves, so distinctness is exactly string
+    * distinctness; md5 runs once per distinct gram.
+    */
+  def compute(text: UTF8String, k: Int): Array[Long] = {
+    val b = text.getBytes
+    val len = b.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (b(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < k) return Array.emptyLongArray
+    // starts(j) = byte offset of token j; sentinel starts(nTok) = len + 1
+    // so `starts(i + k) - 1` uniformly names the end of token i+k-1
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (b(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTok) = len + 1
+    val n = nTok - k + 1
+    // open-addressing table at load ≤ 0.5; slots hold position + 1
+    val cap = Integer.highestOneBit(math.max(4, 2 * n - 1)) << 1
+    val mask = cap - 1
+    val table = new Array[Int](cap)
+    val md = digests.get()
+    val out16 = digestBuf.get()
+    val out = new Array[Long](n)
+    var m = 0
+    i = 0
+    while (i < n) {
+      val from = starts(i)
+      val glen = starts(i + k) - 1 - from
+      val end = from + glen
+      // FNV-1a over the gram bytes — table placement only; never emitted
+      var h = 0x811c9dc5
+      var p = from
+      while (p < end) { h = (h ^ (b(p) & 0xff)) * 0x01000193; p += 1 }
+      var slot = h & mask
+      var dup = false
+      var probing = true
+      while (probing) {
+        val e = table(slot)
+        if (e == 0) { table(slot) = i + 1; probing = false }
+        else {
+          val ef = starts(e - 1)
+          val el = starts(e - 1 + k) - 1 - ef
+          if (el == glen &&
+              java.util.Arrays.equals(b, ef, ef + glen, b, from, end)) {
+            dup = true; probing = false
+          } else slot = (slot + 1) & mask
+        }
+      }
+      if (!dup) {
+        md.reset()
+        md.update(b, from, glen)
+        md.digest(out16, 0, 16)
+        // first 8 hex digits == first 4 bytes, read unsigned big-endian
+        out(m) = ((out16(0) & 0xffL) << 24) | ((out16(1) & 0xffL) << 16) |
+          ((out16(2) & 0xffL) << 8) | (out16(3) & 0xffL)
+        m += 1
+      }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+}
+
 /** Native 32-bit SimHash over the whitespace tokens of a text column —
   * twin of `TextOps.simhash32(tokens(text))` (seed = None) and
   * `TextOps.simhash32Seeded(s, tokens(text))` (seed = Some(s)). The HOF
@@ -548,6 +684,14 @@ object TextFunctions {
     */
   def shingleRows(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleRows(GraftSqlBridge.expression(text), k))
+
+  /** Column API for [[GramHashArray]]: the DISTINCT word-k-gram 32-bit
+    * hashes, fused (no gram-string materialization, no array_distinct
+    * pass, no hex-string md5 chain — see the class doc). Explode it for
+    * the per-gram row stream.
+    */
+  def gramHashArray(text: Column, k: Int): Column =
+    GraftSqlBridge.column(GramHashArray(GraftSqlBridge.expression(text), k))
 
   /** Column API for [[SimHash32]]: unseeded (seed = None) or seeded. */
   def simhash32Native(text: Column, seed: Option[Int] = None): Column =

@@ -167,10 +167,18 @@ object Dedup {
     * `min`, not a collect. The edge set converges to stars centered at
     * each component's minimum id in O(log n) rounds (the paper proves
     * O(log² n) for the alternating form; measured graphs converge in
-    * ~log₂(longest chain) + 2). Per round: two agg shuffles, two join
-    * shuffles, two pair-distinct shuffles over a 2-column long table
-    * that only ever SHRINKS toward one edge per non-root node — vs
-    * propagation's per-round cost on the same table but DIAMETER rounds.
+    * ~log₂(longest chain) + 2). Per round (r19 restructure — see the
+    * round body): ONE large-star aggregation over the stored oriented
+    * edges (the old symmetric-union double-width agg is provably
+    * redundant under the src > dst invariant), one left attach join
+    * whose edge side reads the prior round's pinned hash(dst) layout
+    * exchange-free, one small-star agg + attach join pair sharing a
+    * single repartition, and one final repartition(dst)+distinct that
+    * both dedups the round and lays out the next round's join input —
+    * 3 exchanges over a 2-column long table that only ever SHRINKS
+    * toward one edge per non-root node (was 6: sym-agg, sym-join side,
+    * ls distinct, ls agg, ls join side, ss distinct) — vs propagation's
+    * per-round cost on the same table but DIAMETER rounds.
     *
     * Fixpoint detection: each round's edge set is pinned (same
     * checkpoint/release discipline as [[keepListToFixpoint]] — lineage
@@ -203,11 +211,17 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = docs.sparkSession
     // orient each undirected edge once as (src > dst); tolerate single-
-    // or both-direction inputs and drop self-loops
+    // or both-direction inputs and drop self-loops. The explicit
+    // repartition on dst ahead of the distinct is free (hash(dst)
+    // satisfies the distinct's (src, dst) clustering, so no second
+    // exchange is planned) and pins the round-input layout every
+    // round's large-star attach join needs — Pin preserves it, so the
+    // join's edge side never re-exchanges (r19, guide §2.4).
     val e0 = edges.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("dst")).distinct()
     // pin + digest in ONE action per round: the aggregate is the first
     // action on the armed RDD, so it both materializes the checkpoint
     // and folds the edge-set digest in the same pass — no second read of
@@ -237,23 +251,44 @@ object Dedup {
       var converged = false
       while (!converged && round < maxRounds) {
         val (stepped, releaseStepped, cur) = runStats.phase(round + 1) {
-          // ---- large-star: neighbors v > u re-attach to m = min(N(u) ∪ u)
-          val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-          val mins = sym.groupBy(col("src").as("u"))
+          // ---- large-star: neighbors v > u re-attach to m = min(N(u) ∪ u).
+          // Oriented-input simplification (r19, guide §2.3/§2.4): with
+          // every stored edge (src > dst), a node's strictly-LARGER sym
+          // neighbors can never contribute to its min — every incoming
+          // src exceeds u — so m(u) = least(u, min outgoing dst), over
+          // the stored edges alone. That deletes the symmetric union
+          // (the per-round aggregation reads half the rows) and
+          // collapses the emission rule to one attach join on dst: for
+          // an oriented edge (s, d), the only sym pair passing the
+          // v > u filter is (d, s), emitting (s, m(d)). Nodes with no
+          // outgoing edge have m = themselves → left join + coalesce.
+          val mins = e.groupBy(col("src").as("u"))
             .agg(min(col("dst")).as("mn"))
             .select(col("u"), least(col("u"), col("mn")).as("m"))
-          val ls = sym.join(mins, sym("src") === mins("u"))
-            .filter(col("dst") > col("src"))
-            .select(col("dst").as("src"), col("m").as("dst")) // m ≤ u < v
-            .distinct()
-          // ---- small-star on the (src > dst)-oriented output: each node's
-          // smaller neighborhood collapses onto its minimum
+          val ls = e.join(mins, col("dst") === col("u"), "left")
+            .select(col("src"), coalesce(col("m"), col("dst")).as("dst"))
+          // ls is deliberately NOT deduped: min() is duplicate-
+          // insensitive and the round's single distinct below covers
+          // the emissions — the old per-phase distinct was one of the
+          // round's six exchanges.
+          // ---- small-star on the (src > dst)-oriented output: each
+          // node's smaller neighborhood collapses onto its minimum.
+          // Both small-star emissions — (b, m) per edge and (u, m) per
+          // node — come off ONE pass over the attach join via a
+          // two-element explode (the old form unioned a second read of
+          // the smins subplan); duplicates and the b = m case fall to
+          // the same filter + distinct.
           val smins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-          val ss = ls.join(smins, ls("src") === smins("u"))
-            .filter(col("dst") =!= col("m"))
-            .select(col("dst").as("src"), col("m").as("dst")) // b > m
-            .union(smins.select(col("u").as("src"), col("m").as("dst"))) // u > m
-            .distinct()
+          val ss = ls.join(smins, col("src") === col("u"))
+            .select(explode(array(
+              struct(col("dst").as("src"), col("m").as("dst")),
+              struct(col("src").as("src"), col("m").as("dst")))).as("p"))
+            .select(col("p.src").as("src"), col("p.dst").as("dst"))
+            .filter(col("src") =!= col("dst"))
+            // hash(dst) satisfies the distinct's clustering (one
+            // exchange, not two) and is the layout the NEXT round's
+            // attach join reads exchange-free through the pin
+            .repartition(col("dst")).distinct()
           pinWithStats(ss)
         }
         releaseE()

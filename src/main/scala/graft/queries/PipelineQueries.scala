@@ -47,15 +47,18 @@ object PipelineQueries {
     */
   private[graft] def spreadForKernels(df: DataFrame,
       key: String = "doc_id"): DataFrame = {
+    import scala.util.control.NonFatal
     val s = df.sparkSession
+    // NonFatal, not Throwable (r19): an OOM/fatal error here must
+    // propagate, not be masked into "spread off"
     val mode =
       try s.conf.get("spark.graft.kernelSpread", "auto")
-      catch { case _: Throwable => "auto" }
+      catch { case NonFatal(_) => "auto" }
     val spread = mode match {
       case "on" => true
       case "off" => false
       case _ =>
-        (try df.inputFiles.length catch { case _: Throwable => 8 }) < 8
+        (try df.inputFiles.length catch { case NonFatal(_) => 8 }) < 8
     }
     if (spread) df.repartition(s.sparkContext.defaultParallelism, col(key))
     else df
@@ -878,18 +881,22 @@ object PipelineQueries {
     */
   private[graft] val Q160Budget = 6000L
 
-  /** The 8-gram decontamination kernel shared by q101/q163/q160 (and
-    * mirrored by their oracles): verification-eligible docs' DISTINCT
-    * word 8-grams as 32-bit md5 hashes — ONE definition so the gram
-    * law and its consumers cannot drift apart.
+  /** The 8-gram decontamination kernel shared by q88/q101/q163/q160
+    * (and mirrored by their oracles): verification-eligible docs'
+    * DISTINCT word 8-grams as 32-bit md5 hashes — ONE definition so the
+    * gram law and its consumers cannot drift apart. Since r19 the law
+    * runs through the fused [[graft.functions.GramHashArray]] kernel
+    * behind the builtin explode (no gram-string materialization, no
+    * array_distinct pass, no hex-md5 chain; the old `size(tokens) >= 8`
+    * pre-filter is folded into the kernel, which emits an empty array
+    * under k tokens) — result-identical, spec-locked against the
+    * compositional form in TextExprSpec.
     */
   private[graft] def gramStream8(df: DataFrame,
       spread: Boolean = true): DataFrame =
     (if (spread) spreadForKernels(df) else df)
-      .filter(size(TextOps.tokens(col("text"))) >= 8)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
-      .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.gramHashArray(col("text"), 8)).as("g"))
 
   /** The eval-suite bloom — the one place the filter is sized, so
     * q101/q163/q160 cannot train mismatched filters under a shared
@@ -1712,11 +1719,9 @@ object PipelineQueries {
     // the 100 TB corpus is scanned once with zero fact shuffles before
     // the distinct on hit doc_ids. ----
     Q("q88_decontaminate", (s, d) => {
-      val ws = TextOps.tokens(col("text"))
-      val grams = docs(s, d).filter(size(ws) >= 8)
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.TextFunctions.shinglesFromText(col("text"), 8))).as("gram"))
-        .select(col("doc_id"), TextOps.hash32(col("gram")).as("g"))
+      // the shared fused gram kernel (r19) — was an inlined copy of the
+      // same explode(array_distinct(shingles))+hash32 law
+      val grams = gramStream8(docs(s, d))
       val evalGrams = grams.filter(col("doc_id") % 10 === 7).select(col("g")).distinct()
       val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
         .join(broadcast(evalGrams), "g").select(col("doc_id")).distinct()
@@ -3102,15 +3107,36 @@ object PipelineQueries {
     Q("q95_sequence_pack", (s, d) => {
       val cap = 512
       val bucketW = 50
+      // buckets per superbucket — the THIRD prefix-sum level (r19,
+      // guide §2.5): the old two-level form ran its global running sum
+      // over ALL per-bucket aggregates in ONE window partition
+      // (docs/50 rows — tens of millions of rows in a single task at
+      // corpus scale). With the superbucket level, the only
+      // unpartitioned window sees docs/(50·4096) ≈ docs/204800 rows
+      // (≤ ~50k at a 10^10-doc corpus), the per-superbucket window is
+      // bounded at 4096 rows, and the per-bucket window at 50 rows.
+      // cum_tokens is IDENTICAL for any widths: doc_id DIV w is
+      // monotone, so bucket-then-superbucket order concatenates to the
+      // single doc_id order (oracle unchanged).
+      val sbW = 4096
       val base = docs(s, d).select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         expr(s"doc_id DIV $bucketW").as("bucket"))
-      val wB = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("bucket"))
+      val btotals = base.groupBy(col("bucket"))
         .agg(sum(col("n_tokens")).as("btotal"))
-        .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
-        .select(col("bucket"), col("boffset"))
+        .withColumn("sbucket", expr(s"bucket DIV $sbW"))
+      val wS = Window.orderBy(col("sbucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val soffsets = btotals.groupBy(col("sbucket"))
+        .agg(sum(col("btotal")).as("stotal"))
+        .withColumn("soffset", coalesce(sum(col("stotal")).over(wS), lit(0L)))
+        .select(col("sbucket").as("s_sbucket"), col("soffset"))
+      val wB = Window.partitionBy(col("sbucket")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = btotals
+        .withColumn("woffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
+        .join(broadcast(soffsets), col("sbucket") === col("s_sbucket"))
+        .select(col("bucket"), (col("soffset") + col("woffset")).as("boffset"))
       val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       base.join(broadcast(offsets), "bucket")
         .withColumn("cum_tokens", col("boffset") + sum(col("n_tokens")).over(wIn))
@@ -4046,7 +4072,16 @@ object PipelineQueries {
           (col("ck") + lit(1000000L)).as("dst"), col("w"))
         .union(base.select((col("ck") + lit(1000000L)).as("src"),
           col("sk").as("dst"), col("w")))
-      graft.operators.PageRank.run(edges, iters = 5).orderBy(col("nid"))
+      // spark.graft.pagerank.pinEvery — checkpoint-interval dial (see
+      // PageRank.run's scaladoc): default 1 stays the measured local
+      // winner; the dial exists so the multi-executor rig (ClusterPerf
+      // on local-cluster — real per-executor storage churn) can A/B
+      // k = 2 without a code edit. Results are bit-identical either way.
+      val pinEvery =
+        try s.conf.get("spark.graft.pagerank.pinEvery", "1").toInt
+        catch { case scala.util.control.NonFatal(_) => 1 }
+      graft.operators.PageRank.run(edges, iters = 5, pinEvery = pinEvery)
+        .orderBy(col("nid"))
     }, Some(q146OracleSql), bench = true),
 
     // ---- BM25 top-k retrieval — the ranked-retrieval primitive of a
@@ -4557,12 +4592,22 @@ object PipelineQueries {
       finally stagedTbl.foreach(dropStaged)
     }
 
-    // stage 3 — n-gram decontamination (q101): the eval suite's 8-gram
-    // inventory comes from the FULL corpus's doc_id%10==7 docs (an eval
-    // set is external — it does not shrink because training docs were
-    // deduped); the gram stream being CHECKED runs only over this
-    // stage's survivors. Bloom prune map-side, exact verify after.
-    val s3 = stage(3, "decontaminate") {
+    // stage 3 — n-gram decontamination (q101) FUSED with the per-source
+    // quality gate (q97). The eval suite's 8-gram inventory comes from
+    // the FULL corpus's doc_id%10==7 docs (an eval set is external — it
+    // does not shrink because training docs were deduped); the gram
+    // stream being CHECKED runs only over stage 2's survivors. Bloom
+    // prune map-side, exact verify after. The gate's slim signal frame
+    // is projected straight off the anti-join's survivors, so the old
+    // stage-4 corpus semi-join (`all ⋈ s3-ids` — a THIRD full-text scan
+    // of this stage's lineage) and its separate localCheckpoint are gone
+    // (r19; guide §2.4/§5 — same composition, one fewer pass + one
+    // fewer pin; back-to-back subset A/B q160+q161 10.66 → 9.76 s).
+    // Stage numbering keeps
+    // the historical gap (3 → 5) so per-stage attribution rows stay
+    // comparable across rounds and the stress harness's
+    // `s5_mixture_materialize` key is untouched.
+    val s4 = stage(3, "decontaminate_gate") {
       val evalGrams = gramStream8(all.filter(evalPred), spread = false)
         .select(col("g")).distinct()
       // key carries the eval predicate: a stress run's DIV-based law must
@@ -4573,15 +4618,7 @@ object PipelineQueries {
       val contaminated = gramStream8(trainSide, spread = false)
         .filter(BloomFunctions.mightContain(bloom, col("g")))
         .join(evalGrams, "g").select(col("doc_id")).distinct()
-      trainSide.join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"))
-    }
-
-    // stage 4 — per-source quality gate (q97) over the decontaminated
-    // survivors; the output is the SLIM per-doc signal frame every later
-    // stage consumes (text never moves past this projection)
-    val s4 = stage(4, "quality_gate") {
-      val d3 = all.join(s3, Seq("doc_id"), "left_semi")
+      val d3 = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
       val sig3 = d3.select(col("doc_id"), col("source"),
         size(ws).cast("long").as("n_tokens"),
         (size(array_distinct(ws)) / size(ws)).as("ttr"),

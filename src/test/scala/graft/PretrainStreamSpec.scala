@@ -109,17 +109,16 @@ class PretrainStreamSpec extends AnyFunSuite {
       .filter(col("rep").isNull || col("rep") === col("doc_id")))
     assert(streamKept2 == notEval(ids(stages(2))), "stage-2 keep-list differs")
 
-    // stage 3: decontaminated survivors
+    // stage 3 (fused decontaminate+gate since r19): the stream's
+    // decontaminated slim frame pushed through the shared gate law must
+    // equal the batch stage-3 output row for row
     val sig3 = PretrainStream.storeSig3(spark, storeRoot, labelsRoot)
-    assert(ids(sig3) == ids(stages(3)), "stage-3 survivors differ")
+    assert(sortedRows(PipelineQueries.q160GateFrom(sig3)) ==
+      sortedRows(stages(3)), "stage-3 decontaminate+gate output differs")
     // decontamination must actually drop something here, or this stage
     // locks nothing
     assert(ids(sig3).size < streamKept2.size,
       "decontamination dropped nothing — stage untested")
-
-    // stage 4: the gated signal frame, full rows
-    assert(sortedRows(PipelineQueries.q160GateFrom(sig3)) ==
-      sortedRows(stages(4)), "stage-4 gate output differs")
 
     // the full packed output, bit-for-bit
     val streamOut = PretrainStream.q160Output(spark, storeRoot, labelsRoot,

@@ -68,6 +68,43 @@ class TextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("GramHashArray == array_distinct(shingles_k)+hash32 — per-doc array parity incl. order, corpus + edges, k = 3 and 8") {
+    // the fused distinct-gram kernel must reproduce the compositional
+    // law EXACTLY: same distinct gram hashes, same first-occurrence
+    // order, an empty array under k tokens (the old pre-filter's rows
+    // vanish identically under explode), and null for null text.
+    for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs);
+         k <- Seq(3, 8)) {
+      val hof = when(size(TextOps.tokens(col("text"))) >= k,
+        transform(array_distinct(
+          TextFunctions.shinglesFromText(col("text"), k)),
+          g => TextOps.hash32(g)))
+        .when(col("text").isNotNull, array().cast("array<long>"))
+      val mismatch = df.select(
+          TextFunctions.gramHashArray(col("text"), k).as("fused"),
+          hof.as("hof"))
+        .filter(not(col("fused") <=> col("hof"))).count()
+      assert(mismatch == 0, s"k=$k: $mismatch docs diverge from the HOF gram law")
+    }
+    // null text → null array (explode emits nothing, exactly like the
+    // old size(split(null)) guard dropping the row)
+    val nullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, null: String))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    assert(nullDf.select(col("doc_id"), explode(
+      TextFunctions.gramHashArray(col("text"), 3)).as("g")).count() == 0)
+    // and the kernel runs inside whole-stage codegen (the reason it is
+    // an array expression behind builtin explode, not a Generator)
+    val p = docs.select(col("doc_id"), explode(
+        TextFunctions.gramHashArray(col("text"), 8)).as("g"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("gram_hash_array") && p.linesIterator.exists(l =>
+      l.contains("Generate") && l.trim.startsWith("*(")),
+      s"generate not codegen'd:\n$p")
+  }
+
   test("SimHash32(text, seed) == simhashBits HOF, unseeded and both seeds, corpus + edges") {
     for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs)) {
       val ws = TextOps.tokens(col("text"))
