@@ -369,6 +369,55 @@ case class GramHashArray(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** The repo's 32-bit md5 hash law as ONE codegen'd call:
+  * `conv(substring(md5(s), 1, 8), 16, 10)` — the first 4 md5 bytes of
+  * the string's UTF-8 read as an unsigned 32-bit big-endian long —
+  * without the builtin chain's intermediate 32-char hex string,
+  * substring, and radix parse (r19, guide §1.2). Bit-identical to
+  * [[graft.operators.TextOps.hash32]] (spec-locked in TextExprSpec);
+  * exists for per-ROW-EXPLODED hot paths (q127's per-shingle sampling
+  * filter) where the hex chain runs once per generated row.
+  */
+case class Md5Hash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    Md5Hash32.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash32.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash32 =
+    copy(child = newChild)
+}
+
+object Md5Hash32 {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val digestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  def compute(s: UTF8String): Long = {
+    val md = digests.get()
+    val out = digestBuf.get()
+    val b = s.getBytes
+    md.reset()
+    md.update(b, 0, b.length)
+    md.digest(out, 0, 16)
+    ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
+      ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
+  }
+}
+
 object GramHashArray {
 
   private val digests: ThreadLocal[MessageDigest] =
@@ -692,6 +741,12 @@ object TextFunctions {
     */
   def gramHashArray(text: Column, k: Int): Column =
     GraftSqlBridge.column(GramHashArray(GraftSqlBridge.expression(text), k))
+
+  /** Column API for [[Md5Hash32]]: `TextOps.hash32` as one codegen'd
+    * call (no intermediate hex string / substring / radix parse).
+    */
+  def hash32Native(s: Column): Column =
+    GraftSqlBridge.column(Md5Hash32(GraftSqlBridge.expression(s)))
 
   /** Column API for [[SimHash32]]: unseeded (seed = None) or seeded. */
   def simhash32Native(text: Column, seed: Option[Int] = None): Column =

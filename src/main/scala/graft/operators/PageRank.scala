@@ -121,10 +121,16 @@ object PageRank {
     * subset A/B slightly (5-round wall 2.59 → 2.35 s) but was tail-
     * UNSTABLE in full bench context — individual batch phases spiked to
     * 8+ s (an unpinned intermediate re-materializing under storage
-    * churn), and min-of-5 regressed 3.30 → 4.31 s. The knob exists for
-    * cluster runs where the per-round |V|-row RELIABLE checkpoint write
-    * is a real IO term and storage churn is per-executor; measure there
-    * before raising it. k bounds lineage depth either way, so the
+    * churn), and min-of-5 regressed 3.30 → 4.31 s. Multi-executor row
+    * (r19, ClusterPerf local-cluster[2,16,8192] at sf0.1, warm seconds,
+    * 3 invocations each): k = 1 → 12.76 / 12.90 / 13.20; k = 2 →
+    * 11.93 / 14.20 / 12.28. Min and median favor k = 2 by ~4–5% but
+    * the 14.2 s outlier reproduces the local tail instability, and the
+    * band overlaps — not decisive enough to flip the default off the
+    * measured-stable local winner. The knob exists for cluster runs
+    * where the per-round |V|-row RELIABLE checkpoint write is a real
+    * IO term and storage churn is per-executor; q146 exposes it as
+    * `spark.graft.pagerank.pinEvery`. k bounds lineage depth either way, so the
     * driver-death-by-lineage guarantee the per-round pin existed for is
     * kept. Results are bit-identical (the same IEEE/decimal chain,
     * pinned or not); per-phase attribution reports one row per PIN.

@@ -840,9 +840,14 @@ object PipelineQueries {
           s.sparkContext.defaultParallelism, col("doc_id"))
       val shRows = shDocs.select(col("doc_id"),
         graft.functions.TextFunctions.shingleRows(col("text"), 3))
+      // native hash32 (r19): this sampling filter runs once per
+      // GENERATED shingle row — the hottest expression in the query —
+      // and the builtin chain paid an md5 → 32-char hex → substring →
+      // radix-parse per row for 4 digest bytes. Bit-identical law
+      // (Md5Hash32 spec lock), oracle unchanged.
       val sampled = shRows
-        .filter(conv(substring(md5(concat(lit("cset|"), col("sh"))), 1, 8), 16, 10)
-          .cast("long") % 4 === 0)
+        .filter(graft.functions.TextFunctions.hash32Native(
+          concat(lit("cset|"), col("sh"))) % 4 === 0)
         .distinct()
       val nshPerDoc = sampled.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       // posting lists via the CAPPED collector, bounded at dfCap+1
@@ -4232,10 +4237,14 @@ object PipelineQueries {
       val canon = trim(regexp_replace(lower(
         graft.functions.TextFunctions.nfcNormalize(col("text"))),
         "\\s+", " "))
-      spreadForKernels(docs(s, d)).select(col("doc_id"), canon.as("c"))
-        .groupBy(col("c"))
+      // the md5 fp IS the output key — group on it directly (r19, guide
+      // §2.3): the exchange carries 32 fp chars per class instead of
+      // the full normalized text (q87's fp-collapse discipline)
+      spreadForKernels(docs(s, d))
+        .select(col("doc_id"), md5(canon).as("fp"))
+        .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
-        .select(col("doc_id"), md5(col("c")).as("fp"), col("n_variants"))
+        .select(col("doc_id"), col("fp"), col("n_variants"))
         .orderBy(col("doc_id"))
     }, Some("""
       WITH c AS (SELECT doc_id,
@@ -4476,8 +4485,14 @@ object PipelineQueries {
     val s1 = stage(1, "canonical_dedup") {
       val canon = trim(regexp_replace(lower(
         graft.functions.TextFunctions.nfcNormalize(col("text"))), "\\s+", " "))
-      all.select(col("doc_id"), canon.as("c"))
-        .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
+      // group on the 128-bit md5 of the canonical form, not the form
+      // itself (r19, guide §2.3 shuffle fewer bytes): the exchange
+      // carries 32 fp chars per class instead of the full normalized
+      // TEXT — q87's accepted fp-collapse discipline (null canon → null
+      // fp groups all null-text docs together, exactly as grouping by
+      // the null canonical class did)
+      all.select(col("doc_id"), md5(canon).as("cfp"))
+        .groupBy(col("cfp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
     }
     val d1 = all.join(s1, Seq("doc_id"), "left_semi")

@@ -105,6 +105,22 @@ class TextExprSpec extends AnyFunSuite {
       s"generate not codegen'd:\n$p")
   }
 
+  test("Md5Hash32 == conv(substring(md5(s),1,8),16,10) over corpus texts, shingles and edges") {
+    for (df <- Seq(docs.select(col("text")), edgeDocs.select(col("text")))) {
+      // raw texts, prefixed texts (the q127 sampling shape), and
+      // shingle strings all hash identically to the builtin chain
+      val shapes = Seq(col("text"), concat(lit("cset|"), col("text")))
+      val diverge = shapes.map(c =>
+        not(TextFunctions.hash32Native(c) <=> TextOps.hash32(c)))
+        .reduce(_ || _)
+      assert(df.filter(diverge).count() == 0, "hash32Native diverges")
+    }
+    val sh = docs.select(explode(
+      TextFunctions.shinglesFromText(col("text"), 3)).as("sh"))
+    assert(sh.filter(not(TextFunctions.hash32Native(col("sh")) <=>
+      TextOps.hash32(col("sh")))).count() == 0, "shingle hashes diverge")
+  }
+
   test("SimHash32(text, seed) == simhashBits HOF, unseeded and both seeds, corpus + edges") {
     for (df <- Seq(docs.select(col("doc_id"), col("text")), edgeDocs)) {
       val ws = TextOps.tokens(col("text"))
