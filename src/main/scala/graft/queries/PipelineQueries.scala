@@ -941,8 +941,11 @@ object PipelineQueries {
     val totals = docs(s, d)
       .filter(!evalPred)
       .filter(size(TextOps.tokens(col("text"))) >= 8)
-      .select(col("doc_id"), size(array_distinct(
-        graft.functions.TextFunctions.shinglesFromText(col("text"), 8)))
+      // size of the fused distinct-gram-hash array (r19): same count as
+      // size(array_distinct(shingles)) — the kernel dedupes on gram
+      // byte runs — without materializing one string per gram position
+      .select(col("doc_id"), size(
+        graft.functions.TextFunctions.gramHashArray(col("text"), 8))
         .cast("long").as("n_grams"))
     val hits = trainGrams
       .filter(BloomFunctions.mightContain(bloom, col("g")))
@@ -1165,6 +1168,11 @@ object PipelineQueries {
         col("n_chars"),
         length(col("text")).cast("long").as("text_len"),
         size(ws).cast("long").as("n_tokens"),
+        // NOTE (r19): a fused native distinct-token-count kernel was
+        // built, measured and REVERTED here — split(text) is already
+        // materialized and shared across this projection's columns, so
+        // array_distinct is incremental work while the kernel re-scans
+        // the raw text per row (subset A/B q49 0.449 → 0.642 s)
         size(array_distinct(ws)).cast("long").as("n_distinct"),
         ((length(col("text")) - (size(ws) - 1)) / size(ws)).as("avg_token_len"),
         (size(filter(ws, w => w.isin("the", "a"))) / size(ws)).as("stop_ratio"),
